@@ -1,0 +1,61 @@
+"""Precision configuration.
+
+The reference (pauxy) is float64/complex128 throughout. On TPU the native
+matmul precision is bf16/f32 on the MXU; complex128 is software emulated and
+slow. We therefore make precision a *parameter of the simulation* rather than
+a global:
+
+* ``precision="single"``  -> float32 / complex64 (TPU production default)
+* ``precision="double"``  -> float64 / complex128 (requires jax x64; used by
+  the CPU test-suite for parity with the reference numbers)
+
+AFQMC tolerates single precision well at zero temperature because walkers are
+QR-re-orthogonalised every ``nstblz`` steps and all overlap bookkeeping here
+is done in log space. The finite-T stabilized products default to double.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Dtype bundle threaded through systems/trials/propagators."""
+
+    real: jnp.dtype
+    cplx: jnp.dtype
+
+    @property
+    def name(self) -> str:
+        return "double" if self.real == jnp.float64 else "single"
+
+
+SINGLE = Precision(real=jnp.dtype(jnp.float32), cplx=jnp.dtype(jnp.complex64))
+DOUBLE = Precision(real=jnp.dtype(jnp.float64), cplx=jnp.dtype(jnp.complex128))
+
+
+def get_precision(name: str | Precision | None = None) -> Precision:
+    """Resolve a precision spec.
+
+    ``None`` picks double when jax x64 is enabled (tests / CPU), else single
+    (TPU production).
+    """
+    if isinstance(name, Precision):
+        return name
+    if name is None:
+        return DOUBLE if jax.config.jax_enable_x64 else SINGLE
+    name = name.lower()
+    if name in ("single", "f32", "float32", "complex64"):
+        return SINGLE
+    if name in ("double", "f64", "float64", "complex128"):
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "double precision requested but jax x64 is disabled; "
+                "set JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', True)"
+            )
+        return DOUBLE
+    raise ValueError(f"unknown precision: {name!r}")

@@ -1,0 +1,112 @@
+"""Local energy kernels, batched over walkers.
+
+TPU-native counterparts of ``pauxy/estimators/hubbard.py:93-115``
+(local_energy_hubbard), ``pauxy/estimators/generic.py:156-221``
+(local_energy_generic_cholesky_opt) and the dispatch in
+``pauxy/estimators/mixed.py:383-437``.
+
+The batched device kernels take Green's functions with a leading walker axis
+and return ``(etot, e1b, e2b)`` arrays of shape ``[w]``. The reference's
+per-aux-vector Python loop (``generic.py:208-212``) becomes a single batched
+contraction that XLA tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------------------
+# Hubbard
+# ----------------------------------------------------------------------------
+
+def local_energy_hubbard(ham, Ga: jax.Array, Gb: jax.Array):
+    """Batched Hubbard local energy.
+
+    ke = sum(T_up * G_up + T_dn * G_dn); pe = U sum_i G_up[ii] G_dn[ii]
+    (symmetric form: pe = -U/2 (tr G_up + tr G_dn), ``hubbard.py:107-111``).
+    """
+    t = ham.T
+    ke = jnp.einsum("mn,wmn->w", t[0], Ga) + jnp.einsum("mn,wmn->w", t[1], Gb)
+    da = jnp.diagonal(Ga, axis1=-2, axis2=-1)
+    db = jnp.diagonal(Gb, axis1=-2, axis2=-1)
+    if ham.symmetric:
+        pe = -0.5 * ham.U * (da.sum(-1) + db.sum(-1))
+    else:
+        pe = ham.U * jnp.sum(da * db, axis=-1)
+    return ke + pe, ke, pe
+
+
+# ----------------------------------------------------------------------------
+# Generic (Cholesky-factorized ab-initio) — half-rotated fast path
+# ----------------------------------------------------------------------------
+
+def local_energy_generic_opt(trial, Ghalfa: jax.Array, Ghalfb: jax.Array,
+                             ecore: float):
+    """Batched ab-initio local energy from half-rotated Cholesky vectors.
+
+    With rchol[x, i, m] = sum_p conj(psi[p, i]) L[p, m, x] and the
+    half-rotated one-body rh1[i, m] = sum_p conj(psi[p, i]) H1[p, m]:
+
+      e1b[w]   = sum_{i m} rh1a[i,m] Ghalfa[w,i,m]  (+ beta)
+      X_s[w,x] = sum_{i m} rchol_s[x,i,m] Ghalf_s[w,i,m]
+      ecoul[w] = (Xa + Xb) . (Xa + Xb)
+      T_s[w,x,i,j] = sum_m rchol_s[x,i,m] Ghalf_s[w,j,m]
+      exx_s[w] = sum_{x i j} T_s[w,x,i,j] T_s[w,x,j,i]
+      e2b      = 0.5 (ecoul - exxa - exxb)
+
+    Reference: ``pauxy/estimators/generic.py:156-221``. The exchange term is
+    the FLOP hot spot (naux matmuls of [n,M]x[M,n] per walker).
+    """
+    rca, rcb = trial.rchola, trial.rcholb            # [X, n, M]
+    e1b = (
+        jnp.einsum("im,wim->w", trial.rh1a, Ghalfa, optimize=True)
+        + jnp.einsum("im,wim->w", trial.rh1b, Ghalfb, optimize=True)
+    )
+    xa = jnp.einsum("xim,wim->wx", rca, Ghalfa, optimize=True)
+    xb = jnp.einsum("xim,wim->wx", rcb, Ghalfb, optimize=True)
+    x = xa + xb
+    ecoul = jnp.einsum("wx,wx->w", x, x)
+    ta = jnp.einsum("xim,wjm->wxij", rca, Ghalfa, optimize=True)
+    tb = jnp.einsum("xim,wjm->wxij", rcb, Ghalfb, optimize=True)
+    exx = jnp.einsum("wxij,wxji->w", ta, ta) + jnp.einsum("wxij,wxji->w", tb, tb)
+    e2b = 0.5 * (ecoul - exx)
+    return e1b + e2b + ecore, e1b + ecore, e2b
+
+
+# ----------------------------------------------------------------------------
+# Host-side (numpy) energies for setup/validation
+# ----------------------------------------------------------------------------
+
+def local_energy_G_host(ham, G: np.ndarray):
+    """Local energy from a single (unbatched) Green's function, host-side.
+
+    Used during trial construction; mirrors ``mixed.py:383-437`` dispatch.
+    """
+    name = ham.name
+    if name == "Hubbard":
+        t = np.asarray(ham.T)
+        ke = np.sum(t[0] * G[0] + t[1] * G[1])
+        if ham.symmetric:
+            pe = -0.5 * ham.U * (np.trace(G[0]) + np.trace(G[1]))
+        else:
+            pe = ham.U * np.dot(np.diagonal(G[0]), np.diagonal(G[1]))
+        return ke + pe, ke, pe
+    if name == "Generic":
+        # Dense reference contraction from the Cholesky factors:
+        # full (ik|jl) = sum_x L[i,k,x] L[j,l,x].
+        h1 = np.asarray(ham.H1)
+        chol = np.asarray(ham.chol)                  # [M, M, X]
+        e1b = np.sum(h1[0] * G[0]) + np.sum(h1[1] * G[1])
+        gc = G[0] + G[1]
+        xv = np.einsum("ikx,ik->x", chol, gc)
+        ecoul = 0.5 * np.dot(xv, xv)
+        exx = 0.0
+        for gs in (G[0], G[1]):
+            t = np.einsum("ikx,jk->ijx", chol, gs)
+            exx += 0.5 * np.einsum("ijx,jix->", t, t)
+        e2b = ecoul - exx
+        return e1b + e2b + ham.ecore, e1b + ham.ecore, e2b
+    raise NotImplementedError(f"local_energy_G_host for {name}")

@@ -1,0 +1,174 @@
+"""Mixed estimator: device-side accumulation + host-side block reporting.
+
+TPU-native counterpart of ``pauxy/estimators/mixed.py:33-345``. The
+per-walker accumulation loop (``mixed.py:180-233``) becomes one batched
+weighted reduction per step inside the jitted block program; the MPI
+``comm.Reduce`` at ``mixed.py:261`` is a ``jnp.sum`` over the (possibly
+mesh-sharded) walker axis. Only the formatted block row touches the host.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pauxy_tpu.estimators import local_energy as le
+from pauxy_tpu.ops import greens
+
+# Accumulator column indices (cf. get_estimator_enum, mixed.py:460-489).
+UWEIGHT, WEIGHT, ENUMER, EDENOM, E1B, E2B, EHYB, OVLP = range(8)
+NACC = 8
+
+HEADER = [
+    "Iteration",
+    "WeightFactor",
+    "Weight",
+    "ENumer",
+    "EDenom",
+    "ETotal",
+    "E1Body",
+    "E2Body",
+    "EHybrid",
+    "Overlap",
+    "Time",
+]
+
+
+def energy_estimator(ham, trial):
+    """Return a batched ``(ga, gb) -> (etot, e1b, e2b)`` local-energy closure.
+
+    Dispatch mirrors ``mixed.py:383-437``.
+    """
+    name = ham.name
+    if name == "Hubbard":
+        return lambda ga, gb: le.local_energy_hubbard(ham, ga.G, gb.G)
+    if name == "Generic":
+        return lambda ga, gb: le.local_energy_generic_opt(
+            trial, ga.Ghalf, gb.Ghalf, ham.ecore
+        )
+    if name == "UEG":
+        return lambda ga, gb: le.local_energy_ueg(ham, ga.G, gb.G)
+    raise NotImplementedError(f"no local energy kernel for system {name!r}")
+
+
+def update(ham, trial, state, eval_energy, free_projection: bool = False):
+    """One step's contribution to the block accumulator, shape [NACC] complex.
+
+    Reference: ``mixed.py:133-233``. ``eval_energy`` is a traced bool —
+    energy terms are gated with ``lax.cond`` so skipped steps cost nothing
+    (energy_eval_freq, ``mixed.py:213-224``).
+    """
+    ga = greens.greens_function(state.phia, trial.psia)
+    gb = greens.greens_function(state.phib, trial.psib)
+    e_fn = energy_estimator(ham, trial)
+    cdtype = state.log_ovlp.dtype
+
+    if free_projection:
+        # wfac = weight * ot * phase (mixed.py:151-175).
+        ot = jnp.exp(state.log_ovlp)
+        wfac = state.weight * ot * state.phase
+        ovlp_c = state.weight * jnp.abs(ot)
+    else:
+        wfac = state.weight.astype(cdtype)
+        ovlp_c = state.weight * jnp.exp(state.log_ovlp.real)
+
+    def with_energy(_):
+        etot, e1b, e2b = e_fn(ga, gb)
+        if free_projection:
+            num = jnp.sum(wfac * etot)
+            t1 = jnp.sum(wfac * e1b)
+            t2 = jnp.sum(wfac * e2b)
+        else:
+            num = jnp.sum(wfac * etot.real)
+            t1 = jnp.sum(wfac * e1b.real)
+            t2 = jnp.sum(wfac * e2b.real)
+        return num, jnp.sum(wfac), t1, t2
+
+    def without_energy(_):
+        z = jnp.zeros((), cdtype)
+        return z, z, z, z
+
+    enumer, edenom, e1b, e2b = jax.lax.cond(eval_energy, with_energy, without_energy, None)
+
+    acc = jnp.stack(
+        [
+            jnp.sum(state.unscaled_weight).astype(cdtype),
+            jnp.sum(wfac),
+            enumer,
+            edenom,
+            e1b,
+            e2b,
+            jnp.sum(wfac * state.hybrid_energy),
+            jnp.sum(ovlp_c).astype(cdtype),
+        ]
+    )
+    return acc
+
+
+class MixedReporter:
+    """Host-side block normalization, stdout table and HDF5 push.
+
+    Mirrors the normalization in ``mixed.py:235-289``.
+    """
+
+    def __init__(self, nsteps: int, output=None, verbose: bool = True):
+        self.nsteps = nsteps
+        self.output = output
+        self.verbose = verbose
+        self._t0 = time.time()
+        self.eshift_hybrid = 0.0
+        self.eshift_proj = 0.0
+
+    def print_header(self):
+        if self.verbose:
+            print("".join(f"{h:>17s}" for h in HEADER))
+
+    def block_row(self, step: int, acc: np.ndarray) -> np.ndarray:
+        """Normalize a summed block accumulator into an output row."""
+        acc = np.asarray(acc)
+        now = time.time()
+        elapsed = now - self._t0
+        self._t0 = now
+        uweight = acc[UWEIGHT] / self.nsteps
+        weight = acc[WEIGHT] / self.nsteps
+        edenom = acc[EDENOM]
+        # Guard the step-0 row where no energy was accumulated yet.
+        denom = edenom if abs(edenom) > 0 else 1.0
+        etotal = acc[ENUMER] / denom
+        e1b = acc[E1B] / denom
+        e2b = acc[E2B] / denom
+        wsum = acc[WEIGHT] if abs(acc[WEIGHT]) > 0 else 1.0
+        ehyb = acc[EHYB] / wsum
+        ovlp = acc[OVLP] / wsum
+        self.eshift_hybrid = ehyb
+        self.eshift_proj = etotal
+        row = np.array(
+            [
+                step,
+                uweight,
+                weight,
+                acc[ENUMER],
+                edenom,
+                etotal,
+                e1b,
+                e2b,
+                ehyb,
+                ovlp,
+                elapsed,
+            ],
+            dtype=np.complex128,
+        )
+        if self.verbose:
+            print("".join(f"{v.real: 16.8e} " for v in row))
+        if self.output is not None:
+            self.output.push(row, "energies")
+            self.output.increment()
+        return row
+
+    def get_shift(self, hybrid: bool = True) -> float:
+        """New eshift after a block (mixed.py:345-349)."""
+        e = self.eshift_hybrid if hybrid else self.eshift_proj
+        return float(np.real(e))

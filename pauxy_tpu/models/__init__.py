@@ -1,0 +1,18 @@
+"""Model Hamiltonians and trial wavefunctions.
+
+Each system is a frozen pytree dataclass holding device arrays (hopping /
+integral tensors) plus static metadata (particle numbers, basis size). They
+are constructed host-side with numpy and passed *as arguments* into jitted
+step functions — never baked in as constants.
+"""
+
+from pauxy_tpu.models.hubbard import Hubbard, make_hubbard
+from pauxy_tpu.models.trial import SingleDetTrial, free_electron_trial, uhf_trial
+
+__all__ = [
+    "Hubbard",
+    "make_hubbard",
+    "SingleDetTrial",
+    "free_electron_trial",
+    "uhf_trial",
+]

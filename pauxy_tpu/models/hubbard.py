@@ -1,0 +1,162 @@
+"""Hubbard model Hamiltonian (1D / 2D square lattice).
+
+TPU-native counterpart of ``pauxy/systems/hubbard.py:12-165``. The lattice
+one-body matrix is built host-side with vectorized numpy (the reference uses
+an O(M^2) python double loop, ``pauxy/systems/hubbard_holstein.py:214-268``)
+and shipped to device as part of a frozen pytree.
+
+Site ordering: i = ix + nx*iy (``hubbard.py:278-301`` decode_basis).
+Twist: boundary-wrap hops pick up a phase exp(i pi k.e) (``kinetic``,
+``hubbard_holstein.py:237-259``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+
+from pauxy_tpu import config
+
+
+@struct.dataclass
+class Hubbard:
+    """Hubbard Hamiltonian container (pytree).
+
+    Auxiliary-field count for the continuous HS transformation is one field
+    per site (``pauxy/systems/hubbard.py:97``: nfields = nbasis).
+    """
+
+    T: np.ndarray          # [2, M, M] hopping matrix per spin
+    h1e_mod: np.ndarray    # [2, M, M] H1 - U/2 (Motta17 eq. 17 reordering)
+    eks: np.ndarray        # [M] single-particle band energies
+    U: float = struct.field(pytree_node=False)
+    t: float = struct.field(pytree_node=False)
+    nx: int = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+    nup: int = struct.field(pytree_node=False)
+    ndown: int = struct.field(pytree_node=False)
+    symmetric: bool = struct.field(pytree_node=False)
+
+    name: str = struct.field(pytree_node=False, default="Hubbard")
+
+    @property
+    def nbasis(self) -> int:
+        return self.nx * self.ny
+
+    @property
+    def nfields(self) -> int:
+        return self.nbasis
+
+    @property
+    def nelec(self) -> tuple[int, int]:
+        return (self.nup, self.ndown)
+
+    @property
+    def ecore(self) -> float:
+        return 0.0
+
+
+def _lattice_coords(nx: int, ny: int) -> np.ndarray:
+    """[M, 2] cartesian coordinates, i = ix + nx*iy."""
+    i = np.arange(nx * ny)
+    return np.stack([i % nx, i // nx], axis=1)
+
+
+def kinetic_matrix(
+    t: float,
+    nx: int,
+    ny: int,
+    ktwist=None,
+    xpbc: bool = True,
+    ypbc: bool = True,
+) -> np.ndarray:
+    """Nearest-neighbour hopping matrix with periodic/twisted boundaries.
+
+    Equivalent to ``pauxy/systems/hubbard_holstein.py:214-268`` but built from
+    vectorized displacement tables. Returns [M, M]; complex iff a twist is
+    given. For nx==2 (or ny==2) the wrap bond coincides with the direct bond
+    and both contributions add, matching the reference's ``+=``.
+    """
+    m = nx * ny
+    coords = _lattice_coords(nx, ny)
+    # Displacement of j relative to i, for upper triangle (j > i) only.
+    d = np.abs(coords[None, :, :] - coords[:, None, :])     # [M, M, 2]
+    upper = np.triu(np.ones((m, m), dtype=bool), k=1)
+
+    if ktwist is not None:
+        ktwist = np.asarray(ktwist, dtype=np.float64)
+        phase_x = np.exp(1j * np.pi * ktwist[0])
+        phase_y = np.exp(1j * np.pi * ktwist[1]) if ny > 1 else 1.0
+        tmat = np.zeros((m, m), dtype=np.complex128)
+    else:
+        phase_x = phase_y = 1.0
+        tmat = np.zeros((m, m), dtype=np.float64)
+
+    # Direct nearest neighbours: |dx| + |dy| == 1.
+    direct = (d.sum(axis=2) == 1) & upper
+    tmat[direct] += -t
+
+    # Boundary wraps (only meaningful when nx > 1 / ny > 1).
+    if xpbc and nx > 1:
+        wrap_x = (d[:, :, 0] == nx - 1) & (d[:, :, 1] == 0) & upper
+        tmat[wrap_x] += -t * phase_x
+    if ypbc and ny > 1:
+        wrap_y = (d[:, :, 0] == 0) & (d[:, :, 1] == ny - 1) & upper
+        tmat[wrap_y] += -t * phase_y
+
+    return tmat + tmat.conj().T
+
+
+def band_energies(t: float, nx: int, ny: int) -> np.ndarray:
+    """Single-particle energies e(k) = -2t (cos kx + cos ky), FFT k-ordering.
+
+    Reference: ``pauxy/systems/hubbard.py:327-385`` (kpoints / ek).
+    """
+    kx = 2.0 * np.pi * np.arange(nx) / nx
+    if ny == 1:
+        return -2.0 * t * np.cos(kx)
+    ky = 2.0 * np.pi * np.arange(ny) / ny
+    # kpoints enumerated as (n, m) for n in range(nx) for m in range(ny).
+    return (-2.0 * t * (np.cos(kx)[:, None] + np.cos(ky)[None, :])).reshape(-1)
+
+
+def make_hubbard(
+    nup: int,
+    ndown: int,
+    U: float,
+    nx: int,
+    ny: int = 1,
+    t: float = 1.0,
+    ktwist=None,
+    xpbc: bool = True,
+    ypbc: bool = True,
+    symmetric: bool = False,
+    precision=None,
+) -> Hubbard:
+    """Build a Hubbard system container.
+
+    Mirrors the options of ``pauxy/systems/hubbard.py:46-105`` (pinning fields
+    are handled by :func:`pinned_kinetic` and added separately).
+    """
+    prec = config.get_precision(precision)
+    m = nx * ny
+    tmat = kinetic_matrix(t, nx, ny, ktwist=ktwist, xpbc=xpbc, ypbc=ypbc)
+    dtype = prec.cplx if np.iscomplexobj(tmat) else prec.real
+    h1 = np.stack([tmat, tmat]).astype(dtype)
+    if symmetric:
+        h1e_mod = h1
+    else:
+        v0 = 0.5 * U * np.eye(m)
+        h1e_mod = np.stack([tmat - v0, tmat - v0]).astype(dtype)
+    return Hubbard(
+        T=h1,
+        h1e_mod=h1e_mod,
+        eks=band_energies(t, nx, ny).astype(prec.real),
+        U=float(U),
+        t=float(t),
+        nx=int(nx),
+        ny=int(ny),
+        nup=int(nup),
+        ndown=int(ndown),
+        symmetric=bool(symmetric),
+    )

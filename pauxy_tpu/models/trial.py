@@ -1,0 +1,170 @@
+"""Single-determinant (UHF-style) trial wavefunctions.
+
+TPU-native counterpart of ``pauxy/trial_wavefunction/free_electron.py:8-90``
+and ``pauxy/trial_wavefunction/uhf.py:10-255`` plus the single-determinant
+slice of ``multi_slater.py``. Trials are built host-side (numpy/scipy — this
+is setup, not the hot path) and stored as a frozen pytree of device arrays.
+
+The trial's Green's function is G_sigma = conj(psi) (psi^T conj(psi))^{-1}
+psi^T (``uhf.py:92-96`` via gab().T).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from flax import struct
+
+from pauxy_tpu import config
+
+
+@struct.dataclass
+class SingleDetTrial:
+    """Single Slater determinant trial |psi_T> = |psi_a> x |psi_b>.
+
+    ``rchola``/``rcholb`` are the half-rotated Cholesky tensors used by the
+    ab-initio (Generic) fast force-bias/energy paths
+    (``multi_slater.py:267-420``); None for lattice models.
+    """
+
+    psia: Any              # [M, na]
+    psib: Any              # [M, nb]
+    G: Any                 # [2, M, M] trial one-body Green's function
+    inita: Any             # [M, na] initial walker orbitals
+    initb: Any             # [M, nb]
+    rchola: Any = None     # [naux, na, M] half-rotated Cholesky (alpha)
+    rcholb: Any = None     # [naux, nb, M]
+    etrial: float = struct.field(pytree_node=False, default=0.0)
+    name: str = struct.field(pytree_node=False, default="single_det")
+
+    @property
+    def nup(self) -> int:
+        return self.psia.shape[1]
+
+    @property
+    def ndown(self) -> int:
+        return self.psib.shape[1]
+
+    @property
+    def nbasis(self) -> int:
+        return self.psia.shape[0]
+
+
+def trial_density_matrix(psia: np.ndarray, psib: np.ndarray) -> np.ndarray:
+    """G[2, M, M] with G_s = conj(psi_s) (psi_s^T conj(psi_s))^{-1} psi_s^T."""
+    out = []
+    for psi in (psia, psib):
+        if psi.shape[1] == 0:
+            out.append(np.zeros((psi.shape[0], psi.shape[0]), dtype=psi.dtype))
+            continue
+        ovlp = psi.T @ psi.conj()
+        out.append(psi.conj() @ np.linalg.solve(ovlp.T, psi.T))
+    return np.stack(out)
+
+
+def _eigh_lowest(h: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Lowest-n eigenpairs of a hermitian matrix, ascending."""
+    e, v = np.linalg.eigh(h)
+    return e[:n], v[:, :n]
+
+
+def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
+    import jax.numpy as jnp
+
+    dtype = prec.cplx
+    psia = np.asarray(psia, dtype=dtype)
+    psib = np.asarray(psib, dtype=dtype)
+    g = trial_density_matrix(psia, psib)
+    from pauxy_tpu.estimators import local_energy as le
+
+    etrial = float(np.real(le.local_energy_G_host(ham, g)[0]))
+    return SingleDetTrial(
+        psia=jnp.asarray(psia),
+        psib=jnp.asarray(psib),
+        G=jnp.asarray(g.astype(dtype)),
+        inita=jnp.asarray(psia),
+        initb=jnp.asarray(psib),
+        etrial=etrial,
+        name=name,
+    )
+
+
+def free_electron_trial(ham, precision=None) -> SingleDetTrial:
+    """Occupy the lowest eigenvectors of the one-body Hamiltonian.
+
+    Reference: ``pauxy/trial_wavefunction/free_electron.py:28-66``.
+    """
+    prec = config.get_precision(precision)
+    h1 = np.asarray(ham.T)
+    _, va = _eigh_lowest(h1[0], ham.nup)
+    _, vb = _eigh_lowest(h1[1], ham.ndown)
+    return _finalize(ham, va, vb, prec, "free_electron")
+
+
+def uhf_trial(
+    ham,
+    ueff: float = 0.4,
+    ninitial: int = 10,
+    nconv: int = 5000,
+    alpha: float = 0.5,
+    deps: float = 1e-8,
+    seed: int | None = None,
+    precision=None,
+) -> SingleDetTrial:
+    """Self-consistent UHF trial for the Hubbard model.
+
+    Mean-field decoupling H^s = T + U_eff diag(<n_{-s}>), solved with density
+    mixing and random restarts. Reference: ``uhf.py:105-245``
+    (find_uhf_wfn / diagonalise_mean_field / mix_density); defaults match
+    ``uhf.py:62-73``.
+    """
+    prec = config.get_precision(precision)
+    rng = np.random.default_rng(seed)
+    t0 = np.asarray(ham.T[0])
+    t1 = np.asarray(ham.T[1])
+    m, nup, ndown = ham.nbasis, ham.nup, ham.ndown
+    depsn = deps ** 0.5
+
+    def density(v):
+        return np.einsum("mi,mi->m", v, v.conj()).real
+
+    def energy(va, vb):
+        g = trial_density_matrix(va.astype(np.complex128), vb.astype(np.complex128))
+        ke = np.sum(t0 * g[0] + t1 * g[1])
+        pe = ham.U * np.dot(np.diagonal(g[0]), np.diagonal(g[1]))
+        return (ke + pe).real
+
+    best_e, best = np.inf, None
+    for _ in range(ninitial):
+        # Random symmetric-matrix eigenbasis as starting orbitals
+        # (uhf.py:190-194).
+        ra = rng.random((m, m))
+        rb = rng.random((m, m))
+        _, va = _eigh_lowest(0.5 * (ra + ra.T), nup)
+        _, vb = _eigh_lowest(0.5 * (rb + rb.T), ndown)
+        niup, nidown = density(va), density(vb)
+        niup_old, nidown_old = niup.copy(), nidown.copy()
+        eold = np.inf
+        for _it in range(nconv):
+            _, va = _eigh_lowest(t0 + np.diag(ueff * nidown), nup)
+            _, vb = _eigh_lowest(t1 + np.diag(ueff * niup), ndown)
+            niup, nidown = density(va), density(vb)
+            enew = energy(va, vb)
+            converged = (
+                abs(enew - eold) < deps
+                and np.abs(niup - niup_old).sum() / m < depsn
+                and np.abs(nidown - nidown_old).sum() / m < depsn
+            )
+            if converged:
+                break
+            niup_mixed = (1 - alpha) * niup + alpha * niup_old
+            nidown_mixed = (1 - alpha) * nidown + alpha * nidown_old
+            niup_old, nidown_old = niup, nidown
+            niup, nidown = niup_mixed, nidown_mixed
+            eold = enew
+        if enew < best_e - deps:
+            best_e, best = enew, (va, vb)
+
+    va, vb = best
+    return _finalize(ham, va, vb, prec, "uhf")

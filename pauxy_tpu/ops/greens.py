@@ -1,0 +1,104 @@
+"""Batched Slater-determinant overlap and Green's function kernels.
+
+TPU-native rewrite of the per-walker linear algebra in the reference:
+``pauxy/walkers/single_det.py:295-321`` (greens_function),
+``single_det.py:170-199`` (calc_overlap), ``single_det.py:215-255`` (reortho)
+and ``pauxy/estimators/greens_function.py:5-115`` (gab / gab_mod).
+
+Conventions
+-----------
+* ``phi``  : walker Slater matrices, shape ``[w, M, n]`` (one spin sector).
+* ``psi``  : trial Slater matrix, shape ``[M, n]``.
+* Overlaps are kept in log space: ``log_ovlp = log|det S| + i arg(det S)``
+  with ``S = phi^T conj(psi)``; this replaces the reference's ad-hoc
+  ``log_shift`` over/underflow bookkeeping.
+* The full Green's function is ``G = conj(psi) (phi^T conj(psi))^{-1} phi^T``
+  (``[w, M, M]``) and the half-rotated one is
+  ``Ghalf = (phi^T conj(psi))^{-1} phi^T`` (``[w, n, M]``), matching
+  ``single_det.py:310-319``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SpinGreens(NamedTuple):
+    """Green's function bundle for one spin sector (batched over walkers)."""
+
+    G: jax.Array        # [w, M, M] full Green's function
+    Ghalf: jax.Array    # [w, n, M] half-rotated Green's function
+    log_ovlp: jax.Array  # [w] complex log of det(phi^T conj(psi))
+
+
+def _clog_det(sign: jax.Array, logdet: jax.Array, cdtype) -> jax.Array:
+    """Combine slogdet output into a complex log-determinant."""
+    sign = sign.astype(cdtype)
+    # log(sign) = i*arg(sign); sign has unit magnitude.
+    return logdet.astype(cdtype) + jnp.log(sign)
+
+
+def overlap_matrix(phi: jax.Array, psi: jax.Array) -> jax.Array:
+    """S = phi^T conj(psi), shape [w, n, n]  (single_det.py:310)."""
+    return jnp.einsum("wmi,mj->wij", phi, psi.conj(), optimize=True)
+
+
+def log_overlap(phi: jax.Array, psi: jax.Array) -> jax.Array:
+    """Batched complex log overlap log det(phi^T conj(psi)), shape [w].
+
+    Reference: ``single_det.py:170-199`` (calc_overlap), done in log space.
+    """
+    s = overlap_matrix(phi, psi)
+    sign, logdet = jnp.linalg.slogdet(s)
+    return _clog_det(sign, logdet, phi.dtype)
+
+
+def greens_function(phi: jax.Array, psi: jax.Array) -> SpinGreens:
+    """Batched walker Green's function for one spin sector.
+
+    Returns G, Ghalf and the complex log overlap. One LU factorization per
+    walker (n x n, tiny); the heavy work is the two [w,M,n]x[n,M] matmuls
+    which XLA batches onto the MXU.
+
+    Reference: ``single_det.py:295-321``.
+    """
+    s = overlap_matrix(phi, psi)                          # [w, n, n]
+    sign, logdet = jnp.linalg.slogdet(s)
+    # Ghalf = S^{-1} phi^T : solve instead of explicit inverse.
+    ghalf = jnp.linalg.solve(s, jnp.swapaxes(phi, -1, -2))  # [w, n, M]
+    g = jnp.einsum("mi,win->wmn", psi.conj(), ghalf, optimize=True)
+    return SpinGreens(G=g, Ghalf=ghalf, log_ovlp=_clog_det(sign, logdet, phi.dtype))
+
+
+def gab(a: jax.Array, b: jax.Array) -> jax.Array:
+    """One-particle Green's function between two (batched) determinants.
+
+    G = B (A^dagger B)^{-1} A^dagger  with a/b of shape [..., M, n].
+    Reference: ``pauxy/estimators/greens_function.py:5-38``.
+    """
+    adag = jnp.swapaxes(a.conj(), -1, -2)                 # [..., n, M]
+    inv = jnp.linalg.inv(adag @ b)                        # [..., n, n]
+    return b @ inv @ adag                                  # [..., M, M]
+
+
+def reortho(phi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Batched QR re-orthogonalisation of walker Slater matrices.
+
+    Returns the orthonormalised ``phi`` (with the sign of diag(R) absorbed so
+    det(R) > 0, as in the reference) and ``log_detR`` (real, [w]).
+
+    Reference: ``single_det.py:215-255``; log-space detR replaces the
+    reference's detR_shift machinery.
+    """
+    q, r = jnp.linalg.qr(phi, mode="reduced")             # [w,M,n], [w,n,n]
+    diag = jnp.diagonal(r, axis1=-2, axis2=-1)            # [w, n]
+    safe = jnp.where(diag == 0, 1.0, diag)
+    phases = safe / jnp.abs(safe)                         # unit modulus
+    # Absorb the phase of diag(R) into phi so det(R) is real positive:
+    # phi = (Q diag(phases)) (diag(phases)^-1 R).
+    q = q * phases[:, None, :]
+    log_detr = jnp.sum(jnp.log(jnp.abs(safe)), axis=-1)   # real, [w]
+    return q, log_detr

@@ -1,0 +1,194 @@
+"""Model-agnostic continuous Hubbard-Stratonovich propagation.
+
+TPU-native rewrite of ``pauxy/propagation/continuous.py:10-318``: the
+per-walker ``propagate_walker_phaseless`` becomes one batched pure function
+``(state, key) -> state`` with the inner (model-specific) propagator
+supplying ``mf_shift``/``BH1``/``force_bias``/``apply_vhs``.
+
+Trotter split per step (``continuous.py:232-262``):
+
+    phi <- B_{T/2} e^{VHS(x - xbar)} B_{T/2} phi
+
+with x ~ N(0,1)^nfields per walker, force bias xbar from the walker Green's
+function (components clamped to unit modulus, ``continuous.py:140-151``),
+and the phaseless hybrid weight update of ``continuous.py:264-292``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pauxy_tpu.ops import greens
+from pauxy_tpu.walkers.state import WalkerState
+
+
+class TwoBodyFactors(NamedTuple):
+    cmf: jax.Array       # [w] mean-field-shift constant factor
+    cfb: jax.Array       # [w] force-bias shift constant factor
+    xshifted: jax.Array  # [w, nfields]
+
+
+@struct.dataclass
+class Continuous:
+    """Static propagation config + the inner model propagator (a pytree)."""
+
+    inner: Any
+    dt: float = struct.field(pytree_node=False)
+    free_projection: bool = struct.field(pytree_node=False, default=False)
+    hybrid: bool = struct.field(pytree_node=False, default=True)
+    force_bias: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def sqrt_dt(self):
+        return self.dt ** 0.5
+
+    @property
+    def ebound(self):
+        # Hybrid-energy bound (continuous.py:70).
+        return (2.0 / self.dt) ** 0.5
+
+
+def _apply_bh1(bh1: jax.Array, phia: jax.Array, phib: jax.Array):
+    """One-body half-step phi <- B_{T/2} phi (propagation/operations.py:29)."""
+    phia = jnp.einsum("pm,wmn->wpn", bh1[0], phia, optimize=True)
+    phib = jnp.einsum("pm,wmn->wpn", bh1[1], phib, optimize=True)
+    return phia, phib
+
+
+def two_body_factors(prop: Continuous, trial, ga, gb, key, nwalkers: int):
+    """Sample auxiliary fields and compute shift constants.
+
+    Reference: ``continuous.py:113-173``. Returns the factors plus the
+    shifted fields; applying exp(VHS) is left to the caller.
+    """
+    inner = prop.inner
+    nfields = inner.mf_shift.shape[0]
+    rdtype = jnp.abs(jnp.zeros((), inner.mf_shift.dtype)).dtype
+    xi = jax.random.normal(key, (nwalkers, nfields), dtype=rdtype)
+
+    if prop.force_bias:
+        xbar = inner.force_bias(trial, ga, gb)           # [w, nfields] complex
+        absx = jnp.abs(xbar)
+        # Clamp components with |xbar| > 1 to unit modulus
+        # (continuous.py:140-151).
+        xbar = jnp.where(absx > 1.0, xbar / jnp.where(absx == 0, 1.0, absx), xbar)
+    else:
+        xbar = jnp.zeros((nwalkers, nfields), dtype=inner.mf_shift.dtype)
+
+    xshifted = xi - xbar
+    cmf = -prop.sqrt_dt * xshifted @ inner.mf_shift      # [w]
+    cfb = jnp.sum(xi * xbar, axis=-1) - 0.5 * jnp.sum(xbar * xbar, axis=-1)
+    return TwoBodyFactors(cmf=cmf, cfb=cfb, xshifted=xshifted)
+
+
+def _bound_hybrid(ehyb: jax.Array, eshift: jax.Array, ebound: float) -> jax.Array:
+    """Cap Re(ehyb) to eshift +/- sqrt(2/dt); no-op while eshift ~ 0.
+
+    Reference: ``continuous.py:202-214``.
+    """
+    re = jnp.clip(ehyb.real, eshift.real - ebound, eshift.real + ebound)
+    bounded = re + 1j * ehyb.imag
+    return jnp.where(jnp.abs(eshift) < 1e-10, ehyb, bounded.astype(ehyb.dtype))
+
+
+def propagate_phaseless(
+    prop: Continuous,
+    trial,
+    state: WalkerState,
+    key: jax.Array,
+    eshift: jax.Array,
+) -> WalkerState:
+    """One phaseless step for the whole population.
+
+    Reference: ``continuous.py:232-292`` (propagate_walker_phaseless +
+    update_weight_hybrid). Walkers with negligible weight are frozen
+    (``afqmc.py:232-233`` skips them) via a final select, which also keeps
+    NaNs from dead walkers out of the state.
+    """
+    inner = prop.inner
+    ga = greens.greens_function(state.phia, trial.psia)
+    gb = greens.greens_function(state.phib, trial.psib)
+    log_o = ga.log_ovlp + gb.log_ovlp
+
+    phia, phib = _apply_bh1(inner.BH1, state.phia, state.phib)
+    fac = two_body_factors(prop, trial, ga, gb, key, state.nwalkers)
+    phia, phib = inner.apply_vhs(phia, phib, fac.xshifted)
+    phia, phib = _apply_bh1(inner.BH1, phia, phib)
+
+    log_o_new = (
+        greens.log_overlap(phia, trial.psia) + greens.log_overlap(phib, trial.psib)
+    )
+
+    # Hybrid weight update (continuous.py:264-292). The 2*pi*i branch
+    # ambiguity of the log-ratio only shifts dtheta by full turns, leaving
+    # cos(dtheta) and |I| unchanged.
+    dt = prop.dt
+    log_ratio = log_o_new - log_o
+    ehyb = -(log_ratio + fac.cfb + fac.cmf) / dt
+    ehyb = _bound_hybrid(ehyb, eshift, prop.ebound)
+    log_imp = -dt * (0.5 * (ehyb + state.hybrid_energy) - eshift)
+    magn = jnp.exp(log_imp.real)
+    dtheta = (-dt * ehyb - fac.cfb).imag
+    cosine_fac = jnp.maximum(0.0, jnp.cos(dtheta))
+    weight = state.weight * magn * cosine_fac
+    weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
+
+    alive = jnp.abs(state.weight) > 1e-8
+
+    def sel(new, old):
+        shape = (slice(None),) + (None,) * (new.ndim - 1)
+        return jnp.where(alive[shape], new, old)
+
+    return state.replace(
+        phia=sel(phia, state.phia),
+        phib=sel(phib, state.phib),
+        weight=sel(weight, state.weight),
+        log_ovlp=sel(log_o_new, state.log_ovlp),
+        hybrid_energy=sel(ehyb, state.hybrid_energy),
+    )
+
+
+def propagate_free(
+    prop: Continuous,
+    trial,
+    state: WalkerState,
+    key: jax.Array,
+    eshift: jax.Array,
+) -> WalkerState:
+    """One free-projection step (no force bias, no phaseless constraint).
+
+    Weight carries |exp(cmf + dt*eshift)|, phase its argument
+    (``continuous.py:175-199``).
+    """
+    inner = prop.inner
+    ga = greens.greens_function(state.phia, trial.psia)
+    gb = greens.greens_function(state.phib, trial.psib)
+
+    phia, phib = _apply_bh1(inner.BH1, state.phia, state.phib)
+    fac = two_body_factors(prop, trial, ga, gb, key, state.nwalkers)
+    phia, phib = inner.apply_vhs(phia, phib, fac.xshifted)
+    phia, phib = _apply_bh1(inner.BH1, phia, phib)
+
+    log_o_new = (
+        greens.log_overlap(phia, trial.psia) + greens.log_overlap(phib, trial.psib)
+    )
+    arg = fac.cmf + prop.dt * eshift
+    magn = jnp.exp(arg.real)
+    phase = jnp.exp(1j * arg.imag)
+    return state.replace(
+        phia=phia,
+        phib=phib,
+        weight=state.weight * magn,
+        phase=state.phase * phase.astype(state.phase.dtype),
+        log_ovlp=log_o_new,
+    )
+
+
+def propagate(prop: Continuous, trial, state, key, eshift):
+    if prop.free_projection:
+        return propagate_free(prop, trial, state, key, eshift)
+    return propagate_phaseless(prop, trial, state, key, eshift)

@@ -1,0 +1,136 @@
+"""Population control as fixed-shape collectives + gathers.
+
+The reference implements branching with root-computed parent indices,
+broadcast, and ragged point-to-point sends of serialized walker buffers
+(``pauxy/walkers/handler.py:225-412``). On TPU the walker population is a
+dense pytree, so branching is a *permutation/duplication gather*: compute a
+parent index per walker slot, then ``tree_map(lambda x: x[parents], state)``.
+Under a sharded walker axis XLA lowers the gather to all-to-all traffic over
+ICI — no hand-written comm.
+
+Both of the reference's algorithms are provided:
+
+* ``comb``  — Booth & Gubernatis systematic resampling
+  (``handler.py:256-338``).
+* ``pair_branch`` — global sort, pair smallest/largest weights
+  (``handler.py:340-412``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pauxy_tpu.walkers.state import WalkerState
+
+
+def _gather_walkers(state: WalkerState, parents: jax.Array) -> WalkerState:
+    """Replace walker i by a copy of walker parents[i] (weights untouched)."""
+    return state.replace(
+        phia=state.phia[parents],
+        phib=state.phib[parents],
+        phase=state.phase[parents],
+        log_ovlp=state.log_ovlp[parents],
+        hybrid_energy=state.hybrid_energy[parents],
+        eloc=state.eloc[parents],
+        log_detr=state.log_detr[parents],
+    )
+
+
+def comb(state: WalkerState, key: jax.Array, target_weight: float) -> WalkerState:
+    """Systematic (comb) resampling of the walker population.
+
+    Teeth at ``(i + r) * total/nw`` against the cumulative weight
+    distribution; walker slot i is repopulated from the parent whose
+    cumulative interval contains tooth i. Equivalent to the reference's
+    parent-count construction at ``handler.py:269-291`` (the reference then
+    moves clones into killed slots; a gather produces the same multiset).
+
+    All weights are reset to 1 afterwards (``handler.py:337-338``); the
+    pre-scaling weight is kept in ``unscaled_weight`` for the WeightFactor
+    column (``handler.py:244-246``).
+    """
+    nw = state.weight.shape[0]
+    w = jnp.abs(state.weight)
+    total = jnp.sum(w)
+    # Rescale so the population sums to target_weight (handler.py:236-246).
+    wsc = w * (target_weight / total)
+    cum = jnp.cumsum(wsc)
+    r = jax.random.uniform(key, (), dtype=w.dtype)
+    teeth = (jnp.arange(nw, dtype=w.dtype) + r) * (target_weight / nw)
+    parents = jnp.clip(jnp.searchsorted(cum, teeth, side="right"), 0, nw - 1)
+    new = _gather_walkers(state, parents)
+    return new.replace(
+        weight=jnp.ones_like(state.weight),
+        unscaled_weight=state.weight,
+        total_weight=total,
+    )
+
+
+def pair_branch(
+    state: WalkerState,
+    key: jax.Array,
+    target_weight: float,
+    min_weight: float = 0.1,
+    max_weight: float = 4.0,
+) -> WalkerState:
+    """Pair-branch population control, fixed-shape.
+
+    Sort walkers by |weight|; pair the s-th smallest with the s-th largest;
+    where the smallest is below ``min_weight`` (or largest above
+    ``max_weight``) one of the pair is cloned over the other with probability
+    proportional to its weight, both receiving half the pair weight.
+    Reference: ``handler.py:340-412``.
+    """
+    nw = state.weight.shape[0]
+    w = jnp.abs(state.weight)
+    total = jnp.sum(w)
+    wsc = w * (target_weight / total)
+
+    order = jnp.argsort(wsc)                     # ascending
+    ws = wsc[order]
+    half = nw // 2
+    small = ws[:half]                            # s = 0..half-1
+    large = ws[::-1][:half]                      # e = nw-1..nw-half
+    pair_w = small + large
+
+    # Branch this pair? (handler.py:352-355) — prefix-AND so only a
+    # contiguous head of pairs branches, like the while loop.
+    want = (small < min_weight) | (large > max_weight)
+    active = jnp.cumprod(want.astype(jnp.int32)).astype(bool)
+
+    # Clone large with prob large/pair (handler.py:356-375).
+    u = jax.random.uniform(key, (half,), dtype=w.dtype)
+    clone_large = u < large / pair_w
+
+    new_small = jnp.where(active, 0.5 * pair_w, small)
+    new_large = jnp.where(active, 0.5 * pair_w, large)
+
+    small_idx = order[:half]
+    large_idx = order[::-1][:half]
+    # Parent of each slot: itself unless it lost its pair lottery.
+    parents = jnp.arange(nw)
+    parents = parents.at[small_idx].set(
+        jnp.where(active & clone_large, large_idx, small_idx)
+    )
+    parents = parents.at[large_idx].set(
+        jnp.where(active & ~clone_large, small_idx, large_idx)
+    )
+    new_w = jnp.asarray(wsc)
+    new_w = new_w.at[small_idx].set(new_small)
+    new_w = new_w.at[large_idx].set(new_large)
+
+    new = _gather_walkers(state, parents)
+    return new.replace(
+        weight=new_w,
+        unscaled_weight=state.weight,
+        total_weight=total,
+    )
+
+
+def pop_control(state, key, target_weight: float, method: str = "comb"):
+    if method == "comb":
+        return comb(state, key, target_weight)
+    if method == "pair_branch":
+        return pair_branch(state, key, target_weight)
+    raise ValueError(f"unknown population control method {method!r}")

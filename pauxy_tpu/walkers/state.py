@@ -1,0 +1,104 @@
+"""Struct-of-arrays walker state.
+
+The reference keeps a Python list of walker objects with per-walker numpy
+arrays and (de)serializes them into flat buffers for MPI
+(``pauxy/walkers/walker.py:24-131``, ``single_det.py:11-94``). Here the whole
+population is one pytree of dense arrays with a leading walker axis ``w`` —
+propagation is batched linear algebra, population control is an index gather,
+and multi-chip sharding is a ``NamedSharding`` over ``w``.
+
+All overlap bookkeeping is in log space (complex ``log_ovlp``), replacing the
+reference's log_shift / detR_shift machinery.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pauxy_tpu.ops import greens
+
+
+@struct.dataclass
+class WalkerState:
+    """Batched AFQMC walker population (one spin-unrestricted determinant each).
+
+    Reference fields: ``pauxy/walkers/walker.py:24-61`` and
+    ``single_det.py:31-94``.
+    """
+
+    phia: jax.Array            # [w, M, na] alpha Slater matrices
+    phib: jax.Array            # [w, M, nb] beta Slater matrices
+    weight: jax.Array          # [w] real walker weights
+    unscaled_weight: jax.Array  # [w] real, pre-pop-control weights (reporting)
+    phase: jax.Array           # [w] complex unit phase (free projection)
+    log_ovlp: jax.Array        # [w] complex log <psi_T|phi>
+    hybrid_energy: jax.Array   # [w] complex hybrid energy of previous step
+    eloc: jax.Array            # [w] complex local energy of previous step
+    log_detr: jax.Array        # [w] real accumulated log det R from reortho
+    total_weight: jax.Array    # [] real global weight (set by pop control)
+
+    @property
+    def nwalkers(self) -> int:
+        return self.phia.shape[0]
+
+    @property
+    def nbasis(self) -> int:
+        return self.phia.shape[1]
+
+
+def init_walkers(trial, nwalkers: int, total_weight: float | None = None) -> WalkerState:
+    """Initialise all walkers to the trial determinant with unit weight.
+
+    Reference: ``pauxy/walkers/handler.py:115-128`` + ``walker.py:24-61``.
+    ``total_weight`` seeds the weight-cap bound (reference leaves it 0 until
+    the first pop-control event, ``walker.py:33``; we use the target weight so
+    the cap at ``afqmc.py:235-236`` is active from the start).
+    """
+    phia = jnp.broadcast_to(trial.inita[None], (nwalkers,) + trial.inita.shape)
+    phib = jnp.broadcast_to(trial.initb[None], (nwalkers,) + trial.initb.shape)
+    cdtype = trial.inita.dtype
+    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+    log_oa = greens.log_overlap(phia, trial.psia)
+    log_ob = greens.log_overlap(phib, trial.psib)
+    if total_weight is None:
+        total_weight = float(nwalkers)
+    return WalkerState(
+        phia=phia,
+        phib=phib,
+        weight=jnp.ones((nwalkers,), rdtype),
+        unscaled_weight=jnp.ones((nwalkers,), rdtype),
+        phase=jnp.ones((nwalkers,), cdtype),
+        log_ovlp=log_oa + log_ob,
+        hybrid_energy=jnp.zeros((nwalkers,), cdtype),
+        eloc=jnp.zeros((nwalkers,), cdtype),
+        log_detr=jnp.zeros((nwalkers,), rdtype),
+        total_weight=jnp.asarray(float(total_weight), rdtype),
+    )
+
+
+def orthogonalise(state: WalkerState, free_projection: bool = False) -> WalkerState:
+    """Batched QR re-orthogonalisation of the whole population.
+
+    Phaseless: overlap absorbs det(R) (``single_det.py:215-255``,
+    ``handler.py:166-181``). Free projection: |det R| multiplies the weight
+    and its phase multiplies the walker phase (``handler.py:173-181``) —
+    det R is real positive here by construction, so only the weight moves.
+    """
+    phia, log_ra = greens.reortho(state.phia)
+    phib, log_rb = greens.reortho(state.phib)
+    log_r = log_ra + log_rb
+    if free_projection:
+        return state.replace(
+            phia=phia,
+            phib=phib,
+            weight=state.weight * jnp.exp(log_r),
+            log_detr=state.log_detr + log_r,
+        )
+    return state.replace(
+        phia=phia,
+        phib=phib,
+        log_ovlp=state.log_ovlp - log_r.astype(state.log_ovlp.dtype),
+        log_detr=state.log_detr + log_r,
+    )
