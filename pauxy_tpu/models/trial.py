@@ -90,6 +90,12 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
     )
 
 
+def trial_from_orbitals(ham, psi: np.ndarray, precision=None, name="file") -> SingleDetTrial:
+    """Build a trial from explicit orbitals psi[M, nup+ndown] (UHF layout)."""
+    prec = config.get_precision(precision)
+    return _finalize(ham, psi[:, : ham.nup], psi[:, ham.nup :], prec, name)
+
+
 def free_electron_trial(ham, precision=None) -> SingleDetTrial:
     """Occupy the lowest eigenvectors of the one-body Hamiltonian.
 

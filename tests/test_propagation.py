@@ -1,0 +1,133 @@
+"""Propagation unit tests: one deterministic step vs a scalar numpy rewrite.
+
+The numpy implementation below follows the equations of
+``pauxy/propagation/continuous.py:113-292`` independently; the jax path must
+agree to near machine precision when fed the same Gaussian fields.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from pauxy_tpu.models import make_hubbard, free_electron_trial
+from pauxy_tpu.propagation import continuous
+from pauxy_tpu.propagation.hubbard import make_hubbard_continuous
+from pauxy_tpu.walkers import init_walkers
+
+
+def setup_problem(nw=3, dt=0.05, charge=True):
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3, ktwist=[0.01, -0.02])
+    trial = free_electron_trial(ham)
+    inner = make_hubbard_continuous(ham, trial, dt, charge_decomposition=charge)
+    prop = continuous.Continuous(inner=inner, dt=dt)
+    state = init_walkers(trial, nw)
+    return ham, trial, inner, prop, state
+
+
+def numpy_phaseless_step(ham, trial, inner, dt, phia, phib, xi, hybrid_old, eshift):
+    """Scalar (single-walker) phaseless step in plain numpy."""
+    psia, psib = np.asarray(trial.psia), np.asarray(trial.psib)
+    bh1 = np.asarray(inner.BH1)
+    mf = np.asarray(inner.mf_shift)
+    sqrt_dt = dt ** 0.5
+    iu = 1j * ham.U ** 0.5
+
+    def ovlp(pa, pb):
+        return np.linalg.det(pa.T @ psia.conj()) * np.linalg.det(pb.T @ psib.conj())
+
+    def gdiag(p, psi):
+        s = p.T @ psi.conj()
+        g = psi.conj() @ np.linalg.inv(s) @ p.T
+        return np.diagonal(g)
+
+    o_old = ovlp(phia, phib)
+    # force bias from current greens
+    vbias = iu * (gdiag(phia, psia) + gdiag(phib, psib))
+    xbar = -sqrt_dt * (vbias - mf)
+    xbar = np.where(np.abs(xbar) > 1, xbar / np.abs(xbar), xbar)
+    xs = xi - xbar
+    cmf = -sqrt_dt * xs @ mf
+    cfb = xi @ xbar - 0.5 * xbar @ xbar
+    gauge = np.exp(sqrt_dt * iu * xs)
+    phia = bh1[0] @ (np.diag(gauge) @ (bh1[0] @ phia))
+    phib = bh1[1] @ (np.diag(gauge) @ (bh1[1] @ phib))
+    o_new = ovlp(phia, phib)
+    ehyb = -(np.log(o_new / o_old) + cfb + cmf) / dt
+    # no bound while eshift == 0
+    imp = np.exp(-dt * (0.5 * (ehyb + hybrid_old) - eshift))
+    magn = abs(imp)
+    dtheta = (-dt * ehyb - cfb).imag
+    cos_fac = max(0, np.cos(dtheta))
+    return phia, phib, magn * cos_fac, ehyb, o_new
+
+
+@pytest.mark.unit
+def test_phaseless_step_matches_numpy():
+    ham, trial, inner, prop, state = setup_problem(nw=3)
+    key = jax.random.key(12)
+    nf = ham.nfields
+    xi = np.asarray(
+        jax.random.normal(key, (state.nwalkers, nf), dtype=jnp.float64)
+    )
+    new = continuous.propagate_phaseless(
+        prop, trial, state, key, jnp.asarray(0.0 + 0j)
+    )
+    for w in range(state.nwalkers):
+        pa, pb, wfac, ehyb, o_new = numpy_phaseless_step(
+            ham,
+            trial,
+            inner,
+            prop.dt,
+            np.asarray(state.phia[w]),
+            np.asarray(state.phib[w]),
+            xi[w],
+            complex(state.hybrid_energy[w]),
+            0.0,
+        )
+        np.testing.assert_allclose(np.asarray(new.phia[w]), pa, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(new.phib[w]), pb, atol=1e-10)
+        np.testing.assert_allclose(float(new.weight[w]), wfac, rtol=1e-9)
+        # log-branch ambiguity: hybrid energies agree up to 2 pi/dt in Im.
+        diff = complex(new.hybrid_energy[w]) - ehyb
+        assert abs(diff.real) < 1e-8
+        np.testing.assert_allclose(
+            np.exp(complex(new.log_ovlp[w])), o_new, rtol=1e-8
+        )
+
+
+@pytest.mark.unit
+def test_hybrid_bound_applied():
+    ham, trial, inner, prop, state = setup_problem(nw=2, dt=0.05)
+    ebound = (2.0 / prop.dt) ** 0.5
+    ehyb = jnp.asarray([100.0 + 1j, -100.0 - 2j])
+    eshift = jnp.asarray(-9.0 + 0j)
+    out = np.asarray(continuous._bound_hybrid(ehyb, eshift, ebound))
+    assert out[0].real == pytest.approx(-9.0 + ebound)
+    assert out[1].real == pytest.approx(-9.0 - ebound)
+    np.testing.assert_allclose(out.imag, [1.0, -2.0])
+    # eshift ~ 0 disables the bound (continuous.py:202-207).
+    out2 = np.asarray(continuous._bound_hybrid(ehyb, jnp.asarray(0.0 + 0j), ebound))
+    np.testing.assert_allclose(out2, np.asarray(ehyb))
+
+
+@pytest.mark.unit
+def test_one_body_propagator_is_expm():
+    ham, trial, inner, prop, state = setup_problem(dt=0.01)
+    iu = 1j * ham.U ** 0.5
+    h1 = np.asarray(ham.h1e_mod[0]) - iu * np.diag(np.asarray(inner.mf_shift))
+    expected = scipy.linalg.expm(-0.005 * h1)
+    np.testing.assert_allclose(np.asarray(inner.BH1[0]), expected, atol=1e-12)
+
+
+@pytest.mark.unit
+def test_free_projection_conserves_phase_magnitude():
+    ham, trial, inner, prop, state = setup_problem(nw=4)
+    prop = continuous.Continuous(
+        inner=inner, dt=prop.dt, free_projection=True, force_bias=False
+    )
+    key = jax.random.key(0)
+    new = continuous.propagate_free(prop, trial, state, key, jnp.asarray(0.0 + 0j))
+    np.testing.assert_allclose(np.abs(np.asarray(new.phase)), 1.0, atol=1e-12)
+    assert np.all(np.asarray(new.weight) > 0)
