@@ -7,12 +7,23 @@ step functions — never baked in as constants.
 """
 
 from pauxy_tpu.models.hubbard import Hubbard, make_hubbard
-from pauxy_tpu.models.trial import SingleDetTrial, free_electron_trial, uhf_trial
+from pauxy_tpu.models.generic import Generic, make_generic
+from pauxy_tpu.models.trial import (
+    SingleDetTrial,
+    free_electron_trial,
+    rhf_identity_trial,
+    trial_from_orbitals,
+    uhf_trial,
+)
 
 __all__ = [
     "Hubbard",
     "make_hubbard",
+    "Generic",
+    "make_generic",
     "SingleDetTrial",
     "free_electron_trial",
+    "rhf_identity_trial",
+    "trial_from_orbitals",
     "uhf_trial",
 ]

@@ -35,6 +35,8 @@ class SingleDetTrial:
     initb: Any             # [M, nb]
     rchola: Any = None     # [naux, na, M] half-rotated Cholesky (alpha)
     rcholb: Any = None     # [naux, nb, M]
+    rh1a: Any = None       # [na, M] half-rotated one-body (alpha)
+    rh1b: Any = None       # [nb, M]
     etrial: float = struct.field(pytree_node=False, default=0.0)
     name: str = struct.field(pytree_node=False, default="single_det")
 
@@ -79,6 +81,23 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
     from pauxy_tpu.estimators import local_energy as le
 
     etrial = float(np.real(le.local_energy_G_host(ham, g)[0]))
+    extras = {}
+    if getattr(ham, "name", "") == "Generic":
+        # Half-rotation: rchol[x, a, m] = sum_p conj(psi[p, a]) L[p, m, x]
+        # (multi_slater.py:267-420, as a single einsum) and the half-rotated
+        # one-body rh1[a, m] = sum_p conj(psi[p, a]) H1[p, m].
+        chol = np.asarray(ham.chol)
+        h1 = np.asarray(ham.H1)
+        extras = dict(
+            rchola=jnp.asarray(
+                np.einsum("pa,pmx->xam", psia.conj(), chol, optimize=True).astype(dtype)
+            ),
+            rcholb=jnp.asarray(
+                np.einsum("pa,pmx->xam", psib.conj(), chol, optimize=True).astype(dtype)
+            ),
+            rh1a=jnp.asarray((psia.conj().T @ h1[0]).astype(dtype)),
+            rh1b=jnp.asarray((psib.conj().T @ h1[1]).astype(dtype)),
+        )
     return SingleDetTrial(
         psia=jnp.asarray(psia),
         psib=jnp.asarray(psib),
@@ -87,6 +106,7 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
         initb=jnp.asarray(psib),
         etrial=etrial,
         name=name,
+        **extras,
     )
 
 
@@ -102,10 +122,21 @@ def free_electron_trial(ham, precision=None) -> SingleDetTrial:
     Reference: ``pauxy/trial_wavefunction/free_electron.py:28-66``.
     """
     prec = config.get_precision(precision)
-    h1 = np.asarray(ham.T)
+    h1 = np.asarray(getattr(ham, "T", None) if getattr(ham, "name", "") != "Generic" else ham.H1)
     _, va = _eigh_lowest(h1[0], ham.nup)
     _, vb = _eigh_lowest(h1[1], ham.ndown)
     return _finalize(ham, va, vb, prec, "free_electron")
+
+
+def rhf_identity_trial(ham, precision=None) -> SingleDetTrial:
+    """Identity (MO-basis RHF) trial: occupy the first nup/ndown orbitals.
+
+    The reference's default guess for Generic systems
+    (``trial_wavefunction/utils.py:38-60`` / ``hartree_fock.py:7-56``).
+    """
+    prec = config.get_precision(precision)
+    eye = np.eye(ham.nbasis)
+    return _finalize(ham, eye[:, : ham.nup], eye[:, : ham.ndown], prec, "hartree_fock")
 
 
 def uhf_trial(

@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pauxy_tpu.ops import clinalg
+
 
 class SpinGreens(NamedTuple):
     """Green's function bundle for one spin sector (batched over walkers)."""
@@ -52,8 +54,7 @@ def log_overlap(phi: jax.Array, psi: jax.Array) -> jax.Array:
     Reference: ``single_det.py:170-199`` (calc_overlap), done in log space.
     """
     s = overlap_matrix(phi, psi)
-    sign, logdet = jnp.linalg.slogdet(s)
-    return _clog_det(sign, logdet, phi.dtype)
+    return clinalg.slogdet(s).astype(phi.dtype)
 
 
 def greens_function(phi: jax.Array, psi: jax.Array) -> SpinGreens:
@@ -66,11 +67,11 @@ def greens_function(phi: jax.Array, psi: jax.Array) -> SpinGreens:
     Reference: ``single_det.py:295-321``.
     """
     s = overlap_matrix(phi, psi)                          # [w, n, n]
-    sign, logdet = jnp.linalg.slogdet(s)
+    log_det = clinalg.slogdet(s).astype(phi.dtype)
     # Ghalf = S^{-1} phi^T : solve instead of explicit inverse.
-    ghalf = jnp.linalg.solve(s, jnp.swapaxes(phi, -1, -2))  # [w, n, M]
+    ghalf = clinalg.solve(s, jnp.swapaxes(phi, -1, -2))   # [w, n, M]
     g = jnp.einsum("mi,win->wmn", psi.conj(), ghalf, optimize=True)
-    return SpinGreens(G=g, Ghalf=ghalf, log_ovlp=_clog_det(sign, logdet, phi.dtype))
+    return SpinGreens(G=g, Ghalf=ghalf, log_ovlp=log_det)
 
 
 def gab(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -80,25 +81,18 @@ def gab(a: jax.Array, b: jax.Array) -> jax.Array:
     Reference: ``pauxy/estimators/greens_function.py:5-38``.
     """
     adag = jnp.swapaxes(a.conj(), -1, -2)                 # [..., n, M]
-    inv = jnp.linalg.inv(adag @ b)                        # [..., n, n]
-    return b @ inv @ adag                                  # [..., M, M]
+    return b @ clinalg.solve(adag @ b, adag)              # [..., M, M]
 
 
 def reortho(phi: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Batched QR re-orthogonalisation of walker Slater matrices.
+    """Batched re-orthogonalisation of walker Slater matrices.
 
-    Returns the orthonormalised ``phi`` (with the sign of diag(R) absorbed so
-    det(R) > 0, as in the reference) and ``log_detR`` (real, [w]).
+    Returns the orthonormalised ``phi`` and ``log_detR`` (real, [w]), with
+    det(R) real positive by construction.
 
-    Reference: ``single_det.py:215-255``; log-space detR replaces the
-    reference's detR_shift machinery.
+    Reference: ``single_det.py:215-255`` uses LAPACK QR + explicit sign
+    fixing of diag(R); here CholeskyQR2 gives the same contract (same
+    column span, positive diag(R)) out of two MXU-friendly matmul passes —
+    see ops/clinalg.py.
     """
-    q, r = jnp.linalg.qr(phi, mode="reduced")             # [w,M,n], [w,n,n]
-    diag = jnp.diagonal(r, axis1=-2, axis2=-1)            # [w, n]
-    safe = jnp.where(diag == 0, 1.0, diag)
-    phases = safe / jnp.abs(safe)                         # unit modulus
-    # Absorb the phase of diag(R) into phi so det(R) is real positive:
-    # phi = (Q diag(phases)) (diag(phases)^-1 R).
-    q = q * phases[:, None, :]
-    log_detr = jnp.sum(jnp.log(jnp.abs(safe)), axis=-1)   # real, [w]
-    return q, log_detr
+    return clinalg.cholesky_qr2(phi)

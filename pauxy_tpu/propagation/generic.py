@@ -1,0 +1,111 @@
+"""Continuous HS propagator for the Generic (Cholesky) Hamiltonian.
+
+TPU-native counterpart of ``pauxy/propagation/generic.py:10-179``
+(GenericContinuous). The per-walker VHS construction and the 6-term Taylor
+exponential application (``pauxy/propagation/continuous.py:82-111``) are
+batched: VHS build is one [w,X] x [X,M^2] matmul, the Taylor series is
+exp_order batched [w,M,M] x [w,M,n] matmuls — all MXU work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pauxy_tpu import config
+
+
+def apply_exponential_taylor(vhs: jax.Array, phi: jax.Array, order: int = 6):
+    """phi <- exp(VHS) phi via the truncated Taylor series.
+
+    vhs: [w, M, M], phi: [w, M, n]. Reference: ``continuous.py:82-111``
+    (exp_nmax default 6, ``continuous.py:37``).
+    """
+
+    def body(n, carry):
+        temp, acc = carry
+        temp = jnp.einsum("wpq,wqn->wpn", vhs, temp, optimize=True) / n
+        return temp, acc + temp
+
+    _, phi = jax.lax.fori_loop(1, order + 1, body, (phi, phi))
+    return phi
+
+
+@struct.dataclass
+class GenericContinuous:
+    """Inner propagator for the ab-initio Hamiltonian."""
+
+    BH1: jax.Array        # [2, M, M]
+    mf_shift: jax.Array   # [X] complex: i sum_ik L[i,k,x] (G0+G1)[i,k]
+    chol: jax.Array       # [M, M, X] (alias of ham.chol; same buffer)
+    dt: float = struct.field(pytree_node=False)
+    exp_order: int = struct.field(pytree_node=False, default=6)
+
+    @property
+    def sqrt_dt(self):
+        return self.dt ** 0.5
+
+    def force_bias(self, trial, ga, gb):
+        """xbar = -sqrt(dt) (i vbias - mf_shift) with vbias from the
+        half-rotated Cholesky tensors (``generic.py:130-152``)."""
+        vbias = jnp.einsum(
+            "xim,wim->wx", trial.rchola, ga.Ghalf, optimize=True
+        ) + jnp.einsum("xim,wim->wx", trial.rcholb, gb.Ghalf, optimize=True)
+        return -self.sqrt_dt * (1j * vbias - self.mf_shift)
+
+    def apply_vhs(self, phia, phib, xshifted):
+        """VHS = i sqrt(dt) sum_x L_x (x - xbar)_x, then Taylor-apply.
+
+        Reference: ``generic.py:164-179`` + ``continuous.py:82-111``.
+        """
+        m = phia.shape[1]
+        vhs = jnp.einsum(
+            "pqx,wx->wpq",
+            self.chol.reshape(m, m, -1),
+            xshifted,
+            optimize=True,
+        )
+        vhs = (1j * self.sqrt_dt) * vhs
+        return (
+            apply_exponential_taylor(vhs, phia, self.exp_order),
+            apply_exponential_taylor(vhs, phib, self.exp_order),
+        )
+
+
+def construct_mean_field_shift(ham, trial) -> np.ndarray:
+    """mf_shift_x = i sum_ik L[i,k,x] (G_T0 + G_T1)[i,k]  (generic.py:66-80)."""
+    from pauxy_tpu.utils.transfer import to_host
+
+    g = to_host(trial.G)
+    chol = to_host(ham.chol)
+    return 1j * np.einsum("ikx,ik->x", chol, g[0] + g[1], optimize=True)
+
+
+def make_generic_continuous(ham, trial, dt: float, precision=None, exp_order=6):
+    """Host-side setup (``generic.py:29-107``):
+
+    BH1_s = expm(-dt/2 (h1e_mod_s - i sum_x mf_x L_x)).
+    """
+    prec = config.get_precision(precision)
+    mf_shift = construct_mean_field_shift(ham, trial)
+    chol = np.asarray(ham.chol)
+    shift = 1j * np.einsum("pqx,x->pq", chol, mf_shift, optimize=True)
+    h1 = np.asarray(ham.h1e_mod) - shift[None]
+    bh1 = np.stack(
+        [scipy.linalg.expm(-0.5 * dt * h1[0]), scipy.linalg.expm(-0.5 * dt * h1[1])]
+    )
+    return GenericContinuous(
+        BH1=jnp.asarray(bh1.astype(prec.cplx)),
+        mf_shift=jnp.asarray(mf_shift.astype(prec.cplx)),
+        chol=jnp.asarray(chol.astype(prec.cplx)),
+        dt=float(dt),
+        exp_order=int(exp_order),
+    )
+
+
+def mf_core(ham, mf_shift: np.ndarray) -> complex:
+    """ecore + 0.5 mf.mf (generic.py:49)."""
+    return ham.ecore + 0.5 * np.dot(mf_shift, mf_shift)

@@ -83,7 +83,9 @@ def make_hubbard_continuous(
       BH1 = expm(-dt/2 (H1 + U/2 - sqrt(U) diag(mf_shift)))
     """
     prec = config.get_precision(precision)
-    g = np.asarray(trial.G)
+    from pauxy_tpu.utils.transfer import to_host
+
+    g = to_host(trial.G)
     da, db = np.diagonal(g[0]), np.diagonal(g[1])
     if charge_decomposition:
         iu = 1j * ham.U ** 0.5

@@ -251,7 +251,9 @@ class AFQMC:
             free_projection=self.free_projection,
         )
         self.step += self.qmc.nsteps
-        row = self.reporter.block_row(self.step, jax.device_get(acc))
+        from pauxy_tpu.utils.transfer import to_host
+
+        row = self.reporter.block_row(self.step, to_host(acc))
         # eshift follows the latest block estimate (afqmc.py:251-254).
         if self.step < self.qmc.neqlb:
             self.eshift = self.reporter.get_shift(self.hybrid)

@@ -1,0 +1,31 @@
+"""Device <-> host transfer helpers.
+
+The axon TPU backend cannot transfer complex buffers device->host
+(UNIMPLEMENTED), although complex *compute* works. ``to_host`` fetches the
+real and imaginary parts separately (two supported real transfers) and
+recombines on the host. Use it for every host-side read of possibly-complex
+device data (block accumulators, trial tables, debugging).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fetch(x):
+    if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
+        # jnp.stack forces a fresh real buffer; a bare ``x.real`` can alias
+        # the complex buffer as a strided view, which the backend also
+        # refuses to transfer.
+        ri = np.asarray(jnp.stack([jnp.real(x), jnp.imag(x)]))
+        return ri[0] + 1j * ri[1]
+    if isinstance(x, jax.Array):
+        return np.asarray(x)
+    return x
+
+
+def to_host(tree):
+    """device_get a pytree, splitting complex leaves into real transfers."""
+    return jax.tree_util.tree_map(_fetch, tree)

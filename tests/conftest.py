@@ -19,3 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Make the read-only reference importable as a serial oracle: it hard-imports
+# mpi4py in a few modules; tools/oracle provides a serial stand-in.
+import sys  # noqa: E402
+
+try:
+    import mpi4py  # noqa: F401
+except ImportError:
+    _shim = os.path.join(os.path.dirname(__file__), "..", "tools", "oracle")
+    sys.path.append(os.path.abspath(_shim))

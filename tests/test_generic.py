@@ -1,0 +1,184 @@
+"""Generic (Cholesky ab-initio) system: kernels vs the reference's numpy
+implementations on identical random Hamiltonians.
+
+Mirrors ``pauxy/estimators/tests/test_generic.py`` and
+``pauxy/propagation/tests/test_generic.py`` style.
+"""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pauxy_tpu.estimators import local_energy as le
+from pauxy_tpu.models import make_generic, rhf_identity_trial
+from pauxy_tpu.models.trial import trial_from_orbitals
+from pauxy_tpu.ops import greens
+from pauxy_tpu.propagation import generic as gprop
+from pauxy_tpu.utils.testing import generate_hamiltonian, random_wavefunction
+
+REFERENCE = "/root/reference"
+HAVE_REF = os.path.isdir(os.path.join(REFERENCE, "pauxy"))
+if HAVE_REF:
+    sys.path.insert(0, REFERENCE)
+
+
+def build(nmo=7, nelec=(3, 2), seed=7):
+    h1e, chol, enuc, eri = generate_hamiltonian(nmo, nelec, seed=seed)
+    ham = make_generic(nelec, h1e, chol, enuc)
+    psi = random_wavefunction(nmo, nelec, seed=seed + 1)
+    trial = trial_from_orbitals(ham, psi)
+    return ham, trial, (h1e, chol, enuc, eri)
+
+
+@pytest.mark.unit
+def test_h1e_mod_vs_reference():
+    if not HAVE_REF:
+        pytest.skip("no reference")
+    from pauxy.systems.generic import construct_h1e_mod as ref_mod
+
+    nmo = 6
+    h1e, chol, enuc, _ = generate_hamiltonian(nmo, (2, 2), seed=3)
+    ham = make_generic((2, 2), h1e, chol, enuc)
+    out = np.zeros((2, nmo, nmo))
+    ref_mod(chol.reshape(nmo * nmo, -1), np.stack([h1e, h1e]), out)
+    np.testing.assert_allclose(np.asarray(ham.h1e_mod), out, atol=1e-12)
+
+
+@pytest.mark.unit
+def test_local_energy_opt_vs_dense_and_reference():
+    ham, trial, (h1e, chol, enuc, eri) = build()
+    nw = 3
+    rng = np.random.default_rng(5)
+    phi = rng.standard_normal((nw, ham.nbasis, ham.nup + ham.ndown)) + 1j * (
+        rng.standard_normal((nw, ham.nbasis, ham.nup + ham.ndown))
+    )
+    ga = greens.greens_function(jnp.asarray(phi[:, :, : ham.nup]), trial.psia)
+    gb = greens.greens_function(jnp.asarray(phi[:, :, ham.nup :]), trial.psib)
+    etot, e1b, e2b = le.local_energy_generic_opt(trial, ga.Ghalf, gb.Ghalf, ham.ecore)
+
+    for w in range(nw):
+        g = np.stack([np.asarray(ga.G[w]), np.asarray(gb.G[w])])
+        # dense in-package host kernel
+        eh, e1h, e2h = le.local_energy_G_host(ham, g)
+        np.testing.assert_allclose(complex(etot[w]), eh, rtol=1e-8)
+        if HAVE_REF:
+            from pauxy.estimators.generic import (
+                local_energy_generic,
+                local_energy_generic_cholesky_opt,
+            )
+
+            ref = local_energy_generic(np.stack([h1e, h1e]), eri, g, ecore=enuc)
+            np.testing.assert_allclose(complex(etot[w]), ref[0], rtol=1e-8)
+            np.testing.assert_allclose(complex(e1b[w]), ref[1], rtol=1e-8)
+            np.testing.assert_allclose(complex(e2b[w]), ref[2], rtol=1e-8)
+
+            # reference half-rotated fast kernel on the same walker
+            class S:
+                pass
+
+            s = S()
+            s.nup, s.ndown, s.nbasis, s.ecore = ham.nup, ham.ndown, ham.nbasis, enuc
+            s.H1 = np.stack([h1e, h1e])
+            m, na, nb = ham.nbasis, ham.nup, ham.ndown
+            psi = np.asarray(
+                np.concatenate([np.asarray(trial.psia), np.asarray(trial.psib)], axis=1)
+            )
+            cholf = chol.reshape(m * m, -1)
+            rup = np.tensordot(
+                psi[:, :na].conj(), chol, axes=((0), (0))
+            ).reshape(na * m, -1)
+            rdn = np.tensordot(
+                psi[:, na:].conj(), chol, axes=((0), (0))
+            ).reshape(nb * m, -1)
+            rchol = np.concatenate([rup, rdn], axis=0)
+            ghalf = [np.asarray(ga.Ghalf[w]), np.asarray(gb.Ghalf[w])]
+            ref2 = local_energy_generic_cholesky_opt(s, g, ghalf, rchol)
+            np.testing.assert_allclose(complex(etot[w]), ref2[0], rtol=1e-8)
+
+
+@pytest.mark.unit
+def test_propagator_setup_vs_reference():
+    if not HAVE_REF:
+        pytest.skip("no reference")
+    ham, trial, (h1e, chol, enuc, eri) = build(nmo=6, nelec=(2, 2), seed=11)
+
+    class Sys:
+        pass
+
+    s = Sys()
+    s.nup, s.ndown, s.nbasis, s.ecore = 2, 2, 6, enuc
+    s.H1 = np.stack([h1e, h1e])
+    s.nfields = ham.nchol
+    s.chol_vecs = chol.reshape(36, -1)
+    s.hs_pot = s.chol_vecs
+    s.sparse = False
+    s.h1e_mod = np.asarray(ham.h1e_mod)
+
+    class Tr:
+        pass
+
+    t = Tr()
+    t.G = np.asarray(trial.G)
+    t.ndets = 1
+
+    class Qmc:
+        dt = 0.01
+        nstblz = 5
+
+    from pauxy.propagation.generic import GenericContinuous as RefProp
+
+    ref = RefProp(s, t, Qmc())
+    mine = gprop.make_generic_continuous(ham, trial, 0.01)
+    np.testing.assert_allclose(np.asarray(mine.mf_shift), ref.mf_shift, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(mine.BH1), ref.BH1, atol=1e-10)
+
+    # force bias on a random walker
+    nw = 2
+    phi = random_wavefunction(6, (2, 2), seed=4)
+    phiw = np.broadcast_to(phi, (nw,) + phi.shape)
+    ga = greens.greens_function(jnp.asarray(phiw[:, :, :2]), trial.psia)
+    gb = greens.greens_function(jnp.asarray(phiw[:, :, 2:]), trial.psib)
+    fb = np.asarray(mine.force_bias(trial, ga, gb))
+
+    class W:
+        pass
+
+    w = W()
+    w.G = np.stack([np.asarray(ga.G[0]), np.asarray(gb.G[0])])
+    ref_fb_slow = ref.construct_force_bias_slow(s, w, t)
+    np.testing.assert_allclose(fb[0], ref_fb_slow, atol=1e-10)
+
+    # VHS application matches reference Taylor on one walker
+    x = np.random.default_rng(0).standard_normal(ham.nchol)
+    vhs_ref = ref.construct_VHS_fast(s, x)
+    pa, pb = mine.apply_vhs(
+        jnp.asarray(phiw[:, :, :2].astype(complex)),
+        jnp.asarray(phiw[:, :, 2:].astype(complex)),
+        jnp.asarray(np.broadcast_to(x, (nw, ham.nchol)).astype(complex)),
+    )
+    import scipy.linalg
+
+    expref = scipy.linalg.expm(vhs_ref) @ phi[:, :2]
+    np.testing.assert_allclose(np.asarray(pa[0]), expref, atol=1e-6)
+
+
+@pytest.mark.driver
+def test_generic_afqmc_runs(tmp_path):
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    h1e, chol, enuc, _ = generate_hamiltonian(6, (2, 2), seed=21)
+    ham = make_generic((2, 2), h1e, chol, enuc)
+    trial = rhf_identity_trial(ham)
+    qmc = QMCOpts(nwalkers=10, dt=0.005, nsteps=10, nblocks=5, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 1}},
+               filename=str(tmp_path / "g.h5"))
+    rows = af.run()
+    assert np.isfinite(rows.real).all()
+    # Variational bound-ish: projected energy should not wander far above the
+    # trial energy on a stable short run.
+    assert rows[-1, 5].real < trial.etrial + 1.0

@@ -1,0 +1,68 @@
+"""Multi-(virtual)-device tests: sharded walker axis over an 8-device CPU mesh.
+
+Replaces the reference's mpiexec-based parallel CI (SURVEY.md section 4) with
+the XLA host-platform device-count trick.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pauxy_tpu.models import make_hubbard, free_electron_trial
+from pauxy_tpu.parallel import mesh as pmesh
+from pauxy_tpu.qmc import AFQMC, QMCOpts
+from pauxy_tpu.walkers import init_walkers
+from pauxy_tpu.walkers import pop_control as pc
+
+pytestmark = pytest.mark.integration
+
+NDEV = len(jax.devices())
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_sharded_block_matches_single_device(tmp_path):
+    """The jitted block program must give identical physics whether the
+    walker axis lives on 1 device or is sharded over 8."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3, ktwist=[0.01, -0.02])
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.01, nsteps=10, nblocks=3, nstblz=5,
+                  npop_control=2, rng_seed=11)
+
+    af1 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "a.h5"))
+    rows1 = af1.run()
+
+    af2 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "b.h5"))
+    m = pmesh.walker_mesh()
+    af2.state = pmesh.shard_walkers(af2.state, m)
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_comb_gather_across_devices():
+    """comb's parent gather crosses device boundaries correctly."""
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    trial = free_electron_trial(ham)
+    nw = 16
+    state = init_walkers(trial, nw)
+    tags = jnp.arange(nw, dtype=state.phia.dtype)
+    # all weight on walker 3 (device 1 for 8 devices x 2 walkers)
+    w = np.full(nw, 1e-6)
+    w[3] = 1.0
+    state = state.replace(
+        phia=state.phia.at[:, 0, 0].set(tags),
+        weight=jnp.asarray(w, state.weight.dtype),
+    )
+    m = pmesh.walker_mesh()
+    state = pmesh.shard_walkers(state, m)
+    out = jax.jit(lambda s, k: pc.comb(s, k, float(nw)))(state, jax.random.key(0))
+    got = np.round(np.asarray(out.phia[:, 0, 0]).real).astype(int)
+    assert np.all(got == 3)
+    np.testing.assert_allclose(np.asarray(out.weight), 1.0)
