@@ -77,6 +77,84 @@ def local_energy_generic_opt(trial, Ghalfa: jax.Array, Ghalfb: jax.Array,
 
 
 # ----------------------------------------------------------------------------
+# UEG — gather/segment kernels replacing ueg_kernels.pyx
+# ----------------------------------------------------------------------------
+
+def coulomb_greens_function_ueg(ham, G: jax.Array):
+    """(Gkpq, Gpmq) [w, nq]: sum_i G[i, idx(k_i +/- q)] over valid pairs.
+
+    TPU rewrite of the Cython ``ueg_kernels.pyx:42-56`` per-q loops as one
+    masked gather + reduction.
+    """
+    m = G.shape[-1]
+    rows = jnp.arange(m)[None, :]                         # [1, M]
+    gk = G[:, rows, ham.kpq_idx]                          # [w, nq, M]
+    gp = G[:, rows, ham.pmq_idx]
+    gkpq = jnp.sum(gk * ham.kpq_mask[None], axis=-1)
+    gpmq = jnp.sum(gp * ham.pmq_mask[None], axis=-1)
+    return gkpq, gpmq
+
+
+def exchange_greens_function_ueg(ham, G: jax.Array, q_chunk: int = 64):
+    """Gprod[w, q] = sum_{ij} G[j, idx(k_i+q)] G[i, idx(k_j-q)].
+
+    The O(nnz^2)-per-q Cython loop (``ueg_kernels.pyx:58-75``) becomes, per
+    q, an elementwise trace of two gathered matrices; chunked over q to bound
+    the [w, qc, M, M] intermediates.
+    """
+    m = G.shape[-1]
+    rows = jnp.arange(m)[None, :]
+
+    def chunk(carry, idx):
+        kpq_i, kpq_m, pmq_i, pmq_m = idx                  # each [qc, M]
+        a = G[:, :, kpq_i] * kpq_m[None, None]            # [w, M(j), qc, M(i)]
+        b = G[:, :, pmq_i] * pmq_m[None, None]            # [w, M(i), qc, M(j)]
+        gp = jnp.einsum("wjqi,wiqj->wq", a, b, optimize=True)
+        return carry, gp
+
+    nq = ham.kpq_idx.shape[0]
+    qc = min(q_chunk, nq)
+    npad = (-nq) % qc
+
+    def pad(x):
+        return jnp.concatenate([x, jnp.zeros((npad,) + x.shape[1:], x.dtype)])
+
+    idxs = jax.tree_util.tree_map(
+        lambda x: pad(x).reshape(-1, qc, m),
+        (ham.kpq_idx, ham.kpq_mask.astype(G.real.dtype),
+         ham.pmq_idx, ham.pmq_mask.astype(G.real.dtype)),
+    )
+    _, gprod = jax.lax.scan(chunk, None, idxs)            # [nchunks, w, qc]
+    return gprod.swapaxes(0, 1).reshape(G.shape[0], -1)[:, :nq]
+
+
+def local_energy_ueg(ham, Ga: jax.Array, Gb: jax.Array):
+    """Batched UEG local energy (``pauxy/estimators/ueg.py:27-90``).
+
+    pe = 1/(2 vol) sum_q v(q) [ (Gkpq_s Gpmq_s' summed over spin pairs)
+                                - Gprod_up - Gprod_dn ].
+    Madelung ecore is NOT added (matching the reference kernel).
+    """
+    ke = jnp.einsum("mn,wmn->w", ham.H1[0], Ga) + jnp.einsum(
+        "mn,wmn->w", ham.H1[1], Gb
+    )
+    gkpq_a, gpmq_a = coulomb_greens_function_ueg(ham, Ga)
+    gkpq_b, gpmq_b = coulomb_greens_function_ueg(ham, Gb)
+    gprod_a = exchange_greens_function_ueg(ham, Ga)
+    gprod_b = exchange_greens_function_ueg(ham, Gb)
+    fac = 1.0 / (2.0 * ham.vol)
+    vq = ham.vqvec
+    ess = jnp.einsum("q,wq->w", vq, gkpq_a * gpmq_a - gprod_a) + jnp.einsum(
+        "q,wq->w", vq, gkpq_b * gpmq_b - gprod_b
+    )
+    eos = jnp.einsum("q,wq->w", vq, gkpq_a * gpmq_b) + jnp.einsum(
+        "q,wq->w", vq, gkpq_b * gpmq_a
+    )
+    pe = fac * (ess + eos)
+    return ke + pe, ke, pe
+
+
+# ----------------------------------------------------------------------------
 # Host-side (numpy) energies for setup/validation
 # ----------------------------------------------------------------------------
 
@@ -94,6 +172,19 @@ def local_energy_G_host(ham, G: np.ndarray):
         else:
             pe = ham.U * np.dot(np.diagonal(G[0]), np.diagonal(G[1]))
         return ke + pe, ke, pe
+    if name == "UEG":
+        import jax.numpy as jnp_
+
+        etot, ke, pe = local_energy_ueg(
+            ham, jnp_.asarray(G[0][None]), jnp_.asarray(G[1][None])
+        )
+        from pauxy_tpu.utils.transfer import to_host
+
+        return (
+            complex(to_host(etot)[0]),
+            complex(to_host(ke)[0]),
+            complex(to_host(pe)[0]),
+        )
     if name == "Generic":
         # Dense reference contraction from the Cholesky factors:
         # full (ik|jl) = sum_x L[i,k,x] L[j,l,x].

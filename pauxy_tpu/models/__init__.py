@@ -8,6 +8,7 @@ step functions — never baked in as constants.
 
 from pauxy_tpu.models.hubbard import Hubbard, make_hubbard
 from pauxy_tpu.models.generic import Generic, make_generic
+from pauxy_tpu.models.ueg import UEG, make_ueg
 from pauxy_tpu.models.trial import (
     SingleDetTrial,
     free_electron_trial,
@@ -21,6 +22,8 @@ __all__ = [
     "make_hubbard",
     "Generic",
     "make_generic",
+    "UEG",
+    "make_ueg",
     "SingleDetTrial",
     "free_electron_trial",
     "rhf_identity_trial",
