@@ -51,6 +51,11 @@ class Continuous:
         # Hybrid-energy bound (continuous.py:70).
         return (2.0 / self.dt) ** 0.5
 
+    def propagate(self, trial, state, key, eshift):
+        if self.free_projection:
+            return propagate_free(self, trial, state, key, eshift)
+        return propagate_phaseless(self, trial, state, key, eshift)
+
 
 def _apply_bh1(bh1: jax.Array, phia: jax.Array, phib: jax.Array):
     """One-body half-step phi <- B_{T/2} phi (propagation/operations.py:29)."""

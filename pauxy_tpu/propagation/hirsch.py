@@ -1,0 +1,238 @@
+"""Discrete Hubbard-Stratonovich (Hirsch) propagation for the Hubbard model.
+
+TPU-native counterpart of ``pauxy/propagation/hubbard.py:12-345`` (Hirsch).
+The classic CPMC update is a *sequential* sweep over lattice sites — each
+site's heat-bath probability uses the Green's function updated by every
+previous flip — so it cannot be batched over sites. It CAN be batched over
+walkers: here the sweep is one ``lax.scan`` over sites whose body does the
+whole population's rank-1 algebra at once:
+
+  per site i (vectors over the walker batch):
+    G_ss(i,i)  from the maintained inverse overlaps        O(w n^2)
+    heat-bath p(x) = 0.5 prod_s (1 + delta[x,s] G_ss(i,i)) * aux_wfac[x]
+    phaseless choice, weight *= p(0)+p(1)                  (hubbard.py:172-220)
+    rank-1 row update of phi + Sherman-Morrison of S^-1    O(w n^2)
+
+The two kinetic half-steps bracket the sweep with the real-part/phase
+constraint of ``kinetic_importance_sampling`` (hubbard.py:146-170).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pauxy_tpu import config
+from pauxy_tpu.ops import clinalg
+from pauxy_tpu.walkers.state import WalkerState
+
+
+@struct.dataclass
+class Hirsch:
+    """Discrete HS propagator (spin or charge decomposition).
+
+    Tables (``hubbard.py:60-81``), with gamma = arccosh(e^{+/- dt U / 2}):
+      spin:   auxf[x,s] = e^{+/- gamma} e^{-dt U/2},     aux_wfac = 1
+      charge: auxf[x,s] = e^{+/- gamma} e^{-dt U/2},     aux_wfac = e^{dt U/2 -/+ gamma}
+    """
+
+    BT2: jax.Array        # [2, M, M] expm(-dt/2 T)  (note: T, not h1e_mod)
+    auxf: jax.Array       # [2(field), 2(spin)] complex
+    aux_wfac: jax.Array   # [2] complex
+    dt: float = struct.field(pytree_node=False)
+    free_projection: bool = struct.field(pytree_node=False, default=False)
+    charge: bool = struct.field(pytree_node=False, default=False)
+    # For interface parity with Continuous (driver eshift handling).
+    hybrid: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def delta(self):
+        return self.auxf - 1.0
+
+    # ------------------------------------------------------------------
+    def _kinetic_half_step(self, trial, state: WalkerState) -> WalkerState:
+        """B_{T/2} phi + real-part constraint (hubbard.py:146-170)."""
+        phia = jnp.einsum("pm,wmn->wpn", self.BT2[0], state.phia, optimize=True)
+        phib = jnp.einsum("pm,wmn->wpn", self.BT2[1], state.phib, optimize=True)
+        sa = jnp.einsum("wmi,mj->wij", phia, trial.psia.conj())
+        sb = jnp.einsum("wmi,mj->wij", phib, trial.psib.conj())
+        log_new = (clinalg.slogdet(sa) + clinalg.slogdet(sb)).astype(
+            state.log_ovlp.dtype
+        )
+        log_ratio = log_new - state.log_ovlp
+        ratio = jnp.exp(log_ratio)
+        # |phase| < pi/2 -> keep Re(ratio); else kill (hubbard.py:160-170).
+        phase_ok = jnp.abs(jnp.angle(ratio)) < 0.5 * jnp.pi
+        weight = jnp.where(phase_ok, state.weight * ratio.real, 0.0)
+        return state.replace(
+            phia=phia, phib=phib, weight=weight, log_ovlp=log_new
+        )
+
+    # ------------------------------------------------------------------
+    def _site_sweep(self, trial, state: WalkerState, key) -> WalkerState:
+        """Sequential single-site updates, batched over walkers
+        (hubbard.py:172-220)."""
+        m = state.nbasis
+        nw = state.nwalkers
+        cdtype = state.phia.dtype
+        rdtype = state.weight.dtype
+        delta = self.delta
+
+        # Maintained inverse overlaps S_s^-1 with S_s = psi_s^dag phi_s
+        # (single_det.py:96-115).
+        sa = jnp.einsum("mi,wmj->wij", trial.psia.conj(), state.phia)
+        sb = jnp.einsum("mi,wmj->wij", trial.psib.conj(), state.phib)
+        eye_a = jnp.broadcast_to(jnp.eye(sa.shape[-1], dtype=cdtype), sa.shape)
+        eye_b = jnp.broadcast_to(jnp.eye(sb.shape[-1], dtype=cdtype), sb.shape)
+        inva = clinalg.solve(sa, eye_a)
+        invb = clinalg.solve(sb, eye_b)
+
+        rs = jax.random.uniform(key, (m, nw), dtype=rdtype)
+
+        def gii(inv, phi_row, psi_row):
+            # G_ii = psi*[i] . (S^-T phi[i])  (hubbard.py:104-127).
+            q = jnp.einsum("wba,wb->wa", inv, phi_row)
+            return jnp.einsum("a,wa->w", psi_row.conj(), q)
+
+        def sherman_morrison(inv, u, vt):
+            # (S + u vt)^-1 update; u [n] trial row, vt [w, n].
+            t1 = jnp.einsum("wab,b->wa", inv, u)
+            t2 = jnp.einsum("wa,wab->wb", vt, inv)
+            denom = 1.0 + jnp.einsum("wa,wa->w", vt, t1)
+            return inv - t1[:, :, None] * t2[:, None, :] / denom[:, None, None]
+
+        def body(carry, inputs):
+            phia, phib, inva, invb, weight, dlog = carry
+            i, r = inputs
+            row_a = jnp.take(phia, i, axis=1)             # [w, na]
+            row_b = jnp.take(phib, i, axis=1)
+            ga = gii(inva, row_a, trial.psia[i])
+            gb = gii(invb, row_b, trial.psib[i])
+            # Heat-bath probabilities (hubbard.py:535-556 + aux_wfac).
+            r1 = (1 + delta[0, 0] * ga) * (1 + delta[0, 1] * gb)
+            r2 = (1 + delta[1, 0] * ga) * (1 + delta[1, 1] * gb)
+            probs = 0.5 * jnp.stack([r1, r2], -1) * self.aux_wfac[None, :]
+            pr = jnp.maximum(probs.real, 0.0)
+            norm = pr.sum(-1)
+            alive = (norm > 0) & (jnp.abs(weight) > 0)
+            safe_norm = jnp.where(alive, norm, 1.0)
+            xi = (r >= pr[:, 0] / safe_norm).astype(jnp.int32)  # [w]
+            weight = jnp.where(alive, weight * norm, 0.0)
+            chosen = jnp.take_along_axis(probs, xi[:, None], axis=1)[:, 0]
+            dlog = dlog + jnp.where(
+                alive, jnp.log(2.0 * chosen.astype(cdtype)), 0.0
+            )
+            da = jnp.where(alive, delta[xi, 0], 0.0)      # [w]
+            db = jnp.where(alive, delta[xi, 1], 0.0)
+            vt_a = row_a * da[:, None]
+            vt_b = row_b * db[:, None]
+            phia = phia.at[:, i, :].add(vt_a)
+            phib = phib.at[:, i, :].add(vt_b)
+            inva = sherman_morrison(inva, trial.psia[i].conj(), vt_a)
+            invb = sherman_morrison(invb, trial.psib[i].conj(), vt_b)
+            return (phia, phib, inva, invb, weight, dlog), None
+
+        dlog0 = jnp.zeros((nw,), cdtype)
+        (phia, phib, _, _, weight, dlog), _ = jax.lax.scan(
+            body,
+            (state.phia, state.phib, inva, invb, state.weight, dlog0),
+            (jnp.arange(m), rs),
+        )
+        return state.replace(
+            phia=phia,
+            phib=phib,
+            weight=weight,
+            log_ovlp=state.log_ovlp + dlog,
+        )
+
+    # ------------------------------------------------------------------
+    def _propagate_constrained(self, trial, state, key, eshift):
+        """kinetic half, site sweep, kinetic half, eshift factor
+        (hubbard.py:276-301)."""
+        state = self._kinetic_half_step(trial, state)
+        state = self._site_sweep(trial, state, key)
+        state = self._kinetic_half_step(trial, state)
+        growth = jnp.exp(self.dt * jnp.real(eshift))
+        return state.replace(weight=state.weight * growth)
+
+    def _propagate_free(self, trial, state, key, eshift):
+        """Free projection: fields 50/50, |wfac| to weight, phase to phase
+        (hubbard.py:303-344)."""
+        phia = jnp.einsum("pm,wmn->wpn", self.BT2[0], state.phia, optimize=True)
+        phib = jnp.einsum("pm,wmn->wpn", self.BT2[1], state.phib, optimize=True)
+        xi = jax.random.bernoulli(key, 0.5, (state.nwalkers, state.nbasis)).astype(
+            jnp.int32
+        )
+        ga = self.auxf[xi, 0]                             # [w, M]
+        gb = self.auxf[xi, 1]
+        phia = phia * ga[:, :, None]
+        phib = phib * gb[:, :, None]
+        phia = jnp.einsum("pm,wmn->wpn", self.BT2[0], phia, optimize=True)
+        phib = jnp.einsum("pm,wmn->wpn", self.BT2[1], phib, optimize=True)
+        wfac = jnp.prod(self.aux_wfac[xi], axis=-1)
+        sa = jnp.einsum("wmi,mj->wij", phia, trial.psia.conj())
+        sb = jnp.einsum("wmi,mj->wij", phib, trial.psib.conj())
+        log_new = (clinalg.slogdet(sa) + clinalg.slogdet(sb)).astype(
+            state.log_ovlp.dtype
+        )
+        growth = jnp.exp(self.dt * jnp.real(eshift))
+        return state.replace(
+            phia=phia,
+            phib=phib,
+            weight=state.weight * jnp.abs(wfac) * growth,
+            phase=state.phase * jnp.exp(1j * jnp.angle(wfac)).astype(state.phase.dtype),
+            log_ovlp=log_new,
+        )
+
+    def propagate(self, trial, state, key, eshift):
+        if self.free_projection:
+            return self._propagate_free(trial, state, key, eshift)
+        return self._propagate_constrained(trial, state, key, eshift)
+
+
+def make_hirsch(
+    ham,
+    trial,
+    dt: float,
+    charge_decomposition: bool = False,
+    free_projection: bool = False,
+    precision=None,
+) -> Hirsch:
+    """Build the discrete propagator tables (hubbard.py:30-103)."""
+    prec = config.get_precision(precision)
+    t = np.asarray(ham.T)
+    bt2 = np.stack(
+        [scipy.linalg.expm(-0.5 * dt * t[0]), scipy.linalg.expm(-0.5 * dt * t[1])]
+    )
+    if charge_decomposition:
+        gamma = np.arccosh(np.exp(-0.5 * dt * ham.U + 0j))
+        auxf = np.array(
+            [
+                [np.exp(gamma), np.exp(gamma)],
+                [np.exp(-gamma), np.exp(-gamma)],
+            ]
+        )
+        aux_wfac = np.exp(0.5 * dt * ham.U) * np.array(
+            [np.exp(-gamma), np.exp(gamma)]
+        )
+    else:
+        gamma = np.arccosh(np.exp(0.5 * dt * ham.U))
+        auxf = np.array(
+            [
+                [np.exp(gamma), np.exp(-gamma)],
+                [np.exp(-gamma), np.exp(gamma)],
+            ]
+        )
+        aux_wfac = np.array([1.0, 1.0])
+    auxf = auxf * np.exp(-0.5 * dt * ham.U)
+    return Hirsch(
+        BT2=jnp.asarray(bt2.astype(prec.cplx)),
+        auxf=jnp.asarray(np.asarray(auxf).astype(prec.cplx)),
+        aux_wfac=jnp.asarray(np.asarray(aux_wfac).astype(prec.cplx)),
+        dt=float(dt),
+        free_projection=bool(free_projection),
+        charge=bool(charge_decomposition),
+    )

@@ -79,7 +79,7 @@ def run_block(
             state,
         )
 
-        state = continuous.propagate(prop, trial, state, kprop, eshift)
+        state = prop.propagate(trial, state, kprop, eshift)
 
         # Cap runaway weights at 10% of the total (afqmc.py:235-236).
         cap = 0.10 * state.total_weight
@@ -142,6 +142,9 @@ class AFQMC:
         self.hybrid = popts.get("hybrid", True)
 
         self.prop = self._build_propagator(popts)
+        # Discrete propagation reports the projected (not hybrid) energy as
+        # the shift (hubbard.py:82 sets hybrid=False).
+        self.hybrid = getattr(self.prop, "hybrid", self.hybrid)
 
         self.state = walker_state.init_walkers(
             trial, qmc.nwalkers, total_weight=float(qmc.nwalkers)
@@ -171,6 +174,23 @@ class AFQMC:
     # ------------------------------------------------------------------
     def _build_propagator(self, popts: dict):
         name = self.ham.name
+        hs = popts.get("hubbard_stratonovich", "continuous")
+        if "discrete" in hs:
+            # Discrete Hirsch propagator (propagation/utils.py:8-45 dispatch).
+            if name != "Hubbard":
+                raise NotImplementedError(
+                    f"no discrete propagator for system {name!r}"
+                )
+            from pauxy_tpu.propagation.hirsch import make_hirsch
+
+            return make_hirsch(
+                self.ham,
+                self.trial,
+                self.qmc.dt,
+                charge_decomposition=popts.get("charge_decomposition", False),
+                free_projection=self.free_projection,
+                precision=self.prec,
+            )
         if name == "Hubbard":
             from pauxy_tpu.propagation.hubbard import make_hubbard_continuous
 

@@ -78,7 +78,70 @@ def run_hubbard_4x4_uhf_continuous(outdir, blocks=100):
     )
 
 
+def run_hubbard_4x4_uhf_discrete(outdir, blocks=100):
+    numpy.random.seed(8)
+    from mpi4py import MPI
+    from pauxy.qmc.afqmc import AFQMC
+    from pauxy.analysis.extraction import extract_mixed_estimates
+
+    options = {
+        "verbosity": 0,
+        "get_sha1": False,
+        "qmc": {
+            "timestep": 0.01,
+            "num_steps": 10,
+            "blocks": blocks,
+            "rng_seed": 8,
+            "nwalkers": 40,
+        },
+        "model": {
+            "name": "Hubbard", "nx": 4, "ny": 4, "nup": 7, "ndown": 7, "U": 4,
+            "ktwist": [0.0, 0.0],
+        },
+        "trial": {"name": "UHF"},
+        "estimates": {
+            "filename": os.path.join(outdir, "ref_hub4x4_disc.h5"),
+            "mixed": {"energy_eval_freq": 1},
+        },
+        "propagator": {"hubbard_stratonovich": "discrete"},
+    }
+    comm = MPI.COMM_WORLD
+    af = AFQMC(comm=comm, options=options, verbose=0)
+    af.run(comm=comm, verbose=False)
+    df = extract_mixed_estimates(options["estimates"]["filename"])
+    et = numpy.asarray(df.ETotal.values, dtype=complex).real
+    psi = numpy.asarray(af.trial.psi)
+    if psi.ndim == 3:
+        psi = psi[0]
+    etrial = getattr(af.trial, "etrial", getattr(af.trial, "energy", 0.0))
+    numpy.savez(
+        os.path.join(outdir, "hubbard4x4_uhf_discrete.npz"),
+        psi=psi,
+        etrial=etrial,
+        etotal_blocks=et,
+        dt=0.01,
+        nsteps=10,
+        nwalkers=40,
+    )
+    skip = len(et) // 3
+    print(
+        json.dumps(
+            {
+                "config": "hubbard4x4_uhf_discrete",
+                "etrial": float(numpy.real(etrial)),
+                "mean": float(et[skip:].mean()),
+                "stderr": float(et[skip:].std(ddof=1) / numpy.sqrt(len(et) - skip)),
+                "blocks": len(et),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     outdir = sys.argv[1] if len(sys.argv) > 1 else "tests/data"
     os.makedirs(outdir, exist_ok=True)
-    run_hubbard_4x4_uhf_continuous(outdir)
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if which in ("all", "continuous"):
+        run_hubbard_4x4_uhf_continuous(outdir)
+    if which in ("all", "discrete"):
+        run_hubbard_4x4_uhf_discrete(outdir)
