@@ -1,0 +1,184 @@
+"""Back-propagated estimators.
+
+TPU-native counterpart of ``pauxy/estimators/back_propagation.py:19-326``.
+At every tau_bp interval, the trial wavefunction is propagated *backwards*
+through the stored auxiliary-field history (one reverse ``lax.scan``, batched
+over walkers), the back-propagated Green's function G = gab(phi_bp,
+phi_old)^T is formed, and weighted energy / 1-RDM sums are accumulated.
+
+Weight restoration options (BP-PRes, back_propagation.py:187-198):
+  None      -> plain phaseless weight
+  'partial' -> weight * prod(phase factors)
+  'full'    -> weight * prod(phase factors) / prod(cosine factors)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pauxy_tpu.ops import clinalg, greens
+
+
+def _apply_bh1_dagger(bh1, phia, phib):
+    phia = jnp.einsum("mp,wmn->wpn", bh1[0].conj(), phia, optimize=True)
+    phib = jnp.einsum("mp,wmn->wpn", bh1[1].conj(), phib, optimize=True)
+    return phia, phib
+
+
+def back_propagate_continuous(prop, trial, configs, nstblz: int):
+    """phi_bp <- prod_j B(x_j)^dagger psi_T, reverse order with periodic
+    re-orthogonalisation.
+
+    ``prop`` is a Continuous propagator; B = BH1 e^{VHS} BH1 so
+    B^dagger = BH1^dag e^{VHS^dag} BH1^dag (back_propagate_generic,
+    pauxy/propagation/generic.py:253-290). e^{VHS(x)^dag} = e^{VHS(-conj(x))}
+    because VHS(x) = i sqrt(dt) sum_n v_n x_n with Hermitian v_n.
+
+    configs: [w, nbp, nfields] (most recent last).
+    """
+    inner = prop.inner
+    nw, nbp, _ = configs.shape
+    phia = jnp.broadcast_to(trial.psia[None], (nw,) + trial.psia.shape).astype(
+        configs.dtype
+    )
+    phib = jnp.broadcast_to(trial.psib[None], (nw,) + trial.psib.shape).astype(
+        configs.dtype
+    )
+
+    def body(carry, inp):
+        phia, phib = carry
+        j, x = inp
+        phia, phib = _apply_bh1_dagger(inner.BH1, phia, phib)
+        # exp(VHS(x))^dagger = exp(VHS(y)) with the model-specific field map.
+        phia, phib = inner.apply_vhs(phia, phib, inner.bp_dagger_fields(x))
+        phia, phib = _apply_bh1_dagger(inner.BH1, phia, phib)
+
+        def ortho(p):
+            q, _ = clinalg.cholesky_qr(p)
+            return q
+
+        do = (j != 0) & (j % nstblz == 0)
+        phia = jax.lax.cond(do, ortho, lambda p: p, phia)
+        phib = jax.lax.cond(do, ortho, lambda p: p, phib)
+        return (phia, phib), None
+
+    # Reverse order: most recent config first (generic.py:280).
+    xs = jnp.flip(jnp.swapaxes(configs, 0, 1), axis=0)    # [nbp, w, nfields]
+    (phia, phib), _ = jax.lax.scan(
+        body, (phia, phib), (jnp.arange(nbp), xs)
+    )
+    return phia, phib
+
+
+def back_propagate_hirsch(prop, trial, configs, nstblz: int):
+    """Discrete-HS back propagation: B(x)^dag = BT2^dag diag(auxf[x])^dag
+    BT2^dag (pauxy/propagation/hubbard.py:568-672)."""
+    nw, nbp, m = configs.shape
+    cdtype = prop.BT2.dtype
+    phia = jnp.broadcast_to(trial.psia[None], (nw,) + trial.psia.shape).astype(cdtype)
+    phib = jnp.broadcast_to(trial.psib[None], (nw,) + trial.psib.shape).astype(cdtype)
+    bt2 = prop.BT2
+
+    def body(carry, inp):
+        phia, phib = carry
+        j, x = inp                                        # x [w, M] in {0, 1}
+        xi = jnp.real(x).astype(jnp.int32)
+        ga = prop.auxf[xi, 0].conj()
+        gb = prop.auxf[xi, 1].conj()
+        phia, phib = _apply_bh1_dagger(bt2, phia, phib)
+        phia = phia * ga[:, :, None]
+        phib = phib * gb[:, :, None]
+        phia, phib = _apply_bh1_dagger(bt2, phia, phib)
+
+        def ortho(p):
+            q, _ = clinalg.cholesky_qr(p)
+            return q
+
+        do = (j != 0) & (j % nstblz == 0)
+        phia = jax.lax.cond(do, ortho, lambda p: p, phia)
+        phib = jax.lax.cond(do, ortho, lambda p: p, phib)
+        return (phia, phib), None
+
+    xs = jnp.flip(jnp.swapaxes(configs, 0, 1), axis=0)
+    (phia, phib), _ = jax.lax.scan(body, (phia, phib), (jnp.arange(nbp), xs))
+    return phia, phib
+
+
+def bp_greens_function(phia_bp, phib_bp, phia_old, phib_old):
+    """G_s = gab(phi_bp_s, phi_old_s)^T, batched
+    (back_propagation.py:157-158)."""
+    ga = jnp.swapaxes(greens.gab(phia_bp, phia_old), -1, -2)
+    gb = jnp.swapaxes(greens.gab(phib_bp, phib_old), -1, -2)
+    return ga, gb
+
+
+def bp_weights(state, restore_weights: str | None):
+    """BP weights incl. optional restoration (back_propagation.py:187-198)."""
+    w = state.weight.astype(state.weight_fac.dtype)
+    if restore_weights is None:
+        return w
+    ph = jnp.prod(state.weight_fac, axis=-1)
+    if restore_weights == "full":
+        cos = jnp.prod(state.cos_fac, axis=-1)
+        safe = jnp.where(jnp.abs(cos) > 1e-300, cos, 1.0)
+        return jnp.where(jnp.abs(cos) > 1e-300, w * ph / safe, 0.0)
+    return w * ph
+
+
+class BPReporter:
+    """Host-side HDF5 push of block-summed BP accumulators.
+
+    Dataset names match the reference (``back_propagation.py:285-326``):
+    ``back_propagated/energies_{nbp}``, ``denominator_{nbp}``,
+    ``one_rdm_{nbp}`` so ``pauxy.analysis.extraction.extract_rdm`` works.
+    """
+
+    def __init__(self, output, nbp: int, eval_energy: bool):
+        self.output = output
+        self.nbp = nbp
+        self.eval_energy = eval_energy
+
+    def block_row(self, acc, nbasis: int):
+        import numpy as np
+
+        denom = acc[3]
+        self.output.push(np.array([denom]), f"denominator_{self.nbp}")
+        if self.eval_energy and abs(denom) > 0:
+            self.output.push(acc[:3] / denom, f"energies_{self.nbp}")
+        g = acc[4:].reshape(2, nbasis, nbasis)
+        self.output.push(g, f"one_rdm_{self.nbp}")
+        self.output.increment()
+        return acc[:3] / denom if abs(denom) > 0 else acc[:3]
+
+
+def update(ham, trial, prop, state, energy_fn, *, nstblz: int,
+           restore_weights: str | None, discrete: bool):
+    """One BP measurement: returns the flat accumulator
+    [e, e1b, e2b, denom, G.flatten()] summed over walkers."""
+    if discrete:
+        phia_bp, phib_bp = back_propagate_hirsch(prop, trial, state.configs, nstblz)
+    else:
+        phia_bp, phib_bp = back_propagate_continuous(prop, trial, state.configs, nstblz)
+    ga, gb = bp_greens_function(phia_bp, phib_bp, state.phia_old, state.phib_old)
+    w = bp_weights(state, restore_weights)
+    if energy_fn is not None:
+        etot, e1b, e2b = energy_fn(ga, gb)
+    else:
+        z = jnp.zeros_like(w)
+        etot = e1b = e2b = z
+    g = jnp.stack([ga, gb], axis=1)                       # [w, 2, M, M]
+    acc = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    jnp.sum(w * etot),
+                    jnp.sum(w * e1b),
+                    jnp.sum(w * e2b),
+                    jnp.sum(w),
+                ]
+            ),
+            jnp.einsum("w,wsmn->smn", w, g).reshape(-1),
+        ]
+    )
+    return acc

@@ -76,6 +76,24 @@ def local_energy_generic_opt(trial, Ghalfa: jax.Array, Ghalfb: jax.Array,
     return e1b + e2b + ecore, e1b + ecore, e2b
 
 
+def local_energy_generic_cholesky_G(ham, Ga: jax.Array, Gb: jax.Array):
+    """Batched ab-initio local energy from the FULL Green's function (no
+    trial half-rotation) — used for back-propagated G where the bra is not
+    the trial. Reference: ``pauxy/estimators/generic.py:400-436``.
+    """
+    h1 = ham.H1
+    chol = ham.chol                                       # [M, M, X]
+    e1b = jnp.einsum("mn,wmn->w", h1[0], Ga) + jnp.einsum("mn,wmn->w", h1[1], Gb)
+    x = jnp.einsum("ikx,wik->wx", chol, Ga + Gb, optimize=True)
+    ecoul = jnp.einsum("wx,wx->w", x, x)
+    exx = jnp.zeros_like(ecoul)
+    for g in (Ga, Gb):
+        t = jnp.einsum("wil,ikx->wlkx", g, chol, optimize=True)
+        exx = exx + jnp.einsum("wlkx,wklx->w", t, t, optimize=True)
+    e2b = 0.5 * (ecoul - exx)
+    return e1b + e2b + ham.ecore, e1b + ham.ecore, e2b
+
+
 # ----------------------------------------------------------------------------
 # UEG — gather/segment kernels replacing ueg_kernels.pyx
 # ----------------------------------------------------------------------------

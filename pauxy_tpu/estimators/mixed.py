@@ -54,6 +54,19 @@ def energy_estimator(ham, trial):
     raise NotImplementedError(f"no local energy kernel for system {name!r}")
 
 
+def energy_estimator_G(ham, trial):
+    """Dense-G local-energy closure ``(Ga, Gb) -> (etot, e1b, e2b)`` for
+    back-propagated Green's functions (opt=False path, mixed.py:383-437)."""
+    name = ham.name
+    if name == "Hubbard":
+        return lambda ga, gb: le.local_energy_hubbard(ham, ga, gb)
+    if name == "Generic":
+        return lambda ga, gb: le.local_energy_generic_cholesky_G(ham, ga, gb)
+    if name == "UEG":
+        return lambda ga, gb: le.local_energy_ueg(ham, ga, gb)
+    raise NotImplementedError(f"no dense-G energy kernel for {name!r}")
+
+
 def update(ham, trial, state, eval_energy, free_projection: bool = False):
     """One step's contribution to the block accumulator, shape [NACC] complex.
 

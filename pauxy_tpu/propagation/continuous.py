@@ -51,10 +51,10 @@ class Continuous:
         # Hybrid-energy bound (continuous.py:70).
         return (2.0 / self.dt) ** 0.5
 
-    def propagate(self, trial, state, key, eshift):
+    def propagate(self, trial, state, key, eshift, bp_ix=None):
         if self.free_projection:
             return propagate_free(self, trial, state, key, eshift)
-        return propagate_phaseless(self, trial, state, key, eshift)
+        return propagate_phaseless(self, trial, state, key, eshift, bp_ix)
 
 
 def _apply_bh1(bh1: jax.Array, phia: jax.Array, phib: jax.Array):
@@ -106,6 +106,7 @@ def propagate_phaseless(
     state: WalkerState,
     key: jax.Array,
     eshift: jax.Array,
+    bp_ix=None,
 ) -> WalkerState:
     """One phaseless step for the whole population.
 
@@ -148,13 +149,30 @@ def propagate_phaseless(
         shape = (slice(None),) + (None,) * (new.ndim - 1)
         return jnp.where(alive[shape], new, old)
 
-    return state.replace(
+    updates = dict(
         phia=sel(phia, state.phia),
         phib=sel(phib, state.phib),
         weight=sel(weight, state.weight),
         log_ovlp=sel(log_o_new, state.log_ovlp),
         hybrid_energy=sel(ehyb, state.hybrid_energy),
     )
+    if state.configs is not None and bp_ix is not None:
+        # Record (x - xbar) and the phase/cosine weight factors for back
+        # propagation (continuous.py:284-289 + walkers/stack.py:51-77).
+        ok = magn > 1e-16
+        phase_fac = jnp.where(ok, jnp.exp(1j * log_imp.imag), 0.0)
+        cos_rec = jnp.where(ok, cosine_fac, 0.0)
+        updates["configs"] = state.configs.at[:, bp_ix, :].set(
+            sel(fac.xshifted, state.configs[:, bp_ix, :])
+        )
+        updates["weight_fac"] = state.weight_fac.at[:, bp_ix].set(
+            sel(phase_fac.astype(state.weight_fac.dtype),
+                state.weight_fac[:, bp_ix])
+        )
+        updates["cos_fac"] = state.cos_fac.at[:, bp_ix].set(
+            sel(cos_rec, state.cos_fac[:, bp_ix])
+        )
+    return state.replace(**updates)
 
 
 def propagate_free(

@@ -74,6 +74,13 @@ class GenericContinuous:
             apply_exponential_taylor(vhs, phib, self.exp_order),
         )
 
+    def bp_dagger_fields(self, x):
+        """Fields y with exp(VHS(y)) = exp(VHS(x))^dagger.
+
+        VHS = i sqrt(dt) sum_n L_n x_n with Hermitian L_n -> y = -conj(x).
+        """
+        return -x.conj()
+
 
 def construct_mean_field_shift(ham, trial) -> np.ndarray:
     """mf_shift_x = i sum_ik L[i,k,x] (G_T0 + G_T1)[i,k]  (generic.py:66-80)."""

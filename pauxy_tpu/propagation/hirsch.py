@@ -133,30 +133,41 @@ class Hirsch:
             phib = phib.at[:, i, :].add(vt_b)
             inva = sherman_morrison(inva, trial.psia[i].conj(), vt_a)
             invb = sherman_morrison(invb, trial.psib[i].conj(), vt_b)
-            return (phia, phib, inva, invb, weight, dlog), None
+            return (phia, phib, inva, invb, weight, dlog), xi
 
         dlog0 = jnp.zeros((nw,), cdtype)
-        (phia, phib, _, _, weight, dlog), _ = jax.lax.scan(
+        (phia, phib, _, _, weight, dlog), fields = jax.lax.scan(
             body,
             (state.phia, state.phib, inva, invb, state.weight, dlog0),
             (jnp.arange(m), rs),
         )
-        return state.replace(
-            phia=phia,
-            phib=phib,
-            weight=weight,
-            log_ovlp=state.log_ovlp + dlog,
+        return (
+            state.replace(
+                phia=phia,
+                phib=phib,
+                weight=weight,
+                log_ovlp=state.log_ovlp + dlog,
+            ),
+            fields.T,  # [w, M] chosen field per site
         )
 
     # ------------------------------------------------------------------
-    def _propagate_constrained(self, trial, state, key, eshift):
+    def _propagate_constrained(self, trial, state, key, eshift, bp_ix=None):
         """kinetic half, site sweep, kinetic half, eshift factor
         (hubbard.py:276-301)."""
         state = self._kinetic_half_step(trial, state)
-        state = self._site_sweep(trial, state, key)
+        state, fields = self._site_sweep(trial, state, key)
         state = self._kinetic_half_step(trial, state)
         growth = jnp.exp(self.dt * jnp.real(eshift))
-        return state.replace(weight=state.weight * growth)
+        state = state.replace(weight=state.weight * growth)
+        if state.configs is not None and bp_ix is not None:
+            # Store integer field choices for BP (stack.py:34-49 push).
+            state = state.replace(
+                configs=state.configs.at[:, bp_ix, :].set(
+                    fields.astype(state.configs.dtype)
+                )
+            )
+        return state
 
     def _propagate_free(self, trial, state, key, eshift):
         """Free projection: fields 50/50, |wfac| to weight, phase to phase
@@ -187,10 +198,10 @@ class Hirsch:
             log_ovlp=log_new,
         )
 
-    def propagate(self, trial, state, key, eshift):
+    def propagate(self, trial, state, key, eshift, bp_ix=None):
         if self.free_projection:
             return self._propagate_free(trial, state, key, eshift)
-        return self._propagate_constrained(trial, state, key, eshift)
+        return self._propagate_constrained(trial, state, key, eshift, bp_ix)
 
 
 def make_hirsch(

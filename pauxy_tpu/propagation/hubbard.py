@@ -69,6 +69,12 @@ class HubbardContinuous:
         gauge = jnp.exp((self.dt * self.U) ** 0.5 * xshifted)
         return phia / gauge[:, :, None], phib * gauge[:, :, None]
 
+    def bp_dagger_fields(self, x):
+        """exp(VHS(y)) = exp(VHS(x))^dagger: charge generator is
+        anti-Hermitian (i sqrt(U) n) -> y = -conj(x); spin generator is
+        Hermitian (+/- sqrt(U) n) -> y = +conj(x)."""
+        return -x.conj() if self.charge else x.conj()
+
 
 def make_hubbard_continuous(
     ham, trial, dt: float, charge_decomposition: bool = True, precision=None

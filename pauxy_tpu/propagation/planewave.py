@@ -69,6 +69,12 @@ class PlaneWave:
             apply_exponential_taylor(vhs, phib, self.exp_order),
         )
 
+    def bp_dagger_fields(self, x):
+        """iA is anti-Hermitian (x+ -> -conj), iB is Hermitian (x- -> +conj)."""
+        xa = x[:, : self.nq]
+        xb = x[:, self.nq :]
+        return jnp.concatenate([-xa.conj(), xb.conj()], axis=-1)
+
 
 def make_planewave(ham, trial, dt: float, precision=None, exp_order=6) -> PlaneWave:
     """BH1 = expm(-dt/2 h1e_mod) (planewave.py:39-55; h1e_mod is diagonal so

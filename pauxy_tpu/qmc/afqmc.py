@@ -42,6 +42,13 @@ from pauxy_tpu.walkers import state as walker_state
         "target_weight",
         "energy_eval_freq",
         "free_projection",
+        "nbp",
+        "bp_restore",
+        "bp_eval_energy",
+        "nprop_tot",
+        "nitcf",
+        "itcf_stable",
+        "itcf_restore",
     ),
 )
 def run_block(
@@ -60,13 +67,37 @@ def run_block(
     target_weight: float,
     energy_eval_freq: int,
     free_projection: bool,
+    nbp: int = 0,
+    bp_restore: str | None = None,
+    bp_eval_energy: bool = False,
+    nprop_tot: int = 0,
+    nitcf: int = 0,
+    itcf_stable: bool = True,
+    itcf_restore: bool = True,
 ):
-    """Run ``nsteps`` QMC steps and return (state, summed accumulator).
+    """Run ``nsteps`` QMC steps and return (state, mixed accumulator,
+    BP accumulator or None).
 
     Step ordering matches ``afqmc.py:223-255``: reortho (on nstblz steps),
     propagate, weight cap at 10% of total weight, population control (on
-    npop_control steps), estimator update.
+    npop_control steps), estimator update, BP measurement every nbp steps.
     """
+    from pauxy_tpu.estimators import back_prop
+    from pauxy_tpu.estimators import itcf as itcf_mod
+    from pauxy_tpu.propagation.hirsch import Hirsch
+
+    discrete = isinstance(prop, Hirsch)
+    m = state.nbasis
+    nhist = nprop_tot if nprop_tot else nbp
+
+    def bp_measure(state):
+        e_fn = None
+        if bp_eval_energy:
+            e_fn = lambda ga, gb: mixed.energy_estimator_G(ham, trial)(ga, gb)
+        return back_prop.update(
+            ham, trial, prop, state, e_fn,
+            nstblz=nstblz, restore_weights=bp_restore, discrete=discrete,
+        )
 
     def one_step(state, inp):
         step, key = inp
@@ -79,7 +110,8 @@ def run_block(
             state,
         )
 
-        state = prop.propagate(trial, state, kprop, eshift)
+        bp_ix = ((step - 1) % nhist) if nhist else None
+        state = prop.propagate(trial, state, kprop, eshift, bp_ix=bp_ix)
 
         # Cap runaway weights at 10% of the total (afqmc.py:235-236).
         cap = 0.10 * state.total_weight
@@ -103,12 +135,73 @@ def run_block(
             eval_energy=(step % energy_eval_freq == 0),
             free_projection=free_projection,
         )
-        return state, acc
+
+        if nbp:
+            nacc_bp = 4 + 2 * m * m
+            bp_acc = jax.lax.cond(
+                step % nbp == 0,
+                bp_measure,
+                lambda s: jnp.zeros((nacc_bp,), state.log_ovlp.dtype),
+                state,
+            )
+            # After a measurement: new historic wavefunction + fresh factors
+            # (handler.py:200-214 copy_historic_wfn + stack.py:121-127 reset).
+            state = jax.lax.cond(
+                step % nbp == 0,
+                lambda s: s.replace(
+                    phia_old=s.phia,
+                    phib_old=s.phib,
+                    cos_fac=jnp.ones_like(s.cos_fac),
+                    weight_fac=jnp.ones_like(s.weight_fac),
+                ),
+                lambda s: s,
+                state,
+            )
+        else:
+            bp_acc = jnp.zeros((0,), state.log_ovlp.dtype)
+
+        if nitcf:
+            nacc_itcf = 1 + (nitcf + 1) * 4 * m * m
+
+            def itcf_measure(s):
+                return itcf_mod.measure(
+                    prop, trial, s,
+                    nmax=nitcf, nstblz=nstblz, stable=itcf_stable,
+                    restore_weights=itcf_restore, discrete=discrete,
+                )
+
+            itcf_acc = jax.lax.cond(
+                step % nhist == 0,
+                itcf_measure,
+                lambda s: jnp.zeros((nacc_itcf,), state.log_ovlp.dtype),
+                state,
+            )
+            state = jax.lax.cond(
+                step % nhist == 0,
+                lambda s: s.replace(
+                    phia_right=s.phia,
+                    phib_right=s.phib,
+                    cos_fac=jnp.ones_like(s.cos_fac),
+                    weight_fac=jnp.ones_like(s.weight_fac),
+                ),
+                lambda s: s,
+                state,
+            )
+        else:
+            itcf_acc = jnp.zeros((0,), state.log_ovlp.dtype)
+        return state, (acc, bp_acc, itcf_acc)
 
     steps = step0 + 1 + jnp.arange(nsteps)
     keys = jax.random.split(block_key, nsteps)
-    state, accs = jax.lax.scan(one_step, state, (steps, keys))
-    return state, jnp.sum(accs, axis=0)
+    state, (accs, bp_accs, itcf_accs) = jax.lax.scan(
+        one_step, state, (steps, keys)
+    )
+    return (
+        state,
+        jnp.sum(accs, axis=0),
+        jnp.sum(bp_accs, axis=0),
+        jnp.sum(itcf_accs, axis=0),
+    )
 
 
 class AFQMC:
@@ -146,8 +239,47 @@ class AFQMC:
         # the shift (hubbard.py:82 sets hybrid=False).
         self.hybrid = getattr(self.prop, "hybrid", self.hybrid)
 
+        # Back propagation configuration (estimators/handler.py:83-107 +
+        # back_propagation.py:64-72).
+        bp_opts = eopts.get("back_propagation", eopts.get("back_propagated"))
+        if bp_opts is not None:
+            self.nbp = int(round(bp_opts.get("tau_bp", 0) / qmc.dt))
+            self.bp_restore = bp_opts.get("restore_weights", None)
+            self.bp_eval_energy = bp_opts.get("evaluate_energy", True)
+            nprop_tot = self.nbp
+        else:
+            self.nbp = 0
+            self.bp_restore = None
+            self.bp_eval_energy = False
+            nprop_tot = None
+
+        # ITCF configuration (estimators/itcf.py:79-96).
+        itcf_opts = eopts.get("itcf")
+        if itcf_opts is not None:
+            self.nitcf = int(round(itcf_opts.get("tau_max", 0) / qmc.dt))
+            neqlb = int(round(itcf_opts.get("tau_eqlb", 0) / qmc.dt))
+            self.itcf_stable = itcf_opts.get("stable", True)
+            self.itcf_restore = itcf_opts.get("restore_weights", True)
+            itcf_nprop = self.nitcf + neqlb
+            if nprop_tot is not None and nprop_tot != itcf_nprop:
+                raise ValueError(
+                    "with both BP and ITCF enabled, tau_bp must equal "
+                    "tau_max + tau_eqlb (shared field-config buffer)"
+                )
+            nprop_tot = itcf_nprop
+        else:
+            self.nitcf = 0
+            self.itcf_stable = True
+            self.itcf_restore = True
+        self.nprop_tot = nprop_tot or 0
+
         self.state = walker_state.init_walkers(
-            trial, qmc.nwalkers, total_weight=float(qmc.nwalkers)
+            trial,
+            qmc.nwalkers,
+            total_weight=float(qmc.nwalkers),
+            nprop_tot=nprop_tot,
+            nfields=ham.nfields if nprop_tot else None,
+            itcf=bool(self.nitcf),
         )
         self.eshift = 0.0
 
@@ -166,6 +298,18 @@ class AFQMC:
             output=H5EstimatorHelper(filename, "basic"),
             verbose=verbose,
         )
+        if self.nbp:
+            from pauxy_tpu.estimators.back_prop import BPReporter
+
+            self.bp_reporter = BPReporter(
+                H5EstimatorHelper(filename, "back_propagated"),
+                self.nbp,
+                self.bp_eval_energy,
+            )
+        if self.nitcf:
+            from pauxy_tpu.estimators.itcf import ITCFReporter
+
+            self.itcf_reporter = ITCFReporter(H5EstimatorHelper(filename, "itcf"))
 
         seed = qmc.rng_seed if qmc.rng_seed is not None else 7
         self.key = jax.random.key(seed)
@@ -246,15 +390,20 @@ class AFQMC:
                 "free_projection": self.free_projection,
                 "hybrid": self.hybrid,
             },
-            "estimators": {"mixed": {"energy_eval_freq": self.energy_eval_freq}},
+            "estimators": {
+                "mixed": {"energy_eval_freq": self.energy_eval_freq},
+                # Nested like the reference's serialized handler so
+                # extraction.get_param finds the BP splits
+                # (analysis/extraction.py:40-42).
+                "estimators": {"back_prop": {"splits": [[self.nbp]]}},
+            },
         }
 
     # ------------------------------------------------------------------
     def run_block(self):
         """Advance one block (nsteps) and report."""
         self.key, sub = jax.random.split(self.key)
-        rdtype = self.state.weight.dtype
-        self.state, acc = run_block(
+        self.state, acc, bp_acc, itcf_acc = run_block(
             self.ham,
             self.trial,
             self.prop,
@@ -269,11 +418,24 @@ class AFQMC:
             target_weight=float(self.qmc.nwalkers),
             energy_eval_freq=self.energy_eval_freq,
             free_projection=self.free_projection,
+            nbp=self.nbp,
+            bp_restore=self.bp_restore,
+            bp_eval_energy=self.bp_eval_energy,
+            nprop_tot=self.nprop_tot,
+            nitcf=self.nitcf,
+            itcf_stable=self.itcf_stable,
+            itcf_restore=self.itcf_restore,
         )
         self.step += self.qmc.nsteps
         from pauxy_tpu.utils.transfer import to_host
 
         row = self.reporter.block_row(self.step, to_host(acc))
+        if self.nbp:
+            self.bp_reporter.block_row(to_host(bp_acc), self.ham.nbasis)
+        if self.nitcf:
+            self.itcf_reporter.block_row(
+                to_host(itcf_acc), self.ham.nbasis, self.nitcf
+            )
         # eshift follows the latest block estimate (afqmc.py:251-254).
         if self.step < self.qmc.neqlb:
             self.eshift = self.reporter.get_shift(self.hybrid)

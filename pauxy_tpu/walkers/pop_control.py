@@ -25,8 +25,14 @@ from pauxy_tpu.walkers.state import WalkerState
 
 
 def _gather_walkers(state: WalkerState, parents: jax.Array) -> WalkerState:
-    """Replace walker i by a copy of walker parents[i] (weights untouched)."""
-    return state.replace(
+    """Replace walker i by a copy of walker parents[i] (weights untouched).
+
+    The dense-gather equivalent of the reference's walker buffer
+    serialization + Isend/Recv (walker.py:63-131, handler.py:301-327): every
+    per-walker field — including the BP field-config history — moves with
+    its parent.
+    """
+    updates = dict(
         phia=state.phia[parents],
         phib=state.phib[parents],
         phase=state.phase[parents],
@@ -35,6 +41,12 @@ def _gather_walkers(state: WalkerState, parents: jax.Array) -> WalkerState:
         eloc=state.eloc[parents],
         log_detr=state.log_detr[parents],
     )
+    for name in ("configs", "cos_fac", "weight_fac", "phia_old", "phib_old",
+                 "phia_right", "phib_right"):
+        val = getattr(state, name)
+        if val is not None:
+            updates[name] = val[parents]
+    return state.replace(**updates)
 
 
 def comb(state: WalkerState, key: jax.Array, target_weight: float) -> WalkerState:

@@ -38,6 +38,15 @@ class WalkerState:
     eloc: jax.Array            # [w] complex local energy of previous step
     log_detr: jax.Array        # [w] real accumulated log det R from reortho
     total_weight: jax.Array    # [] real global weight (set by pop control)
+    # --- optional auxiliary-field history for back propagation / ITCF
+    # (pauxy/walkers/stack.py:5-127 FieldConfig, as fixed dense arrays) ---
+    configs: jax.Array | None = None      # [w, nprop_tot, nfields] complex
+    cos_fac: jax.Array | None = None      # [w, nprop_tot] real
+    weight_fac: jax.Array | None = None   # [w, nprop_tot] complex
+    phia_old: jax.Array | None = None     # [w, M, na] historic wfn (BP)
+    phib_old: jax.Array | None = None     # [w, M, nb]
+    phia_right: jax.Array | None = None   # [w, M, na] init wfn snapshot (ITCF)
+    phib_right: jax.Array | None = None   # [w, M, nb]
 
     @property
     def nwalkers(self) -> int:
@@ -48,7 +57,14 @@ class WalkerState:
         return self.phia.shape[1]
 
 
-def init_walkers(trial, nwalkers: int, total_weight: float | None = None) -> WalkerState:
+def init_walkers(
+    trial,
+    nwalkers: int,
+    total_weight: float | None = None,
+    nprop_tot: int | None = None,
+    nfields: int | None = None,
+    itcf: bool = False,
+) -> WalkerState:
     """Initialise all walkers to the trial determinant with unit weight.
 
     Reference: ``pauxy/walkers/handler.py:115-128`` + ``walker.py:24-61``.
@@ -64,6 +80,19 @@ def init_walkers(trial, nwalkers: int, total_weight: float | None = None) -> Wal
     log_ob = greens.log_overlap(phib, trial.psib)
     if total_weight is None:
         total_weight = float(nwalkers)
+    extras = {}
+    if nprop_tot is not None:
+        # Field-config history for BP/ITCF (walker.py:53-60); cos/weight
+        # factors start at 1 so untouched slots are no-ops in products.
+        extras = dict(
+            configs=jnp.zeros((nwalkers, nprop_tot, nfields), cdtype),
+            cos_fac=jnp.ones((nwalkers, nprop_tot), rdtype),
+            weight_fac=jnp.ones((nwalkers, nprop_tot), cdtype),
+            phia_old=phia,
+            phib_old=phib,
+        )
+        if itcf:
+            extras.update(phia_right=phia, phib_right=phib)
     return WalkerState(
         phia=phia,
         phib=phib,
@@ -75,6 +104,7 @@ def init_walkers(trial, nwalkers: int, total_weight: float | None = None) -> Wal
         eloc=jnp.zeros((nwalkers,), cdtype),
         log_detr=jnp.zeros((nwalkers,), rdtype),
         total_weight=jnp.asarray(float(total_weight), rdtype),
+        **extras,
     )
 
 

@@ -1,0 +1,119 @@
+"""Back-propagation estimator tests."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from pauxy_tpu.estimators import back_prop
+from pauxy_tpu.models import make_hubbard, free_electron_trial
+from pauxy_tpu.propagation import continuous as cont
+from pauxy_tpu.propagation.hubbard import make_hubbard_continuous
+from pauxy_tpu.qmc import AFQMC, QMCOpts
+from pauxy_tpu.walkers import init_walkers
+
+
+@pytest.mark.unit
+def test_back_propagate_continuous_vs_numpy():
+    """Reverse field application matches a dense numpy loop building
+    B = BH1 e^{VHS} BH1 and applying B^dagger in reverse order."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    inner = make_hubbard_continuous(ham, trial, 0.01)
+    prop = cont.Continuous(inner=inner, dt=0.01)
+    nw, nbp, nf = 2, 4, ham.nfields
+    rng = np.random.default_rng(4)
+    configs = rng.standard_normal((nw, nbp, nf)) + 0.1j * rng.standard_normal(
+        (nw, nbp, nf)
+    )
+    pa, pb = back_prop.back_propagate_continuous(
+        prop, trial, jnp.asarray(configs), nstblz=100
+    )
+    bh1 = np.asarray(inner.BH1)
+    iu = 1j * 2.0  # i sqrt(U)
+    for w in range(nw):
+        phi_a = np.asarray(trial.psia).copy()
+        phi_b = np.asarray(trial.psib).copy()
+        for x in configs[w][::-1]:
+            vhs = np.sqrt(0.01) * iu * np.diag(x)
+            ba = bh1[0] @ scipy.linalg.expm(vhs) @ bh1[0]
+            bb = bh1[1] @ scipy.linalg.expm(vhs) @ bh1[1]
+            phi_a = ba.conj().T @ phi_a
+            phi_b = bb.conj().T @ phi_b
+        np.testing.assert_allclose(np.asarray(pa[w]), phi_a, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(pb[w]), phi_b, atol=1e-10)
+
+
+@pytest.mark.unit
+def test_bp_greens_trace():
+    """BP Green's function is a projector cross term: tr G_s = n_s."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    rng = np.random.default_rng(1)
+    shape = (3, ham.nbasis, 3)
+    pa = jnp.asarray(rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+    pb = jnp.asarray(rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+    qa = jnp.asarray(rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+    qb = jnp.asarray(rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+    ga, gb = back_prop.bp_greens_function(pa, pb, qa, qb)
+    tr = np.trace(np.asarray(ga), axis1=-2, axis2=-1)
+    np.testing.assert_allclose(tr, 3.0, atol=1e-9)
+
+
+@pytest.mark.driver
+def test_bp_driver_hubbard(tmp_path):
+    """End-to-end BP on 3x3 Hubbard continuous: RDM normalization + energies
+    finite; h5 readable through the reference's extract_rdm."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=20, dt=0.01, nsteps=10, nblocks=6, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(
+        ham, trial, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "back_propagation": {"tau_bp": 0.1, "evaluate_energy": True},
+        },
+        filename=str(tmp_path / "bp.h5"),
+    )
+    assert af.nbp == 10
+    af.run()
+
+    if not os.path.isdir("/root/reference/pauxy"):
+        return
+    sys.path.insert(0, "/root/reference")
+    from pauxy.analysis.extraction import extract_rdm, extract_data
+
+    rdm = extract_rdm(str(tmp_path / "bp.h5"), ix=10)
+    assert rdm.shape[1:] == (2, 9, 9)
+    # <tr G_s> = n_s for every block measurement.
+    traces = np.einsum("bsii->bs", rdm)
+    np.testing.assert_allclose(traces.real, 3.0, atol=1e-6)
+    en = extract_data(str(tmp_path / "bp.h5"), "back_propagated", "energies_10",
+                      raw=True)
+    assert np.isfinite(en).all()
+    # BP energy should be in the same ballpark as the mixed energy.
+    assert -12.0 < en[-1][0].real < -5.0
+
+
+@pytest.mark.driver
+def test_bp_driver_discrete(tmp_path):
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.01, nsteps=10, nblocks=4, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(
+        ham, trial, qmc,
+        propagator_options={"hubbard_stratonovich": "discrete"},
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "back_propagation": {"tau_bp": 0.1, "evaluate_energy": True},
+        },
+        filename=str(tmp_path / "bpd.h5"),
+    )
+    rows = af.run()
+    assert np.isfinite(rows.real).all()

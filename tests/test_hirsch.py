@@ -62,7 +62,7 @@ def test_site_sweep_vs_numpy(charge):
     state = state.replace(phia=state.phia + pert, phib=state.phib + pert)
 
     key = jax.random.key(3)
-    new = prop._site_sweep(trial, state, key)
+    new, _fields = prop._site_sweep(trial, state, key)
 
     rs = np.asarray(
         jax.random.uniform(key, (ham.nbasis, nw), dtype=jnp.float64)
@@ -88,7 +88,7 @@ def test_sweep_overlap_consistency():
     trial = free_electron_trial(ham)
     prop = make_hirsch(ham, trial, dt=0.05)
     state = init_walkers(trial, 3)
-    new = prop._site_sweep(trial, state, jax.random.key(11))
+    new, _ = prop._site_sweep(trial, state, jax.random.key(11))
     fresh = greens.log_overlap(new.phia, trial.psia) + greens.log_overlap(
         new.phib, trial.psib
     )

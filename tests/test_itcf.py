@@ -1,0 +1,94 @@
+"""ITCF estimator tests.
+
+The sharpest oracle is the non-interacting limit: at U=0 the continuous-HS
+propagator is exactly B = exp(-dt T), so with the free-electron trial
+G_greater(tau) = exp(-tau T)(I - P_occ) and G_lesser(tau) = P_occ exp(tau T)
+analytically.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from pauxy_tpu.models import make_hubbard, free_electron_trial
+from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+
+def analytic_free_itcf(ham, trial, dt, ntau):
+    t = np.asarray(ham.T[0])
+    psi = np.asarray(trial.psia)
+    p = psi @ np.linalg.inv(psi.conj().T @ psi) @ psi.conj().T
+    m = t.shape[0]
+    out = np.zeros((ntau + 1, 2, m, m), dtype=complex)
+    for n in range(ntau + 1):
+        bgr = scipy.linalg.expm(-n * dt * t)
+        bls = scipy.linalg.expm(n * dt * t)
+        out[n, 0] = bgr @ (np.eye(m) - p)
+        out[n, 1] = p @ bls
+    return out
+
+
+@pytest.mark.driver
+@pytest.mark.parametrize("stable", [False, True])
+def test_itcf_free_fermions(tmp_path, stable):
+    ham = make_hubbard(nup=3, ndown=3, U=0.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    ntau = 5
+    dt = 0.05
+    qmc = QMCOpts(nwalkers=4, dt=dt, nsteps=ntau, nblocks=2, nstblz=100,
+                  npop_control=100, rng_seed=3)
+    af = AFQMC(
+        ham, trial, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "itcf": {"tau_max": ntau * dt, "stable": stable},
+        },
+        filename=str(tmp_path / f"itcf{stable}.h5"),
+    )
+    assert af.nitcf == ntau
+    af.run()
+
+    import h5py
+
+    with h5py.File(str(tmp_path / f"itcf{stable}.h5"), "r") as fh5:
+        keys = sorted(fh5["itcf/real_space_greens_function"].keys())
+        spgf = fh5[f"itcf/real_space_greens_function/{keys[-1]}"][:]
+    ref = analytic_free_itcf(ham, trial, dt, ntau)
+    for n in range(ntau + 1):
+        np.testing.assert_allclose(
+            spgf[n, 0, 0], ref[n, 0].real, atol=1e-8,
+            err_msg=f"Ggr tau index {n}",
+        )
+        np.testing.assert_allclose(
+            spgf[n, 0, 1], ref[n, 1].real, atol=1e-8,
+            err_msg=f"Gls tau index {n}",
+        )
+
+
+@pytest.mark.driver
+def test_itcf_interacting_sanity(tmp_path):
+    """U=4: tau=0 diagonal of Ggr + Gls must be the identity decomposition
+    (Ggr + Gls = I at equal time) and G decays with tau."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=12, dt=0.05, nsteps=10, nblocks=3, nstblz=5,
+                  npop_control=5, rng_seed=7)
+    af = AFQMC(
+        ham, trial, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "itcf": {"tau_max": 0.5, "stable": True},
+        },
+        filename=str(tmp_path / "itcf_u4.h5"),
+    )
+    af.run()
+    import h5py
+
+    with h5py.File(str(tmp_path / "itcf_u4.h5"), "r") as fh5:
+        keys = sorted(fh5["itcf/real_space_greens_function"].keys())
+        spgf = fh5[f"itcf/real_space_greens_function/{keys[-1]}"][:]
+    assert np.isfinite(spgf).all()
+    eye_sum = spgf[0, 0, 0] + spgf[0, 0, 1]
+    np.testing.assert_allclose(eye_sum, np.eye(ham.nbasis), atol=1e-6)
+    # On-site greater function decays in imaginary time.
+    assert spgf[-1, 0, 0, 0, 0] < spgf[0, 0, 0, 0, 0]
