@@ -30,13 +30,14 @@ class SingleDetTrial:
 
     psia: Any              # [M, na]
     psib: Any              # [M, nb]
-    G: Any                 # [2, M, M] trial one-body Green's function
     inita: Any             # [M, na] initial walker orbitals
     initb: Any             # [M, nb]
     rchola: Any = None     # [naux, na, M] half-rotated Cholesky (alpha)
     rcholb: Any = None     # [naux, nb, M]
     rh1a: Any = None       # [na, M] half-rotated one-body (alpha)
     rh1b: Any = None       # [nb, M]
+    # Host-side (numpy) trial Green's function; setup-only, never on device.
+    G_host: Any = struct.field(pytree_node=False, default=None)
     etrial: float = struct.field(pytree_node=False, default=0.0)
     name: str = struct.field(pytree_node=False, default="single_det")
 
@@ -72,7 +73,7 @@ def _eigh_lowest(h: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
-    import jax.numpy as jnp
+    from pauxy_tpu.utils.transfer import to_device
 
     dtype = prec.cplx
     psia = np.asarray(psia, dtype=dtype)
@@ -89,21 +90,25 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
         chol = np.asarray(ham.chol)
         h1 = np.asarray(ham.H1)
         extras = dict(
-            rchola=jnp.asarray(
+            rchola=to_device(
                 np.einsum("pa,pmx->xam", psia.conj(), chol, optimize=True).astype(dtype)
             ),
-            rcholb=jnp.asarray(
+            rcholb=to_device(
                 np.einsum("pa,pmx->xam", psib.conj(), chol, optimize=True).astype(dtype)
             ),
-            rh1a=jnp.asarray((psia.conj().T @ h1[0]).astype(dtype)),
-            rh1b=jnp.asarray((psib.conj().T @ h1[1]).astype(dtype)),
+            rh1a=to_device((psia.conj().T @ h1[0]).astype(dtype)),
+            rh1b=to_device((psib.conj().T @ h1[1]).astype(dtype)),
         )
+    from pauxy_tpu.utils.transfer import HostArray
+
+    psia_d = to_device(psia)
+    psib_d = to_device(psib)
     return SingleDetTrial(
-        psia=jnp.asarray(psia),
-        psib=jnp.asarray(psib),
-        G=jnp.asarray(g.astype(dtype)),
-        inita=jnp.asarray(psia),
-        initb=jnp.asarray(psib),
+        psia=psia_d,
+        psib=psib_d,
+        inita=psia_d,
+        initb=psib_d,
+        G_host=HostArray(g.astype(dtype)),
         etrial=etrial,
         name=name,
         **extras,

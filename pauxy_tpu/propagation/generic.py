@@ -84,10 +84,8 @@ class GenericContinuous:
 
 def construct_mean_field_shift(ham, trial) -> np.ndarray:
     """mf_shift_x = i sum_ik L[i,k,x] (G_T0 + G_T1)[i,k]  (generic.py:66-80)."""
-    from pauxy_tpu.utils.transfer import to_host
-
-    g = to_host(trial.G)
-    chol = to_host(ham.chol)
+    g = np.asarray(trial.G_host.arr)
+    chol = np.asarray(ham.chol)
     return 1j * np.einsum("ikx,ik->x", chol, g[0] + g[1], optimize=True)
 
 
@@ -104,10 +102,12 @@ def make_generic_continuous(ham, trial, dt: float, precision=None, exp_order=6):
     bh1 = np.stack(
         [scipy.linalg.expm(-0.5 * dt * h1[0]), scipy.linalg.expm(-0.5 * dt * h1[1])]
     )
+    from pauxy_tpu.utils.transfer import to_device
+
     return GenericContinuous(
-        BH1=jnp.asarray(bh1.astype(prec.cplx)),
-        mf_shift=jnp.asarray(mf_shift.astype(prec.cplx)),
-        chol=jnp.asarray(chol.astype(prec.cplx)),
+        BH1=to_device(bh1.astype(prec.cplx)),
+        mf_shift=to_device(mf_shift.astype(prec.cplx)),
+        chol=to_device(chol.astype(prec.cplx)),
         dt=float(dt),
         exp_order=int(exp_order),
     )

@@ -239,10 +239,12 @@ def make_hirsch(
         )
         aux_wfac = np.array([1.0, 1.0])
     auxf = auxf * np.exp(-0.5 * dt * ham.U)
+    from pauxy_tpu.utils.transfer import to_device
+
     return Hirsch(
-        BT2=jnp.asarray(bt2.astype(prec.cplx)),
-        auxf=jnp.asarray(np.asarray(auxf).astype(prec.cplx)),
-        aux_wfac=jnp.asarray(np.asarray(aux_wfac).astype(prec.cplx)),
+        BT2=to_device(bt2.astype(prec.cplx)),
+        auxf=to_device(np.asarray(auxf).astype(prec.cplx)),
+        aux_wfac=to_device(np.asarray(aux_wfac).astype(prec.cplx)),
         dt=float(dt),
         free_projection=bool(free_projection),
         charge=bool(charge_decomposition),

@@ -89,9 +89,9 @@ def make_hubbard_continuous(
       BH1 = expm(-dt/2 (H1 + U/2 - sqrt(U) diag(mf_shift)))
     """
     prec = config.get_precision(precision)
-    from pauxy_tpu.utils.transfer import to_host
+    from pauxy_tpu.utils.transfer import to_device
 
-    g = to_host(trial.G)
+    g = np.asarray(trial.G_host.arr)
     da, db = np.diagonal(g[0]), np.diagonal(g[1])
     if charge_decomposition:
         iu = 1j * ham.U ** 0.5
@@ -109,8 +109,8 @@ def make_hubbard_continuous(
         [scipy.linalg.expm(-0.5 * dt * h1[0]), scipy.linalg.expm(-0.5 * dt * h1[1])]
     )
     return HubbardContinuous(
-        BH1=jnp.asarray(bh1.astype(prec.cplx)),
-        mf_shift=jnp.asarray(mf_shift.astype(prec.cplx)),
+        BH1=to_device(bh1.astype(prec.cplx)),
+        mf_shift=to_device(mf_shift.astype(prec.cplx)),
         dt=float(dt),
         U=float(ham.U),
         charge=bool(charge_decomposition),

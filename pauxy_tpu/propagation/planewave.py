@@ -87,8 +87,10 @@ def make_planewave(ham, trial, dt: float, precision=None, exp_order=6) -> PlaneW
             np.diag(np.exp(-0.5 * dt * np.diagonal(h1[1]))),
         ]
     )
+    from pauxy_tpu.utils.transfer import to_device
+
     return PlaneWave(
-        BH1=jnp.asarray(bh1.astype(prec.cplx)),
+        BH1=to_device(bh1.astype(prec.cplx)),
         mf_shift=jnp.zeros((2 * ham.nq,), prec.cplx),
         rho=jnp.asarray(np.asarray(ham.rho).astype(prec.real)),
         dt=float(dt),

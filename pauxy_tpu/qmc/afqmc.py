@@ -196,12 +196,14 @@ def run_block(
     state, (accs, bp_accs, itcf_accs) = jax.lax.scan(
         one_step, state, (steps, keys)
     )
-    return (
-        state,
-        jnp.sum(accs, axis=0),
-        jnp.sum(bp_accs, axis=0),
-        jnp.sum(itcf_accs, axis=0),
-    )
+
+    def as_real(x):
+        # Accumulators leave the device as stacked real/imag parts — the
+        # backend cannot transfer complex buffers (utils/transfer.py).
+        s = jnp.sum(x, axis=0)
+        return jnp.stack([s.real, s.imag])
+
+    return state, as_real(accs), as_real(bp_accs), as_real(itcf_accs)
 
 
 class AFQMC:
@@ -427,14 +429,17 @@ class AFQMC:
             itcf_restore=self.itcf_restore,
         )
         self.step += self.qmc.nsteps
-        from pauxy_tpu.utils.transfer import to_host
 
-        row = self.reporter.block_row(self.step, to_host(acc))
+        def fetch(x):
+            ri = np.asarray(x)
+            return ri[0] + 1j * ri[1]
+
+        row = self.reporter.block_row(self.step, fetch(acc))
         if self.nbp:
-            self.bp_reporter.block_row(to_host(bp_acc), self.ham.nbasis)
+            self.bp_reporter.block_row(fetch(bp_acc), self.ham.nbasis)
         if self.nitcf:
             self.itcf_reporter.block_row(
-                to_host(itcf_acc), self.ham.nbasis, self.nitcf
+                fetch(itcf_acc), self.ham.nbasis, self.nitcf
             )
         # eshift follows the latest block estimate (afqmc.py:251-254).
         if self.step < self.qmc.neqlb:

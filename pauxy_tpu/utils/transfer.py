@@ -29,3 +29,45 @@ def _fetch(x):
 def to_host(tree):
     """device_get a pytree, splitting complex leaves into real transfers."""
     return jax.tree_util.tree_map(_fetch, tree)
+
+
+@jax.jit
+def _combine(re, im):
+    return re + 1j * im
+
+
+def _upload(x):
+    if isinstance(x, jax.Array):
+        return x
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        # Complex host->device transfers are also UNIMPLEMENTED (and poison
+        # every downstream buffer); ship real/imag separately and combine
+        # on device.
+        re = jnp.asarray(np.ascontiguousarray(x.real))
+        im = jnp.asarray(np.ascontiguousarray(x.imag))
+        return _combine(re, im)
+    return jnp.asarray(x)
+
+
+def to_device(tree):
+    """jnp.asarray a pytree, splitting complex leaves into real transfers."""
+    return jax.tree_util.tree_map(_upload, tree)
+
+
+class HostArray:
+    """Identity-hashable wrapper letting host-only numpy data ride a flax
+    struct as a STATIC (non-pytree) field — it is never uploaded to device.
+    Needed because the backend cannot transfer complex buffers and jit
+    commits every pytree leaf of its arguments."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

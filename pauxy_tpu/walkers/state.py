@@ -57,6 +57,13 @@ class WalkerState:
         return self.phia.shape[1]
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nwalkers", "total_weight", "nprop_tot", "nfields", "itcf"),
+)
 def init_walkers(
     trial,
     nwalkers: int,
@@ -71,6 +78,9 @@ def init_walkers(
     ``total_weight`` seeds the weight-cap bound (reference leaves it 0 until
     the first pop-control event, ``walker.py:33``; we use the target weight so
     the cap at ``afqmc.py:235-236`` is active from the start).
+
+    Jitted: the target backend mis-handles *eager* complex primitives (see
+    utils/transfer.py), so even setup-time device math runs compiled.
     """
     phia = jnp.broadcast_to(trial.inita[None], (nwalkers,) + trial.inita.shape)
     phib = jnp.broadcast_to(trial.initb[None], (nwalkers,) + trial.initb.shape)

@@ -121,7 +121,7 @@ def test_propagator_setup_vs_reference():
         pass
 
     t = Tr()
-    t.G = np.asarray(trial.G)
+    t.G = np.asarray(trial.G_host.arr)
     t.ndets = 1
 
     class Qmc:
