@@ -1,0 +1,131 @@
+"""Finite-temperature estimator kernels, batched.
+
+TPU-native counterpart of ``pauxy/estimators/thermal.py``:
+
+* :func:`greens_function_qdt` — stable G = (1 + B_L...B_1)^-1 from a stack
+  of (products of) propagator matrices via column-pivoted QDT stratification
+  (DOI 10.1109/IPDPS.2012.37; reference ``thermal.py:147-196`` /
+  ``walkers/thermal.py:472-545``), built on the in-jax pivoted QR of
+  ops/cpqr.py and batched over walkers+spins.
+* one-RDM / particle-number / fermi-factor helpers (``thermal.py:94-145``).
+
+Note: the reference's Db/Ds overflow splitting is dead code (it reads the
+diagonal of the zeroed Db, ``thermal.py:180``); here the splitting is
+implemented as intended.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pauxy_tpu.ops import clinalg, cpqr
+
+
+def fermi_factor(ek, beta, mu):
+    return 1.0 / (np.exp(beta * (ek - mu)) + 1.0)
+
+
+def qdt_product(stack: jax.Array):
+    """Stable QDT factorization of A = B[n-1] ... B[1] B[0].
+
+    stack: [..., nbins, m, m] with index 0 applied FIRST (rightmost factor).
+    Returns (q, d, t, perm_logdet_sign_unused) with A ~= Q diag(d) T.
+    """
+    nbins = stack.shape[-3]
+    b0 = stack[..., 0, :, :]
+    q, r, perm = cpqr.cpqr(b0)
+    d = jnp.diagonal(r, axis1=-2, axis2=-1)               # [..., m]
+    t = cpqr.unpermute_columns(r / d[..., :, None], perm)
+
+    def body(i, carry):
+        q, d, t = carry
+        b = stack[..., i, :, :]
+        c2 = jnp.einsum("...pm,...mn->...pn", b, q) * d[..., None, :]
+        q, r, perm = cpqr.cpqr(c2)
+        dnew = jnp.diagonal(r, axis1=-2, axis2=-1)
+        tmp = cpqr.unpermute_columns(r / dnew[..., :, None], perm)
+        t = jnp.einsum("...pm,...mn->...pn", tmp, t)
+        return q, dnew, t
+
+    q, d, t = jax.lax.fori_loop(1, nbins, body, (q, d, t))
+    return q, d, t
+
+
+def inverse_one_plus_qdt(q, d, t):
+    """G = (1 + Q D T)^-1, stabilized with the Db/Ds splitting:
+
+    D = Db^-1 Ds with Db = min(1, 1/|D|), then
+    G = T^-1 (Db Q^dag T^-1 + Ds)^-1 Db Q^dag   (thermal.py:171-196).
+    """
+    m = q.shape[-1]
+    absd = jnp.abs(d)
+    db = jnp.where(absd > 1.0, 1.0 / absd, 1.0).astype(d.dtype)  # [..., m]
+    ds = jnp.where(absd > 1.0, d / absd, d)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=q.dtype), q.shape)
+    tinv = clinalg.solve(t, eye)
+    c = db[..., :, None] * jnp.einsum(
+        "...mp,...mn->...pn", q.conj(), tinv
+    ) + ds[..., :, None] * eye
+    cinv_db_qdag = clinalg.solve(c, db[..., :, None] * jnp.swapaxes(q.conj(), -1, -2))
+    return jnp.einsum("...pm,...mn->...pn", tinv, cinv_db_qdag)
+
+
+def greens_function_qdt(stack: jax.Array):
+    """G = (1 + A)^-1 for A = product of the stack (rightmost index 0)."""
+    q, d, t = qdt_product(stack)
+    return inverse_one_plus_qdt(q, d, t)
+
+
+def one_rdm_from_G(g: jax.Array) -> jax.Array:
+    """P = 1 - G^T per spin (thermal.py:112-130); g [..., m, m]."""
+    m = g.shape[-1]
+    return jnp.eye(m, dtype=g.dtype) - jnp.swapaxes(g, -1, -2)
+
+
+def particle_number(p) -> jax.Array:
+    """<N> = tr P_up + tr P_dn; p [..., 2, m, m] (thermal.py:131-145)."""
+    return jnp.trace(p[..., 0, :, :], axis1=-2, axis2=-1) + jnp.trace(
+        p[..., 1, :, :], axis1=-2, axis2=-1
+    )
+
+
+# ----------------------------------------------------------------------------
+# Host-side (numpy/scipy) versions for trial setup
+# ----------------------------------------------------------------------------
+
+def one_rdm_stable_host(bt: np.ndarray, num_slices: int) -> np.ndarray:
+    """P for A = bt^num_slices per spin, host-side with scipy pivoted QR.
+
+    Used during chemical-potential search (trial setup). Mirrors
+    ``thermal.py:147-196`` with the corrected Db/Ds splitting.
+    """
+    import scipy.linalg
+
+    nb = bt.shape[-1]
+    out = []
+    for spin in (0, 1):
+        q, r, p = scipy.linalg.qr(bt[spin], pivoting=True, check_finite=False)
+        d = r.diagonal().copy()
+        t = r / d[:, None]
+        inv = np.argsort(p)
+        t = t[:, inv]
+        for _ in range(num_slices - 1):
+            c2 = (bt[spin] @ q) * d[None, :]
+            q, r, p = scipy.linalg.qr(c2, pivoting=True, check_finite=False)
+            d = r.diagonal().copy()
+            tmp = (r / d[:, None])[:, np.argsort(p)]
+            t = tmp @ t
+        absd = np.abs(d)
+        db = np.where(absd > 1.0, 1.0 / absd, 1.0)
+        ds = np.where(absd > 1.0, d / absd, d)
+        tinv = scipy.linalg.inv(t, check_finite=False)
+        c = db[:, None] * (q.conj().T @ tinv) + np.diag(ds)
+        g = tinv @ scipy.linalg.solve(c, db[:, None] * q.conj().T)
+        out.append(np.eye(nb) - g.T)
+    return np.array(out)
+
+
+def particle_number_host(p: np.ndarray) -> float:
+    return (p[0].trace() + p[1].trace()).real

@@ -1,0 +1,85 @@
+"""Batched column-pivoted Householder QR (complex), in pure jax.
+
+The finite-temperature stabilized propagator products (QDT stratification,
+``pauxy/walkers/thermal.py:472-545`` and ``pauxy/estimators/
+thermal.py:147-196``) are built on scipy's column-pivoted QR. Neither
+LAPACK-style pivoted QR nor even complex QR exists on the TPU backend, so
+this module implements it directly: a ``fori_loop`` over columns doing
+masked rank-1 Householder updates, batched over walkers/spins. O(m)
+sequential steps of O(batch * m^2) VPU work — the batch axis keeps the
+chip busy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cpqr(a: jax.Array, pivot: bool = True):
+    """Column-pivoted QR: A[..., :, perm] = Q R.
+
+    Returns (q, r, perm) with q unitary [..., m, m], r upper triangular,
+    perm [..., m] int32 such that a[..., :, perm] = q @ r (i.e. column j of
+    the pivoted A is original column perm[j] — scipy.linalg.qr(pivoting=True)
+    convention).
+    """
+    *batch, mrow, m = a.shape
+    assert mrow == m, "square matrices only"
+    cdtype = a.dtype
+    rdtype = jnp.zeros((), cdtype).real.dtype
+    rows = jnp.arange(m)
+
+    r0 = a
+    q0 = jnp.broadcast_to(jnp.eye(m, dtype=cdtype), a.shape)
+    perm0 = jnp.broadcast_to(rows, (*batch, m))
+
+    def body(k, carry):
+        r, q, perm = carry
+        active_row = (rows >= k)                           # [m]
+
+        if pivot:
+            # Most-significant remaining column (partial column norms).
+            norms = jnp.sum(
+                jnp.abs(r) ** 2 * active_row[..., :, None].astype(rdtype),
+                axis=-2,
+            )
+            norms = jnp.where(active_row, norms, -1.0)
+            p = jnp.argmax(norms, axis=-1)                 # [...]
+            # Swap columns k <-> p (batched index permutation).
+            pb = p[..., None]
+            colidx = jnp.where(
+                rows == k, pb, jnp.where(rows == pb, k, rows)
+            )                                              # [..., m]
+            r = jnp.take_along_axis(r, colidx[..., None, :], axis=-1)
+            perm = jnp.take_along_axis(perm, colidx, axis=-1)
+
+        # Householder vector for column k (rows >= k).
+        x = r[..., :, k] * active_row.astype(rdtype)       # [..., m]
+        normx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-1))
+        x0 = r[..., k, k]
+        absx0 = jnp.abs(x0)
+        phase = jnp.where(absx0 > 0, x0 / jnp.where(absx0 > 0, absx0, 1.0), 1.0)
+        alpha = -phase * normx.astype(cdtype)
+        v = x - alpha[..., None] * (rows == k).astype(cdtype)
+        vsq = jnp.sum(jnp.abs(v) ** 2, axis=-1)
+        ok = vsq > 1e-300
+        inv = jnp.where(ok, 2.0 / jnp.where(ok, vsq, 1.0), 0.0).astype(cdtype)
+        # r <- r - v (v^dag r) * 2/|v|^2 ;   q <- q - (q v) v^dag * 2/|v|^2
+        w = jnp.einsum("...m,...mn->...n", v.conj(), r) * inv[..., None]
+        r = r - v[..., :, None] * w[..., None, :]
+        u = jnp.einsum("...mn,...n->...m", q, v) * inv[..., None]
+        q = q - u[..., :, None] * v.conj()[..., None, :]
+        return r, q, perm
+
+    r, q, perm = jax.lax.fori_loop(0, m, body, (r0, q0, perm0))
+    # Clean numerical noise below the diagonal.
+    tri = (rows[:, None] <= rows[None, :]).astype(cdtype)
+    return q, r * tri, perm.astype(jnp.int32)
+
+
+def unpermute_columns(t: jax.Array, perm: jax.Array) -> jax.Array:
+    """Given T acting on pivoted columns, return T' with T'[:, perm[j]] =
+    T[:, j] (undo the pivoting; thermal.py:160-162)."""
+    inv = jnp.argsort(perm, axis=-1)
+    return jnp.take_along_axis(t, inv[..., None, :], axis=-1)

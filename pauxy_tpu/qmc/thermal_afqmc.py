@@ -1,0 +1,186 @@
+"""Finite-temperature AFQMC driver.
+
+TPU-native counterpart of ``pauxy/qmc/thermal_afqmc.py:21-258``. Each
+measurement block samples one full imaginary-time path: a single jitted
+``lax.scan`` over the beta/dt time slices, with per-slice weight capping and
+population control, followed by a mixed thermal measurement (energy +
+particle number from the 1-RDM) and a walker reset to the trial density
+matrix (``handler.py:423-429``).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pauxy_tpu import config
+from pauxy_tpu.estimators import mixed
+from pauxy_tpu.estimators.thermal import one_rdm_from_G, particle_number
+from pauxy_tpu.propagation.thermal import make_thermal_propagator
+from pauxy_tpu.qmc.options import QMCOpts
+from pauxy_tpu.utils.io import H5EstimatorHelper, create_estimates_file
+from pauxy_tpu.walkers import pop_control as pc
+from pauxy_tpu.walkers import thermal_state as tws
+
+THERMAL_HEADER = [
+    "Iteration", "WeightFactor", "Weight", "ENumer", "EDenom", "ETotal",
+    "E1Body", "E2Body", "EHybrid", "Overlap", "Nav", "Time",
+]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ntime_slices", "npop_control", "pop_method", "target_weight",
+    ),
+)
+def run_path(
+    ham,
+    trial,
+    prop,
+    state,
+    path_key,
+    *,
+    ntime_slices: int,
+    npop_control: int,
+    pop_method: str,
+    target_weight: float,
+):
+    """Propagate one full beta path and measure (thermal_afqmc.py:212-235)."""
+
+    def one_slice(state, inp):
+        ts, key = inp
+        kprop, kpop = jax.random.split(key)
+        state = prop.propagate(trial, state, kprop, ts)
+        cap = 0.10 * state.total_weight
+        state = state.replace(
+            weight=jnp.where(
+                (ts > 0) & (jnp.abs(state.weight) > cap), cap, state.weight
+            )
+        )
+        state = jax.lax.cond(
+            (ts % npop_control == 0) & (ts != 0),
+            lambda s: pc.pop_control(s, kpop, target_weight, pop_method),
+            lambda s: s,
+            state,
+        )
+        return state, None
+
+    keys = jax.random.split(path_key, ntime_slices)
+    state, _ = jax.lax.scan(one_slice, state, (jnp.arange(ntime_slices), keys))
+
+    # Mixed thermal measurement from the end-of-path Green's function
+    # (estimators/mixed.py:183-208, thermal branch).
+    p = one_rdm_from_G(state.G)
+    e_fn = mixed.energy_estimator_G(ham, trial)
+    etot, e1b, e2b = e_fn(p[:, 0], p[:, 1])
+    nav = particle_number(p)
+    w = state.weight
+    cdtype = state.log_m0.dtype
+    acc = jnp.stack(
+        [
+            jnp.sum(state.unscaled_weight).astype(cdtype),
+            jnp.sum(w).astype(cdtype),
+            jnp.sum(w * etot.real).astype(cdtype),
+            jnp.sum(w).astype(cdtype),
+            jnp.sum(w * e1b.real).astype(cdtype),
+            jnp.sum(w * e2b.real).astype(cdtype),
+            jnp.sum(w * nav).astype(cdtype),
+        ]
+    )
+    return state, jnp.stack([acc.real, acc.imag])
+
+
+class ThermalAFQMC:
+    """Finite-temperature AFQMC simulation."""
+
+    def __init__(
+        self,
+        ham,
+        trial,
+        qmc: QMCOpts,
+        propagator_options: dict | None = None,
+        estimator_options: dict | None = None,
+        verbose: bool = False,
+        filename: str | None = None,
+        precision=None,
+    ):
+        assert qmc.beta is not None, "thermal run needs qmc.beta"
+        self.ham = ham
+        self.trial = trial
+        self.qmc = qmc
+        self.verbose = verbose
+        self.prec = config.get_precision(precision)
+        self.ntime_slices = trial.num_slices
+        self.prop = make_thermal_propagator(
+            ham, trial, qmc.dt, options=propagator_options, precision=self.prec
+        )
+        self.state = tws.init_thermal_walkers(trial, qmc.nwalkers)
+        eopts = dict(estimator_options or {})
+        if filename is None:
+            filename = eopts.get("filename", "estimates.0.h5")
+        self.filename = filename
+        create_estimates_file(
+            filename,
+            THERMAL_HEADER,
+            metadata={
+                "system": {"name": ham.name, "nbasis": ham.nbasis},
+                "qmc": {
+                    "beta": qmc.beta, "dt": qmc.dt, "nwalkers": qmc.nwalkers,
+                    "mu": trial.mu,
+                },
+                "propagators": {"free_projection": self.prop.free_projection},
+                "estimators": {},
+            },
+        )
+        self.output = H5EstimatorHelper(filename, "basic")
+        seed = qmc.rng_seed if qmc.rng_seed is not None else 7
+        self.key = jax.random.key(seed)
+        self.block = 0
+        self._t0 = time.time()
+
+    def run_block(self):
+        self.key, sub = jax.random.split(self.key)
+        self.state, acc = run_path(
+            self.ham,
+            self.trial,
+            self.prop,
+            self.state,
+            sub,
+            ntime_slices=self.ntime_slices,
+            npop_control=self.qmc.npop_control,
+            pop_method=self.qmc.pop_control_method,
+            target_weight=float(self.qmc.nwalkers),
+        )
+        ri = np.asarray(acc)
+        acc = ri[0] + 1j * ri[1]
+        self.block += 1
+        uweight, weight, enum, edenom, e1b, e2b, navw = acc
+        now = time.time()
+        elapsed, self._t0 = now - self._t0, now
+        row = np.array(
+            [
+                self.block, uweight, weight, enum, edenom,
+                enum / edenom, e1b / edenom, e2b / edenom,
+                0.0, 0.0, navw / edenom, elapsed,
+            ],
+            dtype=np.complex128,
+        )
+        if self.verbose:
+            print("".join(f"{v.real: 16.8e} " for v in row))
+        self.output.push(row, "energies")
+        self.output.increment()
+        # Reset to the trial density matrix for the next independent path
+        # (thermal_afqmc.py:235 + handler.py:423-429).
+        self.state = tws.init_thermal_walkers(self.trial, self.qmc.nwalkers)
+        return row
+
+    def run(self):
+        if self.verbose:
+            print("".join(f"{h:>17s}" for h in THERMAL_HEADER))
+        rows = [self.run_block() for _ in range(self.qmc.nblocks)]
+        return np.array(rows)

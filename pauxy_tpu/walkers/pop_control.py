@@ -24,29 +24,25 @@ import jax.numpy as jnp
 from pauxy_tpu.walkers.state import WalkerState
 
 
-def _gather_walkers(state: WalkerState, parents: jax.Array) -> WalkerState:
-    """Replace walker i by a copy of walker parents[i] (weights untouched).
+def _gather_walkers(state, parents: jax.Array):
+    """Replace walker i by a copy of walker parents[i] (weights handled by
+    the caller).
 
     The dense-gather equivalent of the reference's walker buffer
     serialization + Isend/Recv (walker.py:63-131, handler.py:301-327): every
-    per-walker field — including the BP field-config history — moves with
-    its parent.
+    per-walker array field — including BP field-config history or thermal
+    propagator stacks — moves with its parent. Works for any walker-state
+    pytree whose per-walker arrays lead with the walker axis (scalars like
+    total_weight pass through untouched).
     """
-    updates = dict(
-        phia=state.phia[parents],
-        phib=state.phib[parents],
-        phase=state.phase[parents],
-        log_ovlp=state.log_ovlp[parents],
-        hybrid_energy=state.hybrid_energy[parents],
-        eloc=state.eloc[parents],
-        log_detr=state.log_detr[parents],
-    )
-    for name in ("configs", "cos_fac", "weight_fac", "phia_old", "phib_old",
-                 "phia_right", "phib_right"):
-        val = getattr(state, name)
-        if val is not None:
-            updates[name] = val[parents]
-    return state.replace(**updates)
+    nw = parents.shape[0]
+
+    def g(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == nw:
+            return x[parents]
+        return x
+
+    return jax.tree_util.tree_map(g, state)
 
 
 def comb(state: WalkerState, key: jax.Array, target_weight: float) -> WalkerState:

@@ -1,0 +1,106 @@
+"""Finite-T kernel tests: pivoted QR, stratified products, 1-RDMs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from pauxy_tpu.estimators import thermal
+from pauxy_tpu.ops import cpqr
+
+
+def rand_c(rng, *shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+@pytest.mark.unit
+def test_cpqr_reconstruction():
+    rng = np.random.default_rng(0)
+    a = rand_c(rng, 3, 6, 6)
+    # Badly scaled columns to exercise the pivoting.
+    a[..., :, 0] *= 1e6
+    a[..., :, 3] *= 1e-6
+    q, r, perm = cpqr.cpqr(jnp.asarray(a))
+    q, r, perm = np.asarray(q), np.asarray(r), np.asarray(perm)
+    for b in range(3):
+        np.testing.assert_allclose(a[b][:, perm[b]], q[b] @ r[b], atol=1e-8)
+        np.testing.assert_allclose(
+            q[b].conj().T @ q[b], np.eye(6), atol=1e-10
+        )
+        # R diagonal magnitudes are non-increasing (pivoting worked).
+        dm = np.abs(np.diagonal(r[b]))
+        assert np.all(dm[:-1] >= dm[1:] - 1e-8)
+        # upper triangular
+        assert np.abs(np.tril(r[b], -1)).max() < 1e-6
+
+
+@pytest.mark.unit
+def test_cpqr_real():
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((2, 5, 5))
+    q, r, perm = cpqr.cpqr(jnp.asarray(a))
+    for b in range(2):
+        np.testing.assert_allclose(
+            a[b][:, np.asarray(perm)[b]], np.asarray(q)[b] @ np.asarray(r)[b],
+            atol=1e-10,
+        )
+
+
+@pytest.mark.unit
+def test_greens_qdt_vs_direct():
+    """(1 + prod B)^-1 matches a direct inverse for a well-conditioned case
+    and stays accurate for an ill-conditioned long product."""
+    rng = np.random.default_rng(2)
+    m, nbins = 6, 4
+    h = rng.standard_normal((m, m))
+    h = 0.5 * (h + h.T)
+    b_one = scipy.linalg.expm(-0.3 * h)
+    stack = np.broadcast_to(b_one, (2, nbins, m, m)).copy()
+    g = np.asarray(thermal.greens_function_qdt(jnp.asarray(stack + 0j)))
+    a = np.linalg.matrix_power(b_one, nbins)
+    g_ref = np.linalg.inv(np.eye(m) + a)
+    np.testing.assert_allclose(g[0], g_ref, atol=1e-9)
+    np.testing.assert_allclose(g[1], g_ref, atol=1e-9)
+
+    # Long product: direct inverse would lose all digits; compare against
+    # the eigenbasis exact result. beta*W ~ 0.3*16*spread.
+    nbins2 = 16
+    stack2 = np.broadcast_to(b_one, (1, nbins2, m, m)).copy()
+    g2 = np.asarray(thermal.greens_function_qdt(jnp.asarray(stack2 + 0j)))[0]
+    evals, evecs = np.linalg.eigh(h)
+    gd = 1.0 / (1.0 + np.exp(-0.3 * nbins2 * evals))
+    g_exact = evecs @ np.diag(gd) @ evecs.T
+    np.testing.assert_allclose(g2, g_exact, atol=1e-8)
+
+
+@pytest.mark.unit
+def test_one_rdm_stable_host_vs_fermi():
+    """Host stratified 1-RDM of exp(-dtau(H-mu)) over n slices equals the
+    Fermi function in the eigenbasis."""
+    rng = np.random.default_rng(3)
+    m = 8
+    h = rng.standard_normal((m, m))
+    h = 0.5 * (h + h.T)
+    dtau, n, mu = 0.5, 20, 0.3
+    bt = scipy.linalg.expm(-dtau * (h - mu * np.eye(m)))
+    p = thermal.one_rdm_stable_host(np.array([bt, bt]), n)
+    evals, evecs = np.linalg.eigh(h)
+    occ = thermal.fermi_factor(evals, dtau * n, mu)
+    p_exact = (evecs * occ[None, :]) @ evecs.T
+    # P = 1 - G^T with G = (1+A)^-1; for symmetric A this is the Fermi 1-RDM.
+    np.testing.assert_allclose(p[0].real, p_exact, atol=1e-8)
+    assert abs(thermal.particle_number_host(p) - 2 * occ.sum()) < 1e-8
+
+
+@pytest.mark.unit
+def test_device_matches_host_stratification():
+    rng = np.random.default_rng(4)
+    m, nbins = 5, 12
+    h = rng.standard_normal((m, m))
+    h = 0.5 * (h + h.T)
+    bt = scipy.linalg.expm(-0.4 * h)
+    stack = np.broadcast_to(bt, (nbins, m, m)) + 0j
+    g_dev = np.asarray(thermal.greens_function_qdt(jnp.asarray(stack[None])))[0]
+    p_host = thermal.one_rdm_stable_host(np.array([bt, bt]), nbins)
+    g_host = np.eye(m) - p_host[0].T
+    np.testing.assert_allclose(g_dev, g_host, atol=1e-9)
