@@ -1,0 +1,141 @@
+"""Input-file driven calculation setup.
+
+Counterpart of ``pauxy/qmc/calc.py:33-103`` and the string-keyed factories
+(``pauxy/systems/utils.py:9``, ``pauxy/trial_wavefunction/utils.py:12``,
+``pauxy/trial_density_matrices/utils.py:4``): the same JSON schema
+(sections ``system|model``, ``qmc``, ``trial``, ``propagator``,
+``estimates|estimators``) builds and returns a ready-to-run driver.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pauxy_tpu.qmc.options import QMCOpts
+from pauxy_tpu.utils.io import get_input_value
+
+
+def get_system(model_opts: dict, precision=None):
+    name = model_opts.get("name", "Generic")
+    if name == "Hubbard":
+        from pauxy_tpu.models.hubbard import make_hubbard
+
+        return make_hubbard(
+            nup=model_opts["nup"],
+            ndown=model_opts["ndown"],
+            U=model_opts["U"],
+            nx=model_opts["nx"],
+            ny=model_opts.get("ny", 1),
+            t=model_opts.get("t", 1.0),
+            ktwist=model_opts.get("ktwist"),
+            xpbc=model_opts.get("xpbc", True),
+            ypbc=model_opts.get("ypbc", True),
+            symmetric=model_opts.get("symmetric", False),
+            precision=precision,
+        )
+    if name == "UEG":
+        from pauxy_tpu.models.ueg import make_ueg
+
+        return make_ueg(
+            nup=model_opts["nup"],
+            ndown=model_opts["ndown"],
+            rs=model_opts["rs"],
+            ecut=model_opts["ecut"],
+            ktwist=model_opts.get("ktwist"),
+            precision=precision,
+        )
+    if name == "Generic":
+        from pauxy_tpu.models.generic import from_qmcpack_file
+
+        integrals = get_input_value(
+            model_opts, "integrals", default=None, alias=["integral_file"]
+        )
+        if integrals is None:
+            raise ValueError("Generic system needs an 'integrals' file")
+        nelec = None
+        if "nup" in model_opts:
+            nelec = (model_opts["nup"], model_opts["ndown"])
+        return from_qmcpack_file(integrals, nelec=nelec, precision=precision)
+    raise NotImplementedError(f"unknown system {name!r}")
+
+
+def get_trial_wavefunction(ham, trial_opts: dict, precision=None, seed=None):
+    from pauxy_tpu.models import trial as tr
+
+    name = trial_opts.get("name", "MultiSlater").lower()
+    if name in ("free_electron",):
+        return tr.free_electron_trial(ham, precision=precision)
+    if name in ("uhf",):
+        return tr.uhf_trial(
+            ham,
+            ueff=trial_opts.get("ueff", 0.4),
+            ninitial=trial_opts.get("ninitial", 10),
+            nconv=trial_opts.get("nconv", 5000),
+            alpha=trial_opts.get("alpha", 0.5),
+            deps=trial_opts.get("deps", 1e-8),
+            seed=seed,
+            precision=precision,
+        )
+    if name in ("hartree_fock", "multislater"):
+        filename = trial_opts.get("filename")
+        if filename is not None:
+            from pauxy_tpu.utils import wavefunction as wio
+
+            return wio.read_wavefunction(ham, filename, precision=precision)
+        return tr.rhf_identity_trial(ham, precision=precision)
+    raise NotImplementedError(f"unknown trial {name!r}")
+
+
+def get_driver(options: dict, verbose: bool = False):
+    """Dispatch on presence of qmc.beta (calc.py:42-55)."""
+    model = options.get("model", options.get("system", {}))
+    qmc_opts = options.get("qmc", {})
+    qmc = QMCOpts.from_dict(qmc_opts, verbose=verbose)
+    ham = get_system(model)
+    est = options.get("estimates", options.get("estimators", {})) or {}
+    popts = options.get("propagator", options.get("propagators", {})) or {}
+
+    if qmc.beta is not None:
+        from pauxy_tpu.models.thermal_trial import make_one_body_trial
+        from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+        topts = options.get("trial", {}) or {}
+        trial = make_one_body_trial(
+            ham,
+            qmc.beta,
+            qmc.dt,
+            mu=topts.get("mu", model.get("mu")),
+            nav=topts.get("nav"),
+            stack_size=topts.get("stack_size"),
+        )
+        return ThermalAFQMC(
+            ham, trial, qmc,
+            propagator_options=popts,
+            estimator_options=est,
+            verbose=verbose,
+            filename=est.get("filename"),
+        )
+
+    from pauxy_tpu.qmc.afqmc import AFQMC
+
+    trial = get_trial_wavefunction(
+        ham, options.get("trial", {}) or {}, seed=qmc.rng_seed
+    )
+    return AFQMC(
+        ham, trial, qmc,
+        propagator_options=popts,
+        estimator_options=est,
+        verbose=verbose,
+        filename=est.get("filename"),
+    )
+
+
+def setup_calculation(input_options):
+    """input.json path or dict -> driver (calc.py:33-41)."""
+    if isinstance(input_options, str):
+        with open(input_options) as f:
+            options = json.load(f)
+    else:
+        options = dict(input_options)
+    verbose = options.get("verbosity", options.get("verbose", 1))
+    return get_driver(options, verbose=bool(verbose))

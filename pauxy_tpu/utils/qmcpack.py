@@ -1,0 +1,183 @@
+"""QMCPACK-format Hamiltonian / FCIDUMP I/O.
+
+Format-compatible with the reference's readers/writers
+(``pauxy/utils/io.py:81-242`` sparse/dense QMCPACK HDF5,
+``pauxy/utils/hamiltonian_converter.py:8-100`` FCIDUMP) so integral files
+produced for pauxy (e.g. by its pyscf tooling) load directly.
+"""
+
+from __future__ import annotations
+
+import h5py
+import numpy as np
+import scipy.sparse
+
+
+def _as_complex_view(data: np.ndarray, shape) -> np.ndarray:
+    return data.view(np.complex128).ravel().reshape(shape)
+
+
+def _to_qmcpack_complex(arr: np.ndarray) -> np.ndarray:
+    out = arr.astype(np.complex128).view(np.float64)
+    return out.reshape(arr.shape + (2,))
+
+
+def read_hamiltonian(filename: str):
+    """Read a QMCPACK HDF5 integral file (dense or sparse factorized).
+
+    Returns (h1e [M, M], chol [M, M, X], ecore, (nalpha, nbeta)).
+    """
+    with h5py.File(filename, "r") as fh5:
+        enuc = float(fh5["Hamiltonian/Energies"][:][0])
+        dims = fh5["Hamiltonian/dims"][:]
+        nmo = int(dims[3])
+        nalpha, nbeta = int(dims[4]), int(dims[5])
+        nchol = int(dims[7])
+
+        hcore_raw = fh5["Hamiltonian/hcore"][:]
+        if hcore_raw.ndim == 3 and hcore_raw.shape[-1] == 2:
+            hcore = _as_complex_view(hcore_raw, (nmo, nmo))
+            if np.abs(hcore.imag).max() < 1e-12:
+                hcore = hcore.real
+        else:
+            hcore = hcore_raw
+
+        if "Hamiltonian/DenseFactorized/L" in fh5:
+            lraw = fh5["Hamiltonian/DenseFactorized/L"][:]
+            if lraw.ndim == 3 and lraw.shape[-1] == 2:
+                chol = _as_complex_view(lraw, (nmo * nmo, -1))
+                if np.abs(chol.imag).max() < 1e-12:
+                    chol = chol.real
+            else:
+                chol = lraw
+        else:
+            block_sizes = fh5["Hamiltonian/Factorized/block_sizes"][:]
+            nval = int(sum(block_sizes))
+            rows = np.zeros(nval, np.int64)
+            cols = np.zeros(nval, np.int64)
+            vals_list = []
+            s = 0
+            for ic, bs in enumerate(block_sizes):
+                ixs = fh5[f"Hamiltonian/Factorized/index_{ic}"][:]
+                rows[s : s + bs] = ixs[::2]
+                cols[s : s + bs] = ixs[1::2]
+                vraw = fh5[f"Hamiltonian/Factorized/vals_{ic}"][:]
+                if vraw.ndim == 2 and vraw.shape[-1] == 2:
+                    vals_list.append(vraw.view(np.complex128).ravel())
+                else:
+                    vals_list.append(np.asarray(vraw).ravel())
+                s += int(bs)
+            vals = np.concatenate(vals_list)
+            chol = scipy.sparse.csr_matrix(
+                (vals, (rows, cols)), shape=(nmo * nmo, nchol)
+            ).toarray()
+            if np.iscomplexobj(chol) and np.abs(chol.imag).max() < 1e-12:
+                chol = chol.real
+    return hcore, chol.reshape(nmo, nmo, -1), enuc, (nalpha, nbeta)
+
+
+def write_hamiltonian(
+    h1e: np.ndarray,
+    chol: np.ndarray,
+    nelec,
+    ecore: float = 0.0,
+    filename: str = "hamiltonian.h5",
+):
+    """Write the dense QMCPACK format (``io.py:176-193``)."""
+    nmo = h1e.shape[-1]
+    chol = np.asarray(chol).reshape(nmo * nmo, -1)
+    real_ints = not (np.iscomplexobj(h1e) or np.iscomplexobj(chol))
+    with h5py.File(filename, "w") as fh5:
+        fh5["Hamiltonian/Energies"] = np.array([ecore, 0.0])
+        if real_ints:
+            fh5["Hamiltonian/hcore"] = np.real(h1e)
+            fh5["Hamiltonian/DenseFactorized/L"] = np.real(chol)
+        else:
+            fh5["Hamiltonian/hcore"] = _to_qmcpack_complex(h1e)
+            fh5["Hamiltonian/DenseFactorized/L"] = _to_qmcpack_complex(chol)
+        fh5["Hamiltonian/dims"] = np.array(
+            [0, 0, 0, nmo, nelec[0], nelec[1], 0, chol.shape[-1]]
+        )
+
+
+def read_fcidump(filename: str, symmetry: int = 8, verbose: bool = False):
+    """Read an FCIDUMP file into (h1e, eri [M,M,M,M] in (ik|jl), ecore,
+    nelec, ms2). Counterpart of ``hamiltonian_converter.py:8-100``."""
+    import re
+
+    with open(filename) as f:
+        content = f.read()
+    header, _, body = content.partition("&END")
+    if not body:
+        header, _, body = content.partition("/")
+    norb = int(re.search(r"NORB\s*=\s*(\d+)", header).group(1))
+    nelec = int(re.search(r"NELEC\s*=\s*(\d+)", header).group(1))
+    ms2_m = re.search(r"MS2\s*=\s*(-?\d+)", header)
+    ms2 = int(ms2_m.group(1)) if ms2_m else 0
+
+    h1e = np.zeros((norb, norb))
+    eri = np.zeros((norb, norb, norb, norb))
+    ecore = 0.0
+    for line in body.strip().splitlines():
+        parts = line.split()
+        if len(parts) < 5:
+            continue
+        v = float(parts[0])
+        i, j, k, l = (int(x) for x in parts[1:5])
+        if i == j == k == l == 0:
+            ecore = v
+        elif k == 0 and l == 0:
+            h1e[i - 1, j - 1] = v
+            h1e[j - 1, i - 1] = v
+        else:
+            # Chemist notation (ij|kl); store as (ik|jl)-style 4-index with
+            # the full 8-fold symmetry.
+            ii, jj, kk, ll = i - 1, j - 1, k - 1, l - 1
+            for (a, b, c, d) in (
+                (ii, jj, kk, ll), (jj, ii, kk, ll), (ii, jj, ll, kk),
+                (jj, ii, ll, kk), (kk, ll, ii, jj), (ll, kk, ii, jj),
+                (kk, ll, jj, ii), (ll, kk, jj, ii),
+            ):
+                eri[a, b, c, d] = v
+    nalpha = (nelec + ms2) // 2
+    nbeta = nelec - nalpha
+    return h1e, eri, ecore, (nalpha, nbeta), ms2
+
+
+def modified_cholesky(eri_mat: np.ndarray, tol: float = 1e-6,
+                      cmax: int = 30, verbose: bool = False) -> np.ndarray:
+    """Pivoted (modified) Cholesky of the ERI supermatrix M[(ik),(jl)].
+
+    Returns L [M^2, nchol] with M ~= L L^T. Counterpart of
+    ``pauxy/utils/linalg.py:112-161``.
+    """
+    n = eri_mat.shape[0]
+    diag = eri_mat.diagonal().copy().astype(float)
+    vecs = []
+    nmax = cmax * int(np.sqrt(n))
+    for _ in range(min(n, max(nmax, 1))):
+        p = int(np.argmax(diag))
+        dmax = diag[p]
+        if dmax <= tol:
+            break
+        col = eri_mat[:, p].astype(float).copy()
+        for v in vecs:
+            col -= v * v[p]
+        v_new = col / np.sqrt(dmax)
+        vecs.append(v_new)
+        diag -= v_new * v_new
+        diag = np.maximum(diag, 0.0)
+    return np.array(vecs).T if vecs else np.zeros((n, 0))
+
+
+def fcidump_to_system(filename: str, chol_tol: float = 1e-6, precision=None):
+    """FCIDUMP -> Generic system (the ``bin/fcidump_to_afqmc.py`` path)."""
+    from pauxy_tpu.models.generic import make_generic
+
+    h1e, eri, ecore, nelec, _ = read_fcidump(filename)
+    m = h1e.shape[0]
+    # (ik|jl) supermatrix with rows (i,k), columns (j,l).
+    mat = eri.transpose(0, 1, 2, 3).reshape(m * m, m * m)
+    chol = modified_cholesky(mat, tol=chol_tol)
+    return make_generic(nelec, h1e, chol.reshape(m, m, -1), ecore,
+                        precision=precision)

@@ -1,0 +1,164 @@
+"""Analysis / IO / CLI pipeline tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pauxy_tpu.analysis import blocking
+from pauxy_tpu.utils import qmcpack
+from pauxy_tpu.utils.testing import generate_hamiltonian
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.unit
+def test_reblock_recovers_iid_error():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096)
+    s = blocking.reblock_summary(x)
+    assert s["mean"] == pytest.approx(x.mean(), abs=1e-12)
+    expected = x.std(ddof=1) / np.sqrt(len(x))
+    assert s["standard error"] == pytest.approx(expected, rel=0.3)
+
+
+@pytest.mark.unit
+def test_reblock_detects_correlation():
+    """AR(1) series: naive error underestimates; reblocked error should be
+    close to the analytic correlated error."""
+    rng = np.random.default_rng(1)
+    n, rho = 16384, 0.9
+    x = np.zeros(n)
+    eps = rng.standard_normal(n)
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + eps[i]
+    s = blocking.reblock_summary(x)
+    naive = x.std(ddof=1) / np.sqrt(n)
+    # True inflation factor sqrt((1+rho)/(1-rho)) ~ 4.36.
+    assert s["standard error"] > 2.5 * naive
+    exact = naive * np.sqrt((1 + rho) / (1 - rho))
+    assert s["standard error"] == pytest.approx(exact, rel=0.4)
+
+
+@pytest.mark.unit
+def test_qmcpack_roundtrip(tmp_path):
+    h1e, chol, enuc, _ = generate_hamiltonian(5, (2, 2), seed=1)
+    fn = str(tmp_path / "ham.h5")
+    qmcpack.write_hamiltonian(h1e, chol, (2, 2), ecore=enuc, filename=fn)
+    h2, c2, e2, nelec = qmcpack.read_hamiltonian(fn)
+    np.testing.assert_allclose(h2, h1e, atol=1e-12)
+    np.testing.assert_allclose(c2, chol, atol=1e-12)
+    assert e2 == pytest.approx(enuc)
+    assert nelec == (2, 2)
+
+
+@pytest.mark.unit
+def test_qmcpack_reference_file_compat(tmp_path):
+    """A file written by the REFERENCE's writer loads through our reader."""
+    if not os.path.isdir("/root/reference/pauxy"):
+        pytest.skip("no reference")
+    sys.path.insert(0, "/root/reference")
+    from pauxy.utils.io import write_qmcpack_sparse
+
+    h1e, chol, enuc, _ = generate_hamiltonian(4, (2, 2), seed=3)
+    fn = str(tmp_path / "sparse.h5")
+    write_qmcpack_sparse(h1e + 0j, chol.reshape(16, -1), (2, 2), 4,
+                         enuc=enuc, filename=fn)
+    h2, c2, e2, nelec = qmcpack.read_hamiltonian(fn)
+    np.testing.assert_allclose(h2, h1e, atol=1e-12)
+    np.testing.assert_allclose(c2, chol, atol=1e-12)
+    assert nelec == (2, 2)
+
+
+@pytest.mark.unit
+def test_fcidump_generic_energy(tmp_path):
+    """FCIDUMP roundtrip: RHF energy from the loaded system matches the
+    direct integral contraction."""
+    rng = np.random.default_rng(4)
+    m, na = 4, 2
+    h1e = rng.standard_normal((m, m))
+    h1e = 0.5 * (h1e + h1e.T)
+    # Diagonal-dominant PSD ERI via random L.
+    l = rng.normal(scale=0.3, size=(m, m, 3))
+    l = 0.5 * (l + l.transpose(1, 0, 2))
+    eri = np.einsum("ikx,jlx->ikjl", l, l)
+    fn = str(tmp_path / "FCIDUMP")
+    with open(fn, "w") as f:
+        f.write(f"&FCI NORB={m},NELEC={2*na},MS2=0,\n ORBSYM=1,1,1,1,\n ISYM=1,\n&END\n")
+        for i in range(m):
+            for k in range(i + 1):
+                for j in range(m):
+                    for ll in range(j + 1):
+                        if (i, k) >= (j, ll):
+                            v = eri[i, k, j, ll]
+                            if abs(v) > 1e-14:
+                                f.write(f"{v:.14e} {i+1} {k+1} {j+1} {ll+1}\n")
+        for i in range(m):
+            for j in range(i + 1):
+                if abs(h1e[i, j]) > 1e-14:
+                    f.write(f"{h1e[i,j]:.14e} {i+1} {j+1} 0 0\n")
+        f.write("0.5 0 0 0 0\n")
+    ham = qmcpack.fcidump_to_system(fn)
+    assert ham.nbasis == m and ham.nelec == (na, na)
+    assert ham.ecore == pytest.approx(0.5)
+    # ERI reconstruction through the cholesky factors.
+    eri_rec = np.einsum("ikx,jlx->ikjl", np.asarray(ham.chol),
+                        np.asarray(ham.chol))
+    np.testing.assert_allclose(eri_rec, eri, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ham.H1[0]), h1e, atol=1e-12)
+
+
+@pytest.mark.driver
+def test_cli_end_to_end(tmp_path):
+    """bin/pauxy-tpu runs an input.json and produces analysable output."""
+    inp = {
+        "model": {"name": "Hubbard", "nx": 3, "ny": 3, "nup": 3, "ndown": 3,
+                  "U": 4.0},
+        "qmc": {"timestep": 0.01, "num_steps": 5, "blocks": 6, "nwalkers": 10,
+                "rng_seed": 9, "pop_control_freq": 5, "stabilise_freq": 5},
+        "trial": {"name": "free_electron"},
+        "propagator": {"hubbard_stratonovich": "continuous"},
+        "estimates": {"filename": str(tmp_path / "est.h5"),
+                      "mixed": {"energy_eval_freq": 1}},
+        "verbosity": 0,
+    }
+    path = tmp_path / "input.json"
+    path.write_text(json.dumps(inp))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "pauxy-tpu"),
+         str(path), "--cpu"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Reblocked estimates" in out.stdout
+
+    # reblock tool on the output
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "reblock.py"),
+         "-s", "1", "-f", str(tmp_path / "est.h5")],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "ETotal" in out2.stdout
+
+
+@pytest.mark.driver
+def test_calc_thermal_dispatch(tmp_path):
+    from pauxy_tpu.qmc.calc import setup_calculation
+
+    driver = setup_calculation({
+        "model": {"name": "Hubbard", "nx": 2, "ny": 2, "nup": 2, "ndown": 2,
+                  "U": 2.0, "mu": 0.3},
+        "qmc": {"timestep": 0.05, "beta": 0.25, "nwalkers": 4, "blocks": 2,
+                "rng_seed": 2, "pop_control_freq": 2},
+        "estimates": {"filename": str(tmp_path / "t.h5")},
+        "verbosity": 0,
+    })
+    rows = driver.run()
+    assert np.isfinite(np.asarray(rows).real).all()
