@@ -64,8 +64,10 @@ def back_propagate_continuous(prop, trial, configs, nstblz: int):
         return (phia, phib), None
 
     # Reverse order: most recent config first (generic.py:280).
+    from pauxy_tpu.utils import jaxops
+
     xs = jnp.flip(jnp.swapaxes(configs, 0, 1), axis=0)    # [nbp, w, nfields]
-    (phia, phib), _ = jax.lax.scan(
+    (phia, phib), _ = jaxops.scan(
         body, (phia, phib), (jnp.arange(nbp), xs)
     )
     return phia, phib
@@ -100,8 +102,10 @@ def back_propagate_hirsch(prop, trial, configs, nstblz: int):
         phib = jax.lax.cond(do, ortho, lambda p: p, phib)
         return (phia, phib), None
 
+    from pauxy_tpu.utils import jaxops
+
     xs = jnp.flip(jnp.swapaxes(configs, 0, 1), axis=0)
-    (phia, phib), _ = jax.lax.scan(body, (phia, phib), (jnp.arange(nbp), xs))
+    (phia, phib), _ = jaxops.scan(body, (phia, phib), (jnp.arange(nbp), xs))
     return phia, phib
 
 

@@ -93,8 +93,10 @@ def back_propagate_left(prop, trial, configs, nstblz: int, discrete: bool):
         phib = jax.lax.cond(do, ortho, lambda p: p, phib)
         return (phia, phib), (phia, phib)
 
+    from pauxy_tpu.utils import jaxops
+
     xs = jnp.flip(jnp.swapaxes(configs, 0, 1), axis=0)
-    (phia, phib), (la, lb) = jax.lax.scan(
+    (phia, phib), (la, lb) = jaxops.scan(
         body, (phia, phib), (jnp.arange(nprop), xs)
     )
     return phia, phib, la, lb
@@ -202,7 +204,9 @@ def measure(prop, trial, state, *, nmax: int, nstblz: int, stable: bool,
         cum_gr[0], cum_gr[1], cum_ls[0], cum_ls[1],
         state.phia_right.astype(spgf0.dtype), state.phib_right.astype(spgf0.dtype),
     )
-    _, spgf_rest = jax.lax.scan(body, carry0, (jnp.arange(nmax), xs))
+    from pauxy_tpu.utils import jaxops
+
+    _, spgf_rest = jaxops.scan(body, carry0, (jnp.arange(nmax), xs))
 
     spgf = jnp.concatenate([spgf0[None], spgf_rest], axis=0)  # [nmax+1,2,2,M,M]
     denom = jnp.sum(wfac)

@@ -142,7 +142,9 @@ def exchange_greens_function_ueg(ham, G: jax.Array, q_chunk: int = 64):
         (ham.kpq_idx, ham.kpq_mask.astype(G.real.dtype),
          ham.pmq_idx, ham.pmq_mask.astype(G.real.dtype)),
     )
-    _, gprod = jax.lax.scan(chunk, None, idxs)            # [nchunks, w, qc]
+    from pauxy_tpu.utils import jaxops
+
+    _, gprod = jaxops.scan(chunk, None, idxs)             # [nchunks, w, qc]
     return gprod.swapaxes(0, 1).reshape(G.shape[0], -1)[:, :nq]
 
 

@@ -74,10 +74,32 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False):
     energy terms are gated with ``lax.cond`` so skipped steps cost nothing
     (energy_eval_freq, ``mixed.py:213-224``).
     """
-    ga = greens.greens_function(state.phia, trial.psia)
-    gb = greens.greens_function(state.phib, trial.psib)
-    e_fn = energy_estimator(ham, trial)
+    from pauxy_tpu.models.multi_slater import (
+        MultiSlaterTrial,
+        greens_function_multi_det,
+    )
+
     cdtype = state.log_ovlp.dtype
+    if isinstance(trial, MultiSlaterTrial):
+        # Per-determinant mixed energy, det-weighted
+        # (mixed.py:439-458 local_energy_multi_det).
+        md = greens_function_multi_det(trial, state.phia, state.phib)
+        eg = energy_estimator_G(ham, trial)
+        nw, nd = md.det_weights.shape
+        m = state.phia.shape[1]
+        gi = md.Gi.reshape(nw * nd, 2, m, m)
+        etot_d, e1_d, e2_d = eg(gi[:, 0], gi[:, 1])
+
+        def det_avg(x):
+            return jnp.sum(md.det_weights * x.reshape(nw, nd), axis=-1)
+
+        _e_tuple = (det_avg(etot_d), det_avg(e1_d), det_avg(e2_d))
+        e_fn = lambda *_: _e_tuple
+        ga = gb = None
+    else:
+        ga = greens.greens_function(state.phia, trial.psia)
+        gb = greens.greens_function(state.phib, trial.psib)
+        e_fn = energy_estimator(ham, trial)
 
     if free_projection:
         # wfac = weight * ot * phase (mixed.py:151-175).

@@ -26,6 +26,38 @@ from pauxy_tpu.ops import greens
 from pauxy_tpu.walkers.state import WalkerState
 
 
+def trial_greens(trial, phia, phib):
+    """(ga, gb, log_ovlp_total) for single- or multi-determinant trials."""
+    from pauxy_tpu.models.multi_slater import (
+        MultiSlaterTrial,
+        greens_function_multi_det,
+    )
+
+    if isinstance(trial, MultiSlaterTrial):
+        md = greens_function_multi_det(trial, phia, phib)
+        ga = greens.SpinGreens(G=md.G[:, 0], Ghalf=None, log_ovlp=md.log_ovlp)
+        gb = greens.SpinGreens(
+            G=md.G[:, 1], Ghalf=None, log_ovlp=jnp.zeros_like(md.log_ovlp)
+        )
+        return ga, gb, md.log_ovlp
+    ga = greens.greens_function(phia, trial.psia)
+    gb = greens.greens_function(phib, trial.psib)
+    return ga, gb, ga.log_ovlp + gb.log_ovlp
+
+
+def trial_log_overlap(trial, phia, phib):
+    from pauxy_tpu.models.multi_slater import (
+        MultiSlaterTrial,
+        log_overlap_multi_det,
+    )
+
+    if isinstance(trial, MultiSlaterTrial):
+        return log_overlap_multi_det(trial, phia, phib)
+    return greens.log_overlap(phia, trial.psia) + greens.log_overlap(
+        phib, trial.psib
+    )
+
+
 class TwoBodyFactors(NamedTuple):
     cmf: jax.Array       # [w] mean-field-shift constant factor
     cfb: jax.Array       # [w] force-bias shift constant factor
@@ -116,18 +148,14 @@ def propagate_phaseless(
     NaNs from dead walkers out of the state.
     """
     inner = prop.inner
-    ga = greens.greens_function(state.phia, trial.psia)
-    gb = greens.greens_function(state.phib, trial.psib)
-    log_o = ga.log_ovlp + gb.log_ovlp
+    ga, gb, log_o = trial_greens(trial, state.phia, state.phib)
 
     phia, phib = _apply_bh1(inner.BH1, state.phia, state.phib)
     fac = two_body_factors(prop, trial, ga, gb, key, state.nwalkers)
     phia, phib = inner.apply_vhs(phia, phib, fac.xshifted)
     phia, phib = _apply_bh1(inner.BH1, phia, phib)
 
-    log_o_new = (
-        greens.log_overlap(phia, trial.psia) + greens.log_overlap(phib, trial.psib)
-    )
+    log_o_new = trial_log_overlap(trial, phia, phib)
 
     # Hybrid weight update (continuous.py:264-292). The 2*pi*i branch
     # ambiguity of the log-ratio only shifts dtheta by full turns, leaving
@@ -188,17 +216,14 @@ def propagate_free(
     (``continuous.py:175-199``).
     """
     inner = prop.inner
-    ga = greens.greens_function(state.phia, trial.psia)
-    gb = greens.greens_function(state.phib, trial.psib)
+    ga, gb, _ = trial_greens(trial, state.phia, state.phib)
 
     phia, phib = _apply_bh1(inner.BH1, state.phia, state.phib)
     fac = two_body_factors(prop, trial, ga, gb, key, state.nwalkers)
     phia, phib = inner.apply_vhs(phia, phib, fac.xshifted)
     phia, phib = _apply_bh1(inner.BH1, phia, phib)
 
-    log_o_new = (
-        greens.log_overlap(phia, trial.psia) + greens.log_overlap(phib, trial.psib)
-    )
+    log_o_new = trial_log_overlap(trial, phia, phib)
     arg = fac.cmf + prop.dt * eshift
     magn = jnp.exp(arg.real)
     phase = jnp.exp(1j * arg.imag)

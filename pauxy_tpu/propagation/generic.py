@@ -50,10 +50,19 @@ class GenericContinuous:
 
     def force_bias(self, trial, ga, gb):
         """xbar = -sqrt(dt) (i vbias - mf_shift) with vbias from the
-        half-rotated Cholesky tensors (``generic.py:130-152``)."""
-        vbias = jnp.einsum(
-            "xim,wim->wx", trial.rchola, ga.Ghalf, optimize=True
-        ) + jnp.einsum("xim,wim->wx", trial.rcholb, gb.Ghalf, optimize=True)
+        half-rotated Cholesky tensors (``generic.py:130-152``), or the full
+        Green's function when no half-rotation exists (multi-determinant
+        trials; ``generic.py:109-128`` slow path)."""
+        if ga.Ghalf is None or getattr(trial, "rchola", None) is None:
+            m = self.BH1.shape[-1]
+            vbias = jnp.einsum(
+                "pqx,wpq->wx", self.chol.reshape(m, m, -1), ga.G + gb.G,
+                optimize=True,
+            )
+        else:
+            vbias = jnp.einsum(
+                "xim,wim->wx", trial.rchola, ga.Ghalf, optimize=True
+            ) + jnp.einsum("xim,wim->wx", trial.rcholb, gb.Ghalf, optimize=True)
         return -self.sqrt_dt * (1j * vbias - self.mf_shift)
 
     def apply_vhs(self, phia, phib, xshifted):

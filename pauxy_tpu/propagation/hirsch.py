@@ -136,7 +136,9 @@ class Hirsch:
             return (phia, phib, inva, invb, weight, dlog), xi
 
         dlog0 = jnp.zeros((nw,), cdtype)
-        (phia, phib, _, _, weight, dlog), fields = jax.lax.scan(
+        from pauxy_tpu.utils import jaxops
+
+        (phia, phib, _, _, weight, dlog), fields = jaxops.scan(
             body,
             (state.phia, state.phib, inva, invb, state.weight, dlog0),
             (jnp.arange(m), rs),

@@ -193,7 +193,9 @@ def run_block(
 
     steps = step0 + 1 + jnp.arange(nsteps)
     keys = jax.random.split(block_key, nsteps)
-    state, (accs, bp_accs, itcf_accs) = jax.lax.scan(
+    from pauxy_tpu.utils import jaxops
+
+    state, (accs, bp_accs, itcf_accs) = jaxops.scan(
         one_step, state, (steps, keys)
     )
 

@@ -71,7 +71,9 @@ def run_path(
         return state, None
 
     keys = jax.random.split(path_key, ntime_slices)
-    state, _ = jax.lax.scan(one_slice, state, (jnp.arange(ntime_slices), keys))
+    from pauxy_tpu.utils import jaxops
+
+    state, _ = jaxops.scan(one_slice, state, (jnp.arange(ntime_slices), keys))
 
     # Mixed thermal measurement from the end-of-path Green's function
     # (estimators/mixed.py:183-208, thermal branch).

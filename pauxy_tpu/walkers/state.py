@@ -82,12 +82,21 @@ def init_walkers(
     Jitted: the target backend mis-handles *eager* complex primitives (see
     utils/transfer.py), so even setup-time device math runs compiled.
     """
+    from pauxy_tpu.models.multi_slater import (
+        MultiSlaterTrial,
+        log_overlap_multi_det,
+    )
+
     phia = jnp.broadcast_to(trial.inita[None], (nwalkers,) + trial.inita.shape)
     phib = jnp.broadcast_to(trial.initb[None], (nwalkers,) + trial.initb.shape)
     cdtype = trial.inita.dtype
     rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
-    log_oa = greens.log_overlap(phia, trial.psia)
-    log_ob = greens.log_overlap(phib, trial.psib)
+    if isinstance(trial, MultiSlaterTrial):
+        log_oa = log_overlap_multi_det(trial, phia, phib)
+        log_ob = jnp.zeros_like(log_oa)
+    else:
+        log_oa = greens.log_overlap(phia, trial.psia)
+        log_ob = greens.log_overlap(phib, trial.psib)
     if total_weight is None:
         total_weight = float(nwalkers)
     extras = {}

@@ -1,0 +1,126 @@
+"""Multi-determinant (NOMSD) trial tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pauxy_tpu.models import make_hubbard, make_generic
+from pauxy_tpu.models.multi_slater import (
+    MultiSlaterTrial,
+    greens_function_multi_det,
+    log_overlap_multi_det,
+    multi_slater_trial,
+)
+from pauxy_tpu.qmc import AFQMC, QMCOpts
+from pauxy_tpu.utils.testing import generate_hamiltonian, random_wavefunction
+
+
+def build_msd(ham, ndets=3, seed=2):
+    rng = np.random.default_rng(seed)
+    m, na, nb = ham.nbasis, ham.nup, ham.ndown
+    psi = rng.standard_normal((ndets, m, na + nb)) + 1j * rng.standard_normal(
+        (ndets, m, na + nb)
+    )
+    coeffs = rng.standard_normal(ndets) + 1j * rng.standard_normal(ndets)
+    return multi_slater_trial(ham, psi, coeffs)
+
+
+@pytest.mark.unit
+def test_msd_overlap_and_greens_vs_numpy():
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = build_msd(ham)
+    rng = np.random.default_rng(7)
+    nw, m, na = 2, 9, 3
+    phi = rng.standard_normal((nw, m, 6)) + 1j * rng.standard_normal((nw, m, 6))
+    phia, phib = jnp.asarray(phi[:, :, :3]), jnp.asarray(phi[:, :, 3:])
+
+    md = greens_function_multi_det(trial, phia, phib)
+    lo = log_overlap_multi_det(trial, phia, phib)
+
+    psia = np.asarray(trial.psia)
+    psib = np.asarray(trial.psib)
+    coeffs = np.asarray(trial.coeffs)
+    for w in range(nw):
+        dets, gs = [], []
+        for d in range(3):
+            sa = phi[w, :, :3].T @ psia[d].conj()
+            sb = phi[w, :, 3:].T @ psib[d].conj()
+            det = np.linalg.det(sa) * np.linalg.det(sb)
+            ga = psia[d].conj() @ np.linalg.inv(sa) @ phi[w, :, :3].T
+            gb = psib[d].conj() @ np.linalg.inv(sb) @ phi[w, :, 3:].T
+            dets.append(coeffs[d].conj() * det)
+            gs.append(np.stack([ga, gb]))
+        ovlp = sum(dets)
+        g_ref = sum(dd * gg for dd, gg in zip(dets, gs)) / ovlp
+        np.testing.assert_allclose(np.exp(complex(lo[w])), ovlp, rtol=1e-8)
+        np.testing.assert_allclose(np.exp(complex(md.log_ovlp[w])), ovlp,
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(md.G[w]), g_ref, atol=1e-9)
+        w_ref = np.array(dets) / ovlp
+        np.testing.assert_allclose(np.asarray(md.det_weights[w]), w_ref,
+                                   atol=1e-9)
+
+
+@pytest.mark.unit
+def test_msd_single_det_limit():
+    """ndets=1 must reproduce the single-determinant machinery exactly."""
+    from pauxy_tpu.models.trial import trial_from_orbitals
+    from pauxy_tpu.ops import greens
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    rng = np.random.default_rng(3)
+    psi = rng.standard_normal((9, 6)) + 1j * rng.standard_normal((9, 6))
+    msd = multi_slater_trial(ham, psi[None], np.ones(1))
+    sd = trial_from_orbitals(ham, psi)
+    phi = rng.standard_normal((3, 9, 6)) + 1j * rng.standard_normal((3, 9, 6))
+    phia, phib = jnp.asarray(phi[:, :, :3]), jnp.asarray(phi[:, :, 3:])
+    md = greens_function_multi_det(msd, phia, phib)
+    ga = greens.greens_function(phia, sd.psia)
+    gb = greens.greens_function(phib, sd.psib)
+    np.testing.assert_allclose(np.asarray(md.G[:, 0]), np.asarray(ga.G),
+                               atol=1e-9)
+    ratio = np.asarray(md.log_ovlp - (ga.log_ovlp + gb.log_ovlp))
+    np.testing.assert_allclose(ratio.real, 0, atol=1e-9)
+
+
+@pytest.mark.driver
+def test_msd_afqmc_hubbard(tmp_path):
+    """Phaseless run with a 2-determinant trial on 3x3 Hubbard."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    # Two UHF-ish determinants: free-electron + slightly rotated copy.
+    from pauxy_tpu.models.trial import free_electron_trial
+
+    fe = free_electron_trial(ham)
+    base = np.concatenate(
+        [np.asarray(fe.psia), np.asarray(fe.psib)], axis=1
+    )
+    rng = np.random.default_rng(5)
+    pert = base + 0.05 * rng.standard_normal(base.shape)
+    trial = multi_slater_trial(ham, np.stack([base, pert]),
+                               np.array([0.9, 0.1]))
+    qmc = QMCOpts(nwalkers=12, dt=0.01, nsteps=10, nblocks=5, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 1}},
+               filename=str(tmp_path / "msd.h5"))
+    rows = af.run()
+    assert np.isfinite(rows.real).all()
+    # Energy comparable to the single-det run (same physics).
+    assert -12 < rows[-1, 5].real < -5
+
+
+@pytest.mark.driver
+def test_msd_afqmc_generic(tmp_path):
+    h1e, chol, enuc, _ = generate_hamiltonian(6, (2, 2), seed=31)
+    ham = make_generic((2, 2), h1e, chol, enuc)
+    rng = np.random.default_rng(17)
+    eye = np.eye(6)[:, :4]
+    psi = np.stack([eye, eye + 0.05 * rng.standard_normal(eye.shape)])
+    trial = multi_slater_trial(ham, psi, np.array([0.95, 0.05]))
+    qmc = QMCOpts(nwalkers=8, dt=0.005, nsteps=10, nblocks=3, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 1}},
+               filename=str(tmp_path / "msdg.h5"))
+    rows = af.run()
+    assert np.isfinite(rows.real).all()
