@@ -1,0 +1,148 @@
+"""Small full-CI for validation.
+
+Counterpart of ``pauxy/estimators/ci.py:159-385`` (simple_fci +
+Slater-Condon rules). Host-side numpy: this is a test oracle for tiny
+systems, not a compute path — AFQMC energies (free projection on small
+lattices, phaseless bias checks) are validated against exact
+diagonalization.
+
+Conventions: spatial integrals h1e[p, q] and chemist-notation ERIs
+eri[p, q, r, s] = (pq|rs); spin orbitals ordered (spatial, spin) with
+alpha=0, beta=1.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+
+def dense_eri(ham) -> np.ndarray:
+    """(pq|rs) for any supported Hamiltonian (reference hijkl methods:
+    hubbard.py:158-163, generic.py:168-172, ueg.py:443-470)."""
+    m = ham.nbasis
+    name = ham.name
+    if name == "Hubbard":
+        eri = np.zeros((m, m, m, m))
+        for i in range(m):
+            eri[i, i, i, i] = ham.U
+        return eri
+    if name == "Generic":
+        chol = np.asarray(ham.chol)
+        return np.einsum("pqx,rsx->pqrs", chol, chol, optimize=True)
+    if name == "UEG":
+        basis = np.asarray(ham.basis)
+        kfac = ham.kfac
+        eri = np.zeros((m, m, m, m))
+        for p in range(m):
+            for q in range(m):
+                qvec = basis[p] - basis[q]
+                q2 = kfac ** 2 * float(qvec @ qvec)
+                if q2 < 1e-12:
+                    continue
+                v = 4 * np.pi / q2 / ham.vol
+                for r in range(m):
+                    diff = basis[r] + qvec
+                    match = np.nonzero((basis == diff).all(axis=1))[0]
+                    if len(match):
+                        eri[p, q, r, int(match[0])] = v
+        return eri
+    raise NotImplementedError(name)
+
+
+def one_body(ham) -> np.ndarray:
+    return np.asarray(ham.H1[0] if hasattr(ham, "H1") else ham.T[0])
+
+
+def _dets(m: int, n: int):
+    return list(itertools.combinations(range(m), n))
+
+
+def _excitation(da: tuple, db: tuple):
+    """Orbitals removed/added going da -> db, plus the permutation sign."""
+    sa, sb = set(da), set(db)
+    rem = sorted(sa - sb)
+    add = sorted(sb - sa)
+    # Sign from aligning the common orbitals.
+    perm = 0
+    for o in rem:
+        perm += da.index(o)
+    for o in add:
+        perm += db.index(o)
+    return rem, add, (-1) ** perm
+
+
+def fci_hamiltonian(ham, nup=None, ndown=None):
+    """Dense FCI Hamiltonian matrix in the product-determinant basis."""
+    m = ham.nbasis
+    nup = ham.nup if nup is None else nup
+    ndown = ham.ndown if ndown is None else ndown
+    h = one_body(ham)
+    eri = dense_eri(ham)
+    ecore = float(getattr(ham, "ecore", 0.0))
+    if ham.name == "UEG":
+        ecore = 0.0  # reference FCI checks exclude the Madelung shift
+
+    dets_a = _dets(m, nup)
+    dets_b = _dets(m, ndown)
+    basis = [(a, b) for a in dets_a for b in dets_b]
+    nd = len(basis)
+
+    def coulomb(oa, ob):
+        """Diagonal element for occupations oa, ob."""
+        e = sum(h[p, p] for p in oa) + sum(h[p, p] for p in ob)
+        # same spin: 1/2 (J - K); opposite spin: J.
+        for occ in (oa, ob):
+            for p, q in itertools.combinations(occ, 2):
+                e += eri[p, p, q, q] - eri[p, q, q, p]
+        for p in oa:
+            for q in ob:
+                e += eri[p, p, q, q]
+        return e
+
+    def single(occ_same, occ_other, p, q):
+        """<D|H|D_p^q> for a single excitation within one spin channel."""
+        e = h[p, q]
+        for r in occ_same:
+            if r != p:
+                e += eri[p, q, r, r] - eri[p, r, r, q]
+        for r in occ_other:
+            e += eri[p, q, r, r]
+        return e
+
+    hmat = np.zeros((nd, nd), dtype=h.dtype)
+    for i, (a1, b1) in enumerate(basis):
+        for j in range(i, nd):
+            a2, b2 = basis[j]
+            ra, aa, sgn_a = _excitation(a1, a2)
+            rb, ab, sgn_b = _excitation(b1, b2)
+            na_ex, nb_ex = len(ra), len(rb)
+            if na_ex + nb_ex > 2:
+                continue
+            if na_ex + nb_ex == 0:
+                val = coulomb(a1, b1) + ecore
+            elif na_ex == 1 and nb_ex == 0:
+                val = sgn_a * single(a1, b1, ra[0], aa[0])
+            elif nb_ex == 1 and na_ex == 0:
+                val = sgn_b * single(b1, a1, rb[0], ab[0])
+            elif na_ex == 2:
+                p, q = ra
+                r, s = aa
+                val = sgn_a * (eri[p, r, q, s] - eri[p, s, q, r])
+            elif nb_ex == 2:
+                p, q = rb
+                r, s = ab
+                val = sgn_b * (eri[p, r, q, s] - eri[p, s, q, r])
+            else:  # one alpha + one beta
+                val = sgn_a * sgn_b * eri[ra[0], aa[0], rb[0], ab[0]]
+            hmat[i, j] = val
+            hmat[j, i] = np.conj(val)
+    return hmat, basis
+
+
+def simple_fci(ham, nup=None, ndown=None, nroots: int = 1):
+    """Lowest FCI eigenvalues (and vectors) — ``ci.py:159-182``."""
+    hmat, basis = fci_hamiltonian(ham, nup, ndown)
+    evals, evecs = np.linalg.eigh(hmat)
+    return evals[:nroots], evecs[:, :nroots], basis

@@ -39,6 +39,25 @@ def local_energy_hubbard(ham, Ga: jax.Array, Gb: jax.Array):
     return ke + pe, ke, pe
 
 
+def local_energy_hubbard_holstein(ham, Ga, Gb, X, shift):
+    """Batched Hubbard-Holstein local energy
+    (``pauxy/estimators/hubbard.py:51-91``): electron part as Hubbard,
+    phonon potential/kinetic (trial-laplacian form) and the e-ph coupling.
+    """
+    from pauxy_tpu.models import hubbard_holstein as hh
+
+    etot_el, ke, pe = local_energy_hubbard(ham, Ga, Gb)
+    pe_ph = 0.5 * ham.m * ham.w0 ** 2 * jnp.sum(X * X, axis=-1)
+    lap = hh.ho_laplacian(X, ham.m, ham.w0, shift)
+    ke_ph = -0.5 * jnp.sum(lap, axis=-1) / ham.m - 0.5 * ham.w0 * ham.nbasis
+    da = jnp.diagonal(Ga, axis1=-2, axis2=-1)
+    db = jnp.diagonal(Gb, axis1=-2, axis2=-1)
+    rho = da + db
+    e_eph = -ham.gsq2mw * jnp.sum(rho * X, axis=-1)
+    etot = etot_el + pe_ph + ke_ph + e_eph
+    return etot, ke + pe, pe_ph + ke_ph + e_eph
+
+
 # ----------------------------------------------------------------------------
 # Generic (Cholesky-factorized ab-initio) — half-rotated fast path
 # ----------------------------------------------------------------------------

@@ -96,6 +96,13 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False):
         _e_tuple = (det_avg(etot_d), det_avg(e1_d), det_avg(e2_d))
         e_fn = lambda *_: _e_tuple
         ga = gb = None
+    elif ham.name == "HubbardHolstein":
+        ga = greens.greens_function(state.phia, trial.psia)
+        gb = greens.greens_function(state.phib, trial.psib)
+        _x, _shift = state.X, trial.shift
+
+        def e_fn(ga, gb):
+            return le.local_energy_hubbard_holstein(ham, ga.G, gb.G, _x, _shift)
     else:
         ga = greens.greens_function(state.phia, trial.psia)
         gb = greens.greens_function(state.phib, trial.psib)

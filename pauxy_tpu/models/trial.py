@@ -36,6 +36,7 @@ class SingleDetTrial:
     rcholb: Any = None     # [naux, nb, M]
     rh1a: Any = None       # [na, M] half-rotated one-body (alpha)
     rh1b: Any = None       # [nb, M]
+    shift: Any = None      # [M] coherent-state phonon displacement (HH)
     # Host-side (numpy) trial Green's function; setup-only, never on device.
     G_host: Any = struct.field(pytree_node=False, default=None)
     etrial: float = struct.field(pytree_node=False, default=0.0)

@@ -222,6 +222,7 @@ class AFQMC:
         qmc: QMCOpts,
         propagator_options: dict | None = None,
         estimator_options: dict | None = None,
+        walker_options: dict | None = None,
         verbose: bool = False,
         filename: str | None = None,
         precision=None,
@@ -277,6 +278,10 @@ class AFQMC:
             self.itcf_restore = True
         self.nprop_tot = nprop_tot or 0
 
+        seed0 = qmc.rng_seed if qmc.rng_seed is not None else 7
+        phonon_mw = (
+            ham.m * ham.w0 if getattr(trial, "shift", None) is not None else None
+        )
         self.state = walker_state.init_walkers(
             trial,
             qmc.nwalkers,
@@ -284,6 +289,8 @@ class AFQMC:
             nprop_tot=nprop_tot,
             nfields=ham.nfields if nprop_tot else None,
             itcf=bool(self.nitcf),
+            phonon_mw=phonon_mw,
+            phonon_key=jax.random.key(seed0 + 1000003),
         )
         self.eshift = 0.0
 
@@ -319,10 +326,32 @@ class AFQMC:
         self.key = jax.random.key(seed)
         self.step = 0
 
+        # Walker restart (handler.py:144-157 write_freq/read_file options).
+        wopts = dict(walker_options or {})
+        self.write_freq = wopts.get("write_freq", 0)
+        self.write_file = wopts.get("write_file", "restart.h5")
+        read_file = wopts.get("read_file")
+        if read_file is not None:
+            from pauxy_tpu.utils.checkpoint import load_walkers
+
+            self.state, info = load_walkers(self.state, read_file)
+            self.step = info["step"]
+            self.eshift = info["eshift"]
+            if info["rng_key"] is not None:
+                self.key = info["rng_key"]
+            if verbose:
+                print(f"# Restarted {self.state.nwalkers} walkers from "
+                      f"{read_file} at step {self.step}.")
+
     # ------------------------------------------------------------------
     def _build_propagator(self, popts: dict):
         name = self.ham.name
         hs = popts.get("hubbard_stratonovich", "continuous")
+        if name == "HubbardHolstein":
+            from pauxy_tpu.propagation.hirsch_dmc import make_hirsch_dmc
+
+            return make_hirsch_dmc(self.ham, self.trial, self.qmc.dt,
+                                   precision=self.prec)
         if "discrete" in hs:
             # Discrete Hirsch propagator (propagation/utils.py:8-45 dispatch).
             if name != "Hubbard":
@@ -448,6 +477,11 @@ class AFQMC:
             self.eshift = self.reporter.get_shift(self.hybrid)
         else:
             self.eshift = self.reporter.get_shift()
+        if self.write_freq and (self.step // self.qmc.nsteps) % self.write_freq == 0:
+            from pauxy_tpu.utils.checkpoint import save_walkers
+
+            save_walkers(self.state, self.write_file, key=self.key,
+                         step=self.step, eshift=self.eshift)
         return row
 
     def run(self):

@@ -47,6 +47,7 @@ class WalkerState:
     phib_old: jax.Array | None = None     # [w, M, nb]
     phia_right: jax.Array | None = None   # [w, M, na] init wfn snapshot (ITCF)
     phib_right: jax.Array | None = None   # [w, M, nb]
+    X: jax.Array | None = None            # [w, M] phonon coordinates (HH)
 
     @property
     def nwalkers(self) -> int:
@@ -62,7 +63,8 @@ import functools
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nwalkers", "total_weight", "nprop_tot", "nfields", "itcf"),
+    static_argnames=("nwalkers", "total_weight", "nprop_tot", "nfields", "itcf",
+                     "phonon_mw"),
 )
 def init_walkers(
     trial,
@@ -71,6 +73,8 @@ def init_walkers(
     nprop_tot: int | None = None,
     nfields: int | None = None,
     itcf: bool = False,
+    phonon_mw: float | None = None,
+    phonon_key=None,
 ) -> WalkerState:
     """Initialise all walkers to the trial determinant with unit weight.
 
@@ -112,6 +116,14 @@ def init_walkers(
         )
         if itcf:
             extras.update(phia_right=phia, phib_right=phib)
+    if getattr(trial, "shift", None) is not None and phonon_mw is not None:
+        # Sample X from |phi_B(X)|^2 = Normal(shift, 1/(2 m w0)) — the exact
+        # distribution the reference approximates with a 250-step VMC walk
+        # (single_det.py:39-61).
+        sigma = (2.0 * phonon_mw) ** -0.5
+        extras["X"] = trial.shift[None, :] + sigma * jax.random.normal(
+            phonon_key, (nwalkers, trial.shift.shape[0]), rdtype
+        )
     return WalkerState(
         phia=phia,
         phib=phib,

@@ -162,3 +162,34 @@ def test_calc_thermal_dispatch(tmp_path):
     })
     rows = driver.run()
     assert np.isfinite(np.asarray(rows).real).all()
+
+
+@pytest.mark.driver
+def test_checkpoint_resume(tmp_path):
+    """Restart reproduces the exact continuation of the original run."""
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    mk = lambda fn, **kw: AFQMC(
+        ham, trial,
+        QMCOpts(nwalkers=8, dt=0.01, nsteps=5, nblocks=6, nstblz=5,
+                npop_control=5, rng_seed=3),
+        estimator_options={"mixed": {"energy_eval_freq": 1}},
+        filename=str(tmp_path / fn), **kw,
+    )
+    # Full 6-block run.
+    af_full = mk("full.h5")
+    rows_full = af_full.run()
+
+    # 3 blocks + checkpoint, then resume for 3 more.
+    af_a = mk("a.h5", walker_options={"write_freq": 1,
+                                      "write_file": str(tmp_path / "r.h5")})
+    for _ in range(3):
+        af_a.run_block()
+    af_b = mk("b.h5", walker_options={"read_file": str(tmp_path / "r.h5")})
+    rows_b = [af_b.run_block() for _ in range(3)]
+    got = np.array(rows_b)[:, 5].real
+    want = rows_full[3:, 5].real
+    np.testing.assert_allclose(got, want, rtol=1e-8)

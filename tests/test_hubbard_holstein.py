@@ -1,0 +1,90 @@
+"""Hubbard-Holstein model tests."""
+
+import numpy as np
+import pytest
+
+from pauxy_tpu.models.hubbard_holstein import (
+    coherent_state_trial,
+    make_hubbard_holstein,
+)
+from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+
+@pytest.mark.unit
+def test_system_params_vs_reference():
+    import os, sys
+
+    if not os.path.isdir("/root/reference/pauxy"):
+        pytest.skip("no reference")
+    sys.path.insert(0, "/root/reference")
+    from pauxy.systems.hubbard_holstein import HubbardHolstein as Ref
+
+    ref = Ref({"nx": 4, "ny": 1, "nup": 2, "ndown": 2, "U": 4.0,
+               "w0": 0.8, "lambda": 0.5, "ktwist": [0.0]})
+    ham = make_hubbard_holstein(nup=2, ndown=2, U=4.0, nx=4, w0=0.8,
+                                lmbda=0.5)
+    assert ham.g == pytest.approx(ref.g)
+    assert ham.m == pytest.approx(ref.m)
+    np.testing.assert_allclose(np.asarray(ham.T), np.asarray(ref.T).real,
+                               atol=1e-12)
+
+
+@pytest.mark.unit
+def test_coherent_state_trial_shift():
+    """Shift satisfies the stationarity condition X = cpl rho / (m w0^2)."""
+    ham = make_hubbard_holstein(nup=2, ndown=2, U=1.0, nx=4, w0=1.0,
+                                lmbda=0.3)
+    trial = coherent_state_trial(ham)
+    psia = np.asarray(trial.psia)
+    psib = np.asarray(trial.psib)
+    rho = (np.einsum("mi,mi->m", psia, psia.conj())
+           + np.einsum("mi,mi->m", psib, psib.conj())).real
+    expected = ham.gsq2mw * rho / (ham.m * ham.w0 ** 2)
+    np.testing.assert_allclose(np.asarray(trial.shift), expected, atol=1e-6)
+    # Variational energy below the g=0 mean-field energy (polaron binding).
+    assert trial.etrial < 0.0
+
+
+@pytest.mark.driver
+def test_single_site_polaron_exact(tmp_path):
+    """One site, (1,1): exact E = U - 4 g^2/w0 (displaced-oscillator
+    solution; the ZPE is excluded by the reference's convention)."""
+    ham = make_hubbard_holstein(nup=1, ndown=1, U=4.0, nx=1, g=0.5, w0=1.0,
+                                xpbc=False)
+    trial = coherent_state_trial(ham)
+    qmc = QMCOpts(nwalkers=200, dt=0.01, nsteps=20, nblocks=8, nstblz=10,
+                  npop_control=10, rng_seed=7)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 2}},
+               filename=str(tmp_path / "pol.h5"))
+    rows = af.run()
+    exact = 4.0 - 4 * 0.5 ** 2 / 1.0
+    et = rows[3:, 5].real
+    assert abs(et.mean() - exact) < 0.05, (et.mean(), exact)
+
+
+@pytest.mark.driver
+def test_hh_g0_matches_hubbard(tmp_path):
+    """g=0 decouples the phonons: electronic energy must agree with the
+    plain Hubbard discrete run, and the phonon contribution vanishes
+    on average."""
+    hh = make_hubbard_holstein(nup=2, ndown=2, U=4.0, nx=4, g=0.0, w0=1.0,
+                               xpbc=False)
+    trial = coherent_state_trial(hh)
+    qmc = QMCOpts(nwalkers=100, dt=0.01, nsteps=20, nblocks=12, nstblz=5,
+                  npop_control=5, rng_seed=5)
+    af = AFQMC(hh, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 2}},
+               filename=str(tmp_path / "hh0.h5"))
+    rows = af.run()
+    assert np.isfinite(rows.real).all()
+
+    from pauxy_tpu.estimators import ci
+    from pauxy_tpu.models import make_hubbard
+
+    hub = make_hubbard(nup=2, ndown=2, U=4.0, nx=4, xpbc=False)
+    e_fci, _, _ = ci.simple_fci(hub)
+    et = rows[6:, 5].real.mean()
+    # CPMC on 4-site chain with this trial: close to the FCI electronic
+    # energy (loose window; short run, constrained-path bias).
+    assert abs(et - e_fci[0]) < 0.3, (et, e_fci[0])
