@@ -150,16 +150,26 @@ class BPReporter:
         self.output.push(np.array([denom]), f"denominator_{self.nbp}")
         if self.eval_energy and abs(denom) > 0:
             self.output.push(acc[:3] / denom, f"energies_{self.nbp}")
-        g = acc[4:].reshape(2, nbasis, nbasis)
+        ng = 2 * nbasis * nbasis
+        g = acc[4 : 4 + ng].reshape(2, nbasis, nbasis)
         self.output.push(g, f"one_rdm_{self.nbp}")
+        rest = acc[4 + ng :]
+        if rest.size == ng:
+            nmm = nbasis * nbasis
+            self.output.push(rest[:nmm].reshape(nbasis, nbasis),
+                             f"fock_1p_{self.nbp}")
+            self.output.push(rest[nmm:].reshape(nbasis, nbasis),
+                             f"fock_1h_{self.nbp}")
         self.output.increment()
         return acc[:3] / denom if abs(denom) > 0 else acc[:3]
 
 
 def update(ham, trial, prop, state, energy_fn, *, nstblz: int,
-           restore_weights: str | None, discrete: bool):
+           restore_weights: str | None, discrete: bool,
+           eval_ekt: bool = False):
     """One BP measurement: returns the flat accumulator
-    [e, e1b, e2b, denom, G.flatten()] summed over walkers."""
+    [e, e1b, e2b, denom, G.flatten() (, EKT 1p/1h Focks)] summed over
+    walkers."""
     if discrete:
         phia_bp, phib_bp = back_propagate_hirsch(prop, trial, state.configs, nstblz)
     else:
@@ -172,17 +182,27 @@ def update(ham, trial, prop, state, energy_fn, *, nstblz: int,
         z = jnp.zeros_like(w)
         etot = e1b = e2b = z
     g = jnp.stack([ga, gb], axis=1)                       # [w, 2, M, M]
-    acc = jnp.concatenate(
-        [
-            jnp.stack(
-                [
-                    jnp.sum(w * etot),
-                    jnp.sum(w * e1b),
-                    jnp.sum(w * e2b),
-                    jnp.sum(w),
-                ]
-            ),
-            jnp.einsum("w,wsmn->smn", w, g).reshape(-1),
-        ]
-    )
-    return acc
+    parts = [
+        jnp.stack(
+            [
+                jnp.sum(w * etot),
+                jnp.sum(w * e1b),
+                jnp.sum(w * e2b),
+                jnp.sum(w),
+            ]
+        ),
+        jnp.einsum("w,wsmn->smn", w, g).reshape(-1),
+    ]
+    if eval_ekt:
+        # RDMs P = 1 - G^T per spin (back_propagation.py:199-218 + ekt.py).
+        from pauxy_tpu.estimators import ekt as ekt_mod
+
+        m = ga.shape[-1]
+        eye = jnp.eye(m, dtype=ga.dtype)
+        pa = eye - jnp.swapaxes(ga, -1, -2)
+        pb = eye - jnp.swapaxes(gb, -1, -2)
+        f1p = ekt_mod.ekt_1p_fock(ham.H1[0], ham.chol, pa, pb)
+        f1h = ekt_mod.ekt_1h_fock(ham.H1[0], ham.chol, pa, pb)
+        parts.append(jnp.einsum("w,wmn->mn", w, f1p).reshape(-1))
+        parts.append(jnp.einsum("w,wmn->mn", w, f1h).reshape(-1))
+    return jnp.concatenate(parts)

@@ -160,3 +160,134 @@ def make_one_body_trial(
         P_host=HostArray(p),
         G_host=HostArray(g),
     )
+
+
+# ----------------------------------------------------------------------------
+# Fock matrices and thermal Hartree-Fock (MeanField) trial
+# ----------------------------------------------------------------------------
+
+def fock_matrix(ham, p: np.ndarray) -> np.ndarray:
+    """F per spin from the 1-RDM (``pauxy/estimators/fock.py:5-28`` dispatch;
+    Hubbard: ``estimators/hubbard.py:208-214``; Generic: J/K from Cholesky
+    vectors, ``estimators/generic.py:458-466`` analogue)."""
+    name = ham.name
+    if name in ("Hubbard", "HubbardHolstein"):
+        t = np.asarray(ham.T)
+        niu = np.diag(np.diagonal(p[0]))
+        nid = np.diag(np.diagonal(p[1]))
+        return t + ham.U * np.stack([nid, niu])
+    if name == "Generic":
+        chol = np.asarray(ham.chol)
+        h1 = np.asarray(ham.H1)
+        rho = p[0] + p[1]
+        xv = np.einsum("pqx,pq->x", chol, rho, optimize=True)
+        j = np.einsum("pqx,x->pq", chol, xv, optimize=True)
+        out = []
+        for s in (0, 1):
+            k = np.einsum("prx,rs,sqx->pq", chol, p[s], chol, optimize=True)
+            out.append(h1[s] + j - k)
+        return np.stack(out)
+    if name == "UEG":
+        # Diagonal (plane-wave) Fock: kinetic + Hartree (q=0 cancels) -
+        # exchange via the gather maps is more involved; use the one-body
+        # part (adequate as a THF seed for the UEG, cf. fock_ueg usage).
+        return np.asarray(ham.H1)
+    raise NotImplementedError(name)
+
+
+def make_mean_field_trial(
+    ham,
+    beta: float,
+    dt: float,
+    nav: float | None = None,
+    alpha: float = 0.75,
+    max_macro_it: int = 100,
+    max_scf_it: int = 100,
+    deps: float = 1e-6,
+    precision=None,
+) -> OneBodyTrial:
+    """Thermal Hartree-Fock trial density matrix.
+
+    Counterpart of ``pauxy/trial_density_matrices/mean_field.py:14-94``:
+    macro-iterate the chemical potential, with an inner SCF on the Fock
+    matrix (density mixing alpha) at fixed mu; the converged HMF defines the
+    slice propagator.
+    """
+    num_slices = int(round(beta / dt))
+    target = nav if nav is not None else (ham.nup + ham.ndown)
+    m = ham.nbasis
+
+    # Seed from the one-body trial.
+    seed = make_one_body_trial(ham, beta, dt, nav=nav, deps=deps,
+                               precision=precision)
+    stack_size = seed.stack_size
+    num_bins = num_slices // stack_size
+    dtau = stack_size * dt
+    p = np.asarray(seed.P_host.arr)
+    mu_old = seed.mu
+    hmf = fock_matrix(ham, p)
+    for _ in range(max_macro_it):
+        # Inner SCF at fixed mu (mean_field.py:64-94).
+        p_old = p
+        for _ in range(max_scf_it):
+            hmf = fock_matrix(ham, p_old)
+            rho = np.stack([
+                scipy.linalg.expm(-dtau * (hmf[0] - mu_old * np.eye(m))),
+                scipy.linalg.expm(-dtau * (hmf[1] - mu_old * np.eye(m))),
+            ])
+            p_new = (1 - alpha) * one_rdm_stable_host(rho, num_bins) + (
+                alpha * p_old
+            )
+            if np.linalg.norm(p_new - p_old) < deps:
+                p_old = p_new
+                break
+            p_old = p_new
+        p = p_old
+        rho0 = np.stack([
+            scipy.linalg.expm(-dtau * hmf[0]),
+            scipy.linalg.expm(-dtau * hmf[1]),
+        ])
+        mu = find_chemical_potential(rho0, dtau, num_bins, target, deps=deps)
+        if abs(mu - mu_old) < deps:
+            mu_old = mu
+            break
+        mu_old = mu
+
+    # Slice propagator from the converged HMF (mean_field.py:26-31).
+    prec = config.get_precision(precision)
+    from pauxy_tpu.utils.transfer import HostArray, to_device
+
+    dmat = np.stack([
+        scipy.linalg.expm(-dt * (hmf[0] - mu_old * np.eye(m))),
+        scipy.linalg.expm(-dt * (hmf[1] - mu_old * np.eye(m))),
+    ])
+    dmat_inv = np.stack([scipy.linalg.inv(dmat[0]), scipy.linalg.inv(dmat[1])])
+    rho_mu = np.stack([
+        scipy.linalg.expm(-dtau * (hmf[0] - mu_old * np.eye(m))),
+        scipy.linalg.expm(-dtau * (hmf[1] - mu_old * np.eye(m))),
+    ])
+    p_final = one_rdm_stable_host(rho_mu, num_bins)
+    g = np.stack([np.eye(m) - p_final[0].T, np.eye(m) - p_final[1].T])
+    powers = [np.stack([np.eye(m)] * 2)]
+    for _ in range(stack_size):
+        powers.append(np.stack([dmat[0] @ powers[-1][0],
+                                dmat[1] @ powers[-1][1]]))
+    left_table = np.stack(
+        [powers[stack_size - 1 - c] for c in range(stack_size)]
+    )
+    cdtype = prec.cplx
+    return OneBodyTrial(
+        dmat=to_device(dmat.astype(cdtype)),
+        dmat_inv=to_device(dmat_inv.astype(cdtype)),
+        left_table=to_device(left_table.astype(cdtype)),
+        bin_full=to_device(powers[stack_size].astype(cdtype)),
+        mu=float(mu_old),
+        beta=float(beta),
+        dt=float(dt),
+        num_slices=num_slices,
+        stack_size=int(stack_size),
+        nav=float(np.real(particle_number_host(p_final))),
+        P_host=HostArray(p_final),
+        G_host=HostArray(g),
+        name="mean_field",
+    )

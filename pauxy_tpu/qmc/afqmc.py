@@ -45,6 +45,7 @@ from pauxy_tpu.walkers import state as walker_state
         "nbp",
         "bp_restore",
         "bp_eval_energy",
+        "bp_eval_ekt",
         "nprop_tot",
         "nitcf",
         "itcf_stable",
@@ -70,6 +71,7 @@ def run_block(
     nbp: int = 0,
     bp_restore: str | None = None,
     bp_eval_energy: bool = False,
+    bp_eval_ekt: bool = False,
     nprop_tot: int = 0,
     nitcf: int = 0,
     itcf_stable: bool = True,
@@ -97,6 +99,7 @@ def run_block(
         return back_prop.update(
             ham, trial, prop, state, e_fn,
             nstblz=nstblz, restore_weights=bp_restore, discrete=discrete,
+            eval_ekt=bp_eval_ekt,
         )
 
     def one_step(state, inp):
@@ -137,7 +140,7 @@ def run_block(
         )
 
         if nbp:
-            nacc_bp = 4 + 2 * m * m
+            nacc_bp = 4 + 2 * m * m + (2 * m * m if bp_eval_ekt else 0)
             bp_acc = jax.lax.cond(
                 step % nbp == 0,
                 bp_measure,
@@ -251,11 +254,13 @@ class AFQMC:
             self.nbp = int(round(bp_opts.get("tau_bp", 0) / qmc.dt))
             self.bp_restore = bp_opts.get("restore_weights", None)
             self.bp_eval_energy = bp_opts.get("evaluate_energy", True)
+            self.bp_eval_ekt = bp_opts.get("evaluate_ekt", False)
             nprop_tot = self.nbp
         else:
             self.nbp = 0
             self.bp_restore = None
             self.bp_eval_energy = False
+            self.bp_eval_ekt = False
             nprop_tot = None
 
         # ITCF configuration (estimators/itcf.py:79-96).
@@ -454,6 +459,7 @@ class AFQMC:
             nbp=self.nbp,
             bp_restore=self.bp_restore,
             bp_eval_energy=self.bp_eval_energy,
+            bp_eval_ekt=self.bp_eval_ekt,
             nprop_tot=self.nprop_tot,
             nitcf=self.nitcf,
             itcf_stable=self.itcf_stable,

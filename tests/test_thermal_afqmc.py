@@ -146,3 +146,38 @@ def test_thermal_ueg_runs(tmp_path):
     rows = af.run()
     assert np.isfinite(rows.real).all()
     assert (rows[:, 10].real > 0).all()
+
+
+@pytest.mark.unit
+def test_mean_field_trial():
+    """THF trial: for U=0 it must coincide with the OneBody trial; for U>0
+    the Fock matrix shifts mu and the target <N> is still met."""
+    from pauxy_tpu.models.thermal_trial import (
+        make_mean_field_trial,
+        make_one_body_trial,
+    )
+
+    ham0 = make_hubbard(nup=2, ndown=2, U=0.0, nx=2, ny=2)
+    mf = make_mean_field_trial(ham0, 0.5, 0.05)
+    ob = make_one_body_trial(ham0, 0.5, 0.05)
+    assert mf.mu == pytest.approx(ob.mu, abs=1e-4)
+    np.testing.assert_allclose(mf.P_host.arr.real, ob.P_host.arr.real,
+                               atol=1e-5)
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    mf4 = make_mean_field_trial(ham, 0.5, 0.05)
+    assert mf4.nav == pytest.approx(4.0, abs=1e-3)
+    assert mf4.mu != pytest.approx(mf.mu, abs=0.05)  # U shifted mu
+
+
+@pytest.mark.driver
+def test_thermal_with_mean_field_trial(tmp_path):
+    from pauxy_tpu.models.thermal_trial import make_mean_field_trial
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = make_mean_field_trial(ham, 0.5, 0.05)
+    qmc = QMCOpts(nwalkers=12, dt=0.05, nsteps=1, nblocks=3, beta=0.5,
+                  npop_control=2, rng_seed=1)
+    af = ThermalAFQMC(ham, trial, qmc, filename=str(tmp_path / "mf.h5"))
+    rows = af.run()
+    assert np.isfinite(rows.real).all()
