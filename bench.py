@@ -25,10 +25,10 @@ REFERENCE_WALKER_STEPS_PER_SEC = 2901.0  # measured 2026-08-16, see docstring
 NWALKERS = 1024
 NSTEPS = 10
 NBLOCKS_MEASURE = 5
-ATTEMPTS = 4
+ATTEMPTS = 6
 
 
-def measure():
+def measure(block_mode="fused", nwalkers=None):
     import jax
     import jax.numpy as jnp
 
@@ -39,10 +39,11 @@ def measure():
     from pauxy_tpu.models import make_hubbard, free_electron_trial
     from pauxy_tpu.qmc import AFQMC, QMCOpts
 
+    nwalkers = nwalkers or NWALKERS
     ham = make_hubbard(nup=7, ndown=7, U=4.0, nx=4, ny=4)
     trial = free_electron_trial(ham)
     qmc = QMCOpts(
-        nwalkers=NWALKERS,
+        nwalkers=nwalkers,
         dt=0.01,
         nsteps=NSTEPS,
         nblocks=NBLOCKS_MEASURE + 1,
@@ -57,6 +58,7 @@ def measure():
         estimator_options={"mixed": {"energy_eval_freq": 1}},
         verbose=False,
         filename="bench_estimates.h5",
+        block_mode=block_mode,
     )
 
     # Warm-up block: compile + first execution.
@@ -69,7 +71,7 @@ def measure():
     jax.block_until_ready(af.state.weight)
     elapsed = time.perf_counter() - t0
 
-    walker_steps = NWALKERS * NSTEPS * NBLOCKS_MEASURE
+    walker_steps = nwalkers * NSTEPS * NBLOCKS_MEASURE
     rate = walker_steps / elapsed
     print(
         "RESULT "
@@ -79,6 +81,8 @@ def measure():
                 "value": round(rate, 1),
                 "unit": "walker-steps/s/chip",
                 "vs_baseline": round(rate / REFERENCE_WALKER_STEPS_PER_SEC, 2),
+                "nwalkers": nwalkers,
+                "block_mode": block_mode,
             }
         ),
         flush=True,
@@ -87,14 +91,28 @@ def measure():
 
 def main():
     if "--measure" in sys.argv:
-        measure()
+        mode = "split" if "--split" in sys.argv else "fused"
+        nw = None
+        for a in sys.argv:
+            if a.startswith("--nw="):
+                nw = int(a.split("=")[1])
+        measure(mode, nw)
         return
     here = os.path.abspath(__file__)
     last_err = ""
+    plans = [
+        [],                    # fused, 1k walkers (the headline config)
+        ["--split"],
+        [],
+        ["--split"],
+        ["--nw=256"],          # smaller program as a last resort
+        ["--split", "--nw=256"],
+    ]
     for attempt in range(ATTEMPTS):
+        args = [sys.executable, here, "--measure"] + plans[attempt % len(plans)]
         try:
             out = subprocess.run(
-                [sys.executable, here, "--measure"],
+                args,
                 capture_output=True,
                 text=True,
                 timeout=1500,

@@ -211,6 +211,43 @@ def run_block(
     return state, as_real(accs), as_real(bp_accs), as_real(itcf_accs)
 
 
+# ----------------------------------------------------------------------------
+# Split-dispatch step pieces: the axon backend intermittently rejects the
+# large fused block program; these small jits are the fallback path
+# (AFQMC(block_mode="split") / PAUXY_TPU_SPLIT=1).
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("free_projection",))
+def _step_ortho(state, free_projection: bool):
+    return walker_state.orthogonalise(state, free_projection)
+
+
+@jax.jit
+def _step_propagate(prop, trial, state, key, eshift):
+    return prop.propagate(trial, state, key, eshift)
+
+
+@jax.jit
+def _step_cap(state):
+    cap = 0.10 * state.total_weight
+    return state.replace(
+        weight=jnp.where(jnp.abs(state.weight) > cap, cap, state.weight)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("target_weight", "pop_method"))
+def _step_pop(state, key, target_weight: float, pop_method: str):
+    return pc.pop_control(state, key, target_weight, pop_method)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eval_energy", "free_projection")
+)
+def _step_mixed(ham, trial, state, eval_energy: bool, free_projection: bool):
+    acc = mixed.update(ham, trial, state, eval_energy, free_projection)
+    return jnp.stack([acc.real, acc.imag])
+
+
 class AFQMC:
     """Zero-temperature AFQMC simulation.
 
@@ -229,7 +266,13 @@ class AFQMC:
         verbose: bool = False,
         filename: str | None = None,
         precision=None,
+        block_mode: str | None = None,
     ):
+        import os as _os
+
+        self.block_mode = block_mode or (
+            "split" if _os.environ.get("PAUXY_TPU_SPLIT") == "1" else "fused"
+        )
         self.uuid = str(uuid.uuid1())
         self.ham = ham
         self.trial = trial
@@ -438,9 +481,55 @@ class AFQMC:
         }
 
     # ------------------------------------------------------------------
+    def _run_block_split(self, block_key, eshift):
+        """Python-loop block with small per-piece jits (no BP/ITCF)."""
+        assert not self.nbp and not self.nitcf, (
+            "split block mode does not support BP/ITCF"
+        )
+        state = self.state
+        qmc = self.qmc
+        acc = None
+        for i in range(qmc.nsteps):
+            step = self.step + 1 + i
+            key = jax.random.fold_in(block_key, i)
+            kprop, kpop = jax.random.split(key)
+            if step % qmc.nstblz == 0:
+                state = _step_ortho(state, self.free_projection)
+            state = _step_propagate(self.prop, self.trial, state, kprop, eshift)
+            if step > 1:
+                state = _step_cap(state)
+            if step % qmc.npop_control == 0:
+                state = _step_pop(
+                    state, kpop, float(qmc.nwalkers), qmc.pop_control_method
+                )
+            a = _step_mixed(
+                self.ham, self.trial, state,
+                step % self.energy_eval_freq == 0, self.free_projection,
+            )
+            acc = a if acc is None else acc + a
+        self.state = state
+        z = jnp.zeros((2, 0), acc.dtype)
+        return acc, z, z
+
     def run_block(self):
         """Advance one block (nsteps) and report."""
         self.key, sub = jax.random.split(self.key)
+        if self.block_mode == "split":
+            eshift_dev = jnp.asarray(self.eshift, self.state.log_ovlp.dtype)
+            acc, bp_acc, itcf_acc = self._run_block_split(sub, eshift_dev)
+            self.step += self.qmc.nsteps
+
+            def fetch(x):
+                ri = np.asarray(x)
+                return ri[0] + 1j * ri[1]
+
+            row = self.reporter.block_row(self.step, fetch(acc))
+            if self.step < self.qmc.neqlb:
+                self.eshift = self.reporter.get_shift(self.hybrid)
+            else:
+                self.eshift = self.reporter.get_shift()
+            return row
+
         self.state, acc, bp_acc, itcf_acc = run_block(
             self.ham,
             self.trial,
