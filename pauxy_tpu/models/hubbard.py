@@ -107,6 +107,22 @@ def kinetic_matrix(
     return tmat + tmat.conj().T
 
 
+def pinned_kinetic(t: float, nx: int, ny: int) -> np.ndarray:
+    """Hopping matrix with staggered pinning fields on the ix = 0 column.
+
+    Counterpart of ``pauxy/systems/hubbard.py:227-276`` (kinetic_pinning_alt,
+    Qin16): open x / periodic y boundaries, diagonal fields
+    +/- 0.1 t (-1)^{iy} with opposite sign for the two spins.
+    Returns [2, M, M] (spin-dependent).
+    """
+    m = nx * ny
+    base = kinetic_matrix(t, nx, ny, ktwist=None, xpbc=False, ypbc=True)
+    coords = _lattice_coords(nx, ny)
+    h = 0.1 * t
+    field = np.where(coords[:, 0] == 0, (-1.0) ** coords[:, 1] * h, 0.0)
+    return np.stack([base + np.diag(field), base - np.diag(field)])
+
+
 def band_energies(t: float, nx: int, ny: int) -> np.ndarray:
     """Single-particle energies e(k) = -2t (cos kx + cos ky), FFT k-ordering.
 
@@ -131,23 +147,29 @@ def make_hubbard(
     xpbc: bool = True,
     ypbc: bool = True,
     symmetric: bool = False,
+    pinning_fields: bool = False,
     precision=None,
 ) -> Hubbard:
     """Build a Hubbard system container.
 
-    Mirrors the options of ``pauxy/systems/hubbard.py:46-105`` (pinning fields
-    are handled by :func:`pinned_kinetic` and added separately).
+    Mirrors the options of ``pauxy/systems/hubbard.py:46-105`` incl. the
+    pinning-field lattice (``hubbard.py:82-88``).
     """
     prec = config.get_precision(precision)
     m = nx * ny
-    tmat = kinetic_matrix(t, nx, ny, ktwist=ktwist, xpbc=xpbc, ypbc=ypbc)
-    dtype = prec.cplx if np.iscomplexobj(tmat) else prec.real
-    h1 = np.stack([tmat, tmat]).astype(dtype)
+    if pinning_fields:
+        h1 = pinned_kinetic(t, nx, ny)
+        dtype = prec.real
+        h1 = h1.astype(dtype)
+    else:
+        tmat = kinetic_matrix(t, nx, ny, ktwist=ktwist, xpbc=xpbc, ypbc=ypbc)
+        dtype = prec.cplx if np.iscomplexobj(tmat) else prec.real
+        h1 = np.stack([tmat, tmat]).astype(dtype)
     if symmetric:
         h1e_mod = h1
     else:
         v0 = 0.5 * U * np.eye(m)
-        h1e_mod = np.stack([tmat - v0, tmat - v0]).astype(dtype)
+        h1e_mod = (h1 - v0[None]).astype(dtype)
     return Hubbard(
         T=h1,
         h1e_mod=h1e_mod,

@@ -145,6 +145,21 @@ def rhf_identity_trial(ham, precision=None) -> SingleDetTrial:
     return _finalize(ham, eye[:, : ham.nup], eye[:, : ham.ndown], prec, "hartree_fock")
 
 
+def checkerboard_guess(nbasis: int, nup: int, ndown: int, nx: int, ny: int):
+    """Antiferromagnetic checkerboard determinant (``uhf.py:194-213``)."""
+    wfn = np.zeros((nbasis, nup + ndown), dtype=np.complex128)
+    na = nb = 0
+    for i in range(nbasis):
+        x, y = i % nx, i // nx
+        if (x + y) % 2 == 0 and na < nup:
+            wfn[i, na] = 1.0
+            na += 1
+        elif nb < ndown:
+            wfn[i, nup + nb] = -1.0
+            nb += 1
+    return wfn
+
+
 def uhf_trial(
     ham,
     ueff: float = 0.4,
@@ -153,6 +168,7 @@ def uhf_trial(
     alpha: float = 0.5,
     deps: float = 1e-8,
     seed: int | None = None,
+    initial: str = "random",
     precision=None,
 ) -> SingleDetTrial:
     """Self-consistent UHF trial for the Hubbard model.
@@ -168,6 +184,11 @@ def uhf_trial(
     t1 = np.asarray(ham.T[1])
     m, nup, ndown = ham.nbasis, ham.nup, ham.ndown
     depsn = deps ** 0.5
+    if initial == "checkerboard":
+        # AF-ordered starting determinant instead of random restarts
+        # (uhf.py:88-92).
+        wfn = checkerboard_guess(m, nup, ndown, ham.nx, ham.ny)
+        return _finalize(ham, wfn[:, :nup], wfn[:, nup:], prec, "uhf")
 
     def density(v):
         return np.einsum("mi,mi->m", v, v.conj()).real

@@ -31,6 +31,7 @@ def get_system(model_opts: dict, precision=None):
             xpbc=model_opts.get("xpbc", True),
             ypbc=model_opts.get("ypbc", True),
             symmetric=model_opts.get("symmetric", False),
+            pinning_fields=model_opts.get("pinning_fields", False),
             precision=precision,
         )
     if name == "UEG":

@@ -193,3 +193,21 @@ def test_checkpoint_resume(tmp_path):
     got = np.array(rows_b)[:, 5].real
     want = rows_full[3:, 5].real
     np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+@pytest.mark.unit
+def test_autocorr_reblock():
+    from pauxy_tpu.analysis.autocorr import integrated_time, reblock_by_autocorr
+
+    rng = np.random.default_rng(2)
+    n, rho = 8192, 0.8
+    x = np.zeros(n)
+    eps = rng.standard_normal(n)
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + eps[i]
+    tac = integrated_time(x)
+    exact = (1 + rho) / (1 - rho)
+    assert tac == pytest.approx(exact, rel=0.35)
+    df = reblock_by_autocorr(x)
+    naive = x.std(ddof=1) / np.sqrt(n)
+    assert float(df["ETotal_error_ac"].iloc[0]) > 2.0 * naive

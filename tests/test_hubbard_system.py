@@ -62,3 +62,36 @@ def test_kinetic_hermitian_and_bandsum():
     np.testing.assert_allclose(
         np.sort(np.linalg.eigvalsh(t)), np.sort(band_energies(1.0, 4, 4)), atol=1e-12
     )
+
+
+@pytest.mark.unit
+def test_pinning_fields():
+    from pauxy_tpu.models.hubbard import pinned_kinetic
+
+    t2 = pinned_kinetic(1.0, 4, 4)
+    assert t2.shape == (2, 16, 16)
+    # Staggered field on the ix=0 column only, opposite for spins.
+    diag_up = np.diagonal(t2[0])
+    diag_dn = np.diagonal(t2[1])
+    np.testing.assert_allclose(diag_up, -diag_dn, atol=1e-14)
+    for i in range(16):
+        x, y = i % 4, i // 4
+        expect = 0.1 * (-1.0) ** y if x == 0 else 0.0
+        assert diag_up[i] == pytest.approx(expect)
+    # System builds and is spin-asymmetric.
+    ham = make_hubbard(nup=7, ndown=7, U=4.0, nx=4, ny=4, pinning_fields=True)
+    assert not np.allclose(np.asarray(ham.T[0]), np.asarray(ham.T[1]))
+
+
+@pytest.mark.unit
+def test_uhf_checkerboard_guess():
+    from pauxy_tpu.models.trial import uhf_trial
+
+    ham = make_hubbard(nup=8, ndown=8, U=4.0, nx=4, ny=4)
+    trial = uhf_trial(ham, initial="checkerboard")
+    # Neel-ordered determinant: staggered spin density.
+    psia = np.asarray(trial.psia)
+    niup = np.einsum("mi,mi->m", psia, psia.conj()).real
+    assert niup.sum() == pytest.approx(8.0)
+    stagger = np.array([(-1.0) ** ((i % 4) + (i // 4)) for i in range(16)])
+    assert abs(np.dot(stagger, niup)) > 4.0
