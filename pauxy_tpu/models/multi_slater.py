@@ -76,7 +76,15 @@ def greens_function_multi_det(trial: MultiSlaterTrial, phia, phib) -> MultiDetGr
     def spin(phi, psi):
         s = jnp.einsum("wmi,dmj->wdij", phi, psi.conj(), optimize=True)
         logdet = clinalg.slogdet(s)                        # [w, D]
-        ghalf = clinalg.solve(s, jnp.swapaxes(phi, -1, -2)[:, None])
+        # A walker exactly orthogonal to one determinant (det S_d = 0) makes
+        # S_d singular; its det weight is 0 but inf * 0 = nan would poison
+        # the weighted sum, so solve a regularised S_d and zero the result.
+        singular = ~jnp.isfinite(logdet.real)              # [w, D]
+        eye = jnp.eye(s.shape[-1], dtype=s.dtype)
+        s_safe = jnp.where(singular[..., None, None], eye, s)
+        ghalf = clinalg.solve(s_safe, jnp.swapaxes(phi, -1, -2)[:, None])
+        ghalf = jnp.where(singular[..., None, None], 0.0, ghalf)
+        logdet = jnp.where(singular, -1e30, logdet.real) + 1j * logdet.imag
         g = jnp.einsum("dmi,wdin->wdmn", psi.conj(), ghalf, optimize=True)
         return g, logdet
 
@@ -97,6 +105,7 @@ def log_overlap_multi_det(trial: MultiSlaterTrial, phia, phib) -> jax.Array:
         clinalg.slogdet(sa) + clinalg.slogdet(sb)
         + jnp.log(trial.coeffs.conj())[None, :]
     )
+    logw = jnp.where(jnp.isfinite(logw.real), logw.real, -1e30) + 1j * logw.imag
     return _logsumexp_c(logw, axis=-1)
 
 
@@ -117,7 +126,25 @@ def multi_slater_trial(ham, psi: np.ndarray, coeffs=None, init=None,
         coeffs = np.ones(d)
     coeffs = np.asarray(coeffs).astype(prec.cplx)
     if init is None:
-        init = psi[0]
+        # The first determinant can be exactly orthogonal to another one
+        # (e.g. PHMSD identity columns); start from the dominant subspace of
+        # the coefficient-weighted determinant span instead, which overlaps
+        # every determinant generically.
+        def span_init(block, n):
+            cols = np.concatenate([block[d] for d in range(len(coeffs))],
+                                  axis=1)
+            # Generic (seeded) mixing: an axis-aligned subspace (plain SVD)
+            # can be exactly orthogonal to a small-coefficient determinant,
+            # a random combination of the span almost surely is not.
+            rng = np.random.default_rng(7)
+            w = rng.standard_normal((cols.shape[1], n))
+            q, _ = np.linalg.qr(cols @ w)
+            return q[:, :n]
+
+        init = np.concatenate(
+            [span_init(psi[:, :, :na], na), span_init(psi[:, :, na:], ham.ndown)],
+            axis=1,
+        )
     psia, psib = psi[:, :, :na], psi[:, :, na:]
 
     # Host trial Green's function + variational-ish energy from the
@@ -152,3 +179,17 @@ def multi_slater_trial(ham, psi: np.ndarray, coeffs=None, init=None,
         G_host=HostArray(g_host),
         etrial=etrial,
     )
+
+
+def phmsd_trial(ham, coeffs, occa, occb, precision=None) -> MultiSlaterTrial:
+    """Particle-hole MSD from occupation-number lists (CI expansions in an
+    orthogonal basis). Counterpart of ``multi_slater.py:172-232``
+    (from_phmsd): each determinant is a column selection of the identity.
+    """
+    m = ham.nbasis
+    eye = np.eye(m)
+    psis = []
+    for oa, ob in zip(occa, occb):
+        psis.append(np.concatenate([eye[:, list(oa)], eye[:, list(ob)]], axis=1))
+    return multi_slater_trial(ham, np.stack(psis), np.asarray(coeffs),
+                              precision=precision)

@@ -83,10 +83,11 @@ class Continuous:
         # Hybrid-energy bound (continuous.py:70).
         return (2.0 / self.dt) ** 0.5
 
-    def propagate(self, trial, state, key, eshift, bp_ix=None):
+    def propagate(self, trial, state, key, eshift, bp_ix=None, ham=None):
         if self.free_projection:
             return propagate_free(self, trial, state, key, eshift)
-        return propagate_phaseless(self, trial, state, key, eshift, bp_ix)
+        return propagate_phaseless(self, trial, state, key, eshift, bp_ix,
+                                   ham=ham)
 
 
 def _apply_bh1(bh1: jax.Array, phia: jax.Array, phib: jax.Array):
@@ -139,6 +140,7 @@ def propagate_phaseless(
     key: jax.Array,
     eshift: jax.Array,
     bp_ix=None,
+    ham=None,
 ) -> WalkerState:
     """One phaseless step for the whole population.
 
@@ -157,16 +159,33 @@ def propagate_phaseless(
 
     log_o_new = trial_log_overlap(trial, phia, phib)
 
-    # Hybrid weight update (continuous.py:264-292). The 2*pi*i branch
-    # ambiguity of the log-ratio only shifts dtheta by full turns, leaving
-    # cos(dtheta) and |I| unchanged.
+    # Weight update (continuous.py:264-318). The 2*pi*i branch ambiguity of
+    # the log-ratio only shifts dtheta by full turns, leaving cos(dtheta)
+    # and |I| unchanged.
     dt = prop.dt
     log_ratio = log_o_new - log_o
     ehyb = -(log_ratio + fac.cfb + fac.cmf) / dt
-    ehyb = _bound_hybrid(ehyb, eshift, prop.ebound)
-    log_imp = -dt * (0.5 * (ehyb + state.hybrid_energy) - eshift)
-    magn = jnp.exp(log_imp.real)
-    dtheta = (-dt * ehyb - fac.cfb).imag
+    if prop.hybrid:
+        ehyb = _bound_hybrid(ehyb, eshift, prop.ebound)
+        log_imp = -dt * (0.5 * (ehyb + state.hybrid_energy) - eshift)
+        magn = jnp.exp(log_imp.real)
+        dtheta = (-dt * ehyb - fac.cfb).imag
+    else:
+        # Local-energy update (continuous.py:294-318): magnitude from the
+        # bounded local energy, cosine from the overlap-ratio phase.
+        from pauxy_tpu.estimators import mixed as mixed_mod
+
+        assert ham is not None, "local-energy weight update needs ham"
+        if ga.Ghalf is None:
+            eloc = mixed_mod.energy_estimator_G(ham, trial)(ga.G, gb.G)[0]
+        else:
+            eloc = mixed_mod.energy_estimator(ham, trial)(ga, gb)[0]
+        re_eloc = _bound_hybrid(eloc, eshift, prop.ebound)
+        magn = jnp.exp(-0.5 * dt * (re_eloc + state.eloc - eshift).real)
+        log_imp = jnp.zeros_like(log_ratio)
+        dtheta = log_ratio.imag
+        ehyb = state.hybrid_energy
+        state = state.replace(eloc=eloc)
     cosine_fac = jnp.maximum(0.0, jnp.cos(dtheta))
     weight = state.weight * magn * cosine_fac
     weight = jnp.where(jnp.isfinite(weight), weight, 0.0)

@@ -200,7 +200,7 @@ class Hirsch:
             log_ovlp=log_new,
         )
 
-    def propagate(self, trial, state, key, eshift, bp_ix=None):
+    def propagate(self, trial, state, key, eshift, bp_ix=None, ham=None):
         if self.free_projection:
             return self._propagate_free(trial, state, key, eshift)
         return self._propagate_constrained(trial, state, key, eshift, bp_ix)

@@ -94,7 +94,7 @@ class HirschDMC:
             log_ovlp=state.log_ovlp + log_ratio.astype(state.log_ovlp.dtype),
         )
 
-    def propagate(self, trial, state, key, eshift, bp_ix=None):
+    def propagate(self, trial, state, key, eshift, bp_ix=None, ham=None):
         k1, k2 = jax.random.split(key)
         state = self._electron_half_step(trial, state, 0.5 * self.dt)
         state, _fields = self.hirsch._site_sweep(trial, state, k1)

@@ -114,7 +114,8 @@ def run_block(
         )
 
         bp_ix = ((step - 1) % nhist) if nhist else None
-        state = prop.propagate(trial, state, kprop, eshift, bp_ix=bp_ix)
+        state = prop.propagate(trial, state, kprop, eshift, bp_ix=bp_ix,
+                               ham=ham)
 
         # Cap runaway weights at 10% of the total (afqmc.py:235-236).
         cap = 0.10 * state.total_weight
@@ -223,8 +224,8 @@ def _step_ortho(state, free_projection: bool):
 
 
 @jax.jit
-def _step_propagate(prop, trial, state, key, eshift):
-    return prop.propagate(trial, state, key, eshift)
+def _step_propagate(prop, trial, state, key, eshift, ham=None):
+    return prop.propagate(trial, state, key, eshift, ham=ham)
 
 
 @jax.jit
@@ -449,8 +450,11 @@ class AFQMC:
         )
 
     def _metadata(self, popts: dict) -> dict:
+        from pauxy_tpu.utils.io import get_sys_info
+
         return {
             "uuid": self.uuid,
+            "sys_info": get_sys_info(),
             "system": {
                 "name": self.ham.name,
                 "nup": self.ham.nup,
@@ -495,7 +499,8 @@ class AFQMC:
             kprop, kpop = jax.random.split(key)
             if step % qmc.nstblz == 0:
                 state = _step_ortho(state, self.free_projection)
-            state = _step_propagate(self.prop, self.trial, state, kprop, eshift)
+            state = _step_propagate(self.prop, self.trial, state, kprop,
+                                    eshift, ham=self.ham)
             if step > 1:
                 state = _step_cap(state)
             if step % qmc.npop_control == 0:

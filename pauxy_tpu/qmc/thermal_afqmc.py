@@ -22,7 +22,8 @@ from pauxy_tpu.estimators import mixed
 from pauxy_tpu.estimators.thermal import one_rdm_from_G, particle_number
 from pauxy_tpu.propagation.thermal import make_thermal_propagator
 from pauxy_tpu.qmc.options import QMCOpts
-from pauxy_tpu.utils.io import H5EstimatorHelper, create_estimates_file
+from pauxy_tpu.utils.io import (H5EstimatorHelper, create_estimates_file,
+                                get_sys_info)
 from pauxy_tpu.walkers import pop_control as pc
 from pauxy_tpu.walkers import thermal_state as tws
 
@@ -130,6 +131,7 @@ class ThermalAFQMC:
             filename,
             THERMAL_HEADER,
             metadata={
+                "sys_info": get_sys_info(),
                 "system": {"name": ham.name, "nbasis": ham.nbasis},
                 "qmc": {
                     "beta": qmc.beta, "dt": qmc.dt, "nwalkers": qmc.nwalkers,

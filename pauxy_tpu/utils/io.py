@@ -72,3 +72,92 @@ def _json_default(obj):
 def format_fixed_width_floats(values) -> str:
     """Fixed width row formatting (``pauxy/utils/io.py:18-30`` analogue)."""
     return "".join(f"{float(np.real(v)): 16.8e} " for v in values)
+
+
+def get_git_revision_hash():
+    """(sha, branch) of the installed package tree, '-dirty' suffixed when
+    the working tree has local changes (``pauxy/utils/misc.py:14-56``)."""
+    import os
+    import subprocess
+
+    src = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=src,
+            stderr=subprocess.DEVNULL).strip().decode()
+        dirty = subprocess.check_output(
+            ["git", "status", "--porcelain"], cwd=src,
+            stderr=subprocess.DEVNULL).strip()
+        branch = subprocess.check_output(
+            ["git", "rev-parse", "--abbrev-ref", "HEAD"], cwd=src,
+            stderr=subprocess.DEVNULL).strip().decode()
+    except Exception:
+        return "none", "none"
+    return (sha + "-dirty" if dirty else sha), branch
+
+
+def get_sys_info() -> dict:
+    """Provenance blob for the output metadata: git sha/branch, host,
+    python + library versions (``pauxy/utils/misc.py`` serialise extras)."""
+    import platform
+    import sys
+
+    sha, branch = get_git_revision_hash()
+    info = {
+        "git_sha": sha,
+        "git_branch": branch,
+        "hostname": platform.node(),
+        "python": sys.version.split()[0],
+        "numpy": np.__version__,
+    }
+    try:
+        import jax
+
+        info["jax"] = jax.__version__
+        info["backend"] = jax.default_backend()
+        info["device_count"] = jax.device_count()
+    except Exception:
+        pass
+    return info
+
+
+def write_input(filename: str, hamil: str, wfn: str, bp: bool = False,
+                options: dict | None = None):
+    """Skeleton input JSON for a Generic/QMCPACK-format run
+    (``pauxy/utils/io.py:566-606``). Reads particle counts from the
+    wavefunction h5 when available."""
+    nup = ndown = None
+    try:
+        with h5py.File(wfn, "r") as fh5:
+            for grp in ("Wavefunction/NOMSD", "Wavefunction/PHMSD"):
+                if f"{grp}/dims" in fh5:
+                    dims = fh5[f"{grp}/dims"][:]
+                    nup, ndown = int(dims[1]), int(dims[2])
+                    break
+    except (OSError, KeyError):
+        pass
+    basic = {
+        "system": {"name": "Generic", "integrals": hamil},
+        "qmc": {"dt": 0.005, "nwalkers": 100, "blocks": 1000},
+        "trial": {"filename": wfn},
+        "estimators": {},
+    }
+    if nup is not None:
+        basic["system"]["nup"] = nup
+        basic["system"]["ndown"] = ndown
+    if bp:
+        basic["estimators"]["back_propagated"] = {"tau_bp": 2.0, "nsplit": 4}
+    full = _merge_dicts(basic, options or {})
+    with open(filename, "w") as f:
+        json.dump(full, f, indent=4, separators=(",", ": "))
+
+
+def _merge_dicts(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_dicts(out[k], v)
+        else:
+            out[k] = v
+    return out

@@ -115,20 +115,33 @@ def read_fcidump(filename: str, symmetry: int = 8, verbose: bool = False):
     ms2_m = re.search(r"MS2\s*=\s*(-?\d+)", header)
     ms2 = int(ms2_m.group(1)) if ms2_m else 0
 
-    h1e = np.zeros((norb, norb))
-    eri = np.zeros((norb, norb, norb, norb))
+    # Complex integrals are written as "(re, im)  i j k l"
+    # (``hamiltonian_converter.py:295-360`` / our hubbard.fcidump).
+    cplx = "(" in body
+    dtype = complex if cplx else float
+    h1e = np.zeros((norb, norb), dtype=dtype)
+    eri = np.zeros((norb, norb, norb, norb), dtype=dtype)
     ecore = 0.0
     for line in body.strip().splitlines():
-        parts = line.split()
-        if len(parts) < 5:
-            continue
-        v = float(parts[0])
-        i, j, k, l = (int(x) for x in parts[1:5])
+        if cplx:
+            m = re.match(
+                r"\s*\(\s*([^,]+)\s*,\s*([^)]+)\s*\)\s+"
+                r"(\d+)\s+(\d+)\s+(\d+)\s+(\d+)", line)
+            if m is None:
+                continue
+            v = complex(float(m.group(1)), float(m.group(2)))
+            i, j, k, l = (int(m.group(x)) for x in range(3, 7))
+        else:
+            parts = line.split()
+            if len(parts) < 5:
+                continue
+            v = float(parts[0])
+            i, j, k, l = (int(x) for x in parts[1:5])
         if i == j == k == l == 0:
-            ecore = v
+            ecore = v.real if cplx else v
         elif k == 0 and l == 0:
             h1e[i - 1, j - 1] = v
-            h1e[j - 1, i - 1] = v
+            h1e[j - 1, i - 1] = np.conj(v)
         else:
             # Chemist notation (ij|kl); store as (ik|jl)-style 4-index with
             # the full 8-fold symmetry.

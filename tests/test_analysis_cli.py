@@ -211,3 +211,105 @@ def test_autocorr_reblock():
     df = reblock_by_autocorr(x)
     naive = x.std(ddof=1) / np.sqrt(n)
     assert float(df["ETotal_error_ac"].iloc[0]) > 2.0 * naive
+
+
+@pytest.mark.unit
+def test_rdm_and_correlation_analysis(tmp_path):
+    """analyse_one_body / average_rdm / correlation_function on a synthetic
+    back-propagated output file (rdm.py:11-31, blocking.py:181-196)."""
+    import json
+
+    import h5py
+
+    from pauxy_tpu.analysis.correlation import (average_correlation,
+                                                correlation_function,
+                                                get_strip)
+    from pauxy_tpu.analysis.rdm import analyse_one_body, average_rdm
+    from pauxy_tpu.utils.io import H5EstimatorHelper
+
+    m, nblocks, nbp = 4, 6, 5
+    fn = str(tmp_path / "est.h5")
+    md = {
+        "qmc": {"dt": 0.05},
+        "system": {"nx": 2, "ny": 2},
+        "estimators": {"estimators": {"back_prop": {"splits": [[nbp]]}}},
+    }
+    rng = np.random.default_rng(3)
+    p_true = np.stack([np.diag([0.8, 0.6, 0.4, 0.2]),
+                       np.diag([0.2, 0.4, 0.6, 0.8])])
+    with h5py.File(fn, "w") as fh5:
+        fh5["metadata"] = json.dumps(md)
+    helper = H5EstimatorHelper(fn, "back_propagated")
+    series = []
+    for _ in range(nblocks):
+        p = p_true + 0.01 * rng.standard_normal((2, m, m))
+        denom = 1.0 + 0.001 * rng.standard_normal()
+        series.append(p)
+        helper.push(p * denom, f"one_rdm_{nbp}")
+        helper.push(np.asarray([denom]), f"denominator_{nbp}")
+        helper.increment()
+
+    av, err = average_rdm(fn, skip=1)
+    np.testing.assert_allclose(av, np.mean(series[1:], axis=0), atol=1e-3)
+    assert err.shape == (2, m, m)
+
+    # <N> with the identity operator = total particle number.
+    df = analyse_one_body(fn, np.eye(m), skip=1)
+    assert df["OneBody"].iloc[0] == pytest.approx(
+        np.trace(p_true[0] + p_true[1]), abs=0.05
+    )
+    assert df["tau"].iloc[0] == pytest.approx(nbp * 0.05)
+
+    hole, herr, spin, serr, _ = average_correlation(np.asarray(series))
+    np.testing.assert_allclose(hole, 1.0 - (p_true[0] + p_true[1]).diagonal(),
+                               atol=0.05)
+    np.testing.assert_allclose(
+        spin, 0.5 * (p_true[0] - p_true[1]).diagonal(), atol=0.05
+    )
+    df2 = correlation_function(fn, nx=2, ny=2, ix=0, skip=1)
+    assert len(df2) == 2  # ny rows on the strip
+    # correlation_function divides by the stored denominators and skips the
+    # first block; the raw-series strip agrees to the denominator noise.
+    c, cerr = get_strip(hole, herr, 0, 2, 2, stag=False)
+    np.testing.assert_allclose(df2["hole"], c, atol=0.02)
+
+
+@pytest.mark.unit
+def test_hubbard_fcidump_roundtrip(tmp_path):
+    """fcidump() output parses back to the same T and U
+    (systems/hubbard.py:106-148)."""
+    from pauxy_tpu.models import make_hubbard
+    from pauxy_tpu.models.hubbard import fcidump
+    from pauxy_tpu.utils.qmcpack import read_fcidump
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=4, ny=1)
+    fn = str(tmp_path / "FCIDUMP")
+    with open(fn, "w") as f:
+        f.write(fcidump(ham, to_string=True))
+    h1e, eri, ecore, nelec, ms2 = read_fcidump(fn)
+    assert nelec == (2, 2) and ms2 == 0 and ecore == 0.0
+    np.testing.assert_allclose(h1e, np.asarray(ham.T[0]).real, atol=1e-7)
+    for i in range(4):
+        assert eri[i, i, i, i] == pytest.approx(4.0)
+    eri2 = eri.copy()
+    for i in range(4):
+        eri2[i, i, i, i] = 0.0
+    assert np.abs(eri2).max() == 0.0
+
+
+@pytest.mark.unit
+def test_write_input_and_sys_info(tmp_path):
+    import json
+
+    from pauxy_tpu.utils.io import get_sys_info, write_input
+
+    fn = str(tmp_path / "input.json")
+    write_input(fn, "afqmc.h5", "wfn.h5", bp=True,
+                options={"qmc": {"dt": 0.01}})
+    full = json.load(open(fn))
+    assert full["system"]["integrals"] == "afqmc.h5"
+    assert full["qmc"]["dt"] == 0.01          # option merged over default
+    assert full["qmc"]["nwalkers"] == 100     # default preserved
+    assert full["estimators"]["back_propagated"]["nsplit"] == 4
+    info = get_sys_info()
+    assert "git_sha" in info and "numpy" in info

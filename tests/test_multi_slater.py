@@ -124,3 +124,63 @@ def test_msd_afqmc_generic(tmp_path):
                filename=str(tmp_path / "msdg.h5"))
     rows = af.run()
     assert np.isfinite(rows.real).all()
+
+
+@pytest.mark.unit
+def test_singular_det_overlap_is_sanitised():
+    """A walker exactly orthogonal to one determinant must give finite
+    G / weights (PHMSD identity-column dets hit this at init)."""
+    import jax
+
+    from pauxy_tpu.models.multi_slater import (greens_function_multi_det,
+                                               phmsd_trial)
+    from pauxy_tpu.walkers import init_walkers
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=4, ny=1)
+    trial = phmsd_trial(ham, coeffs=[0.95, 0.05],
+                        occa=[(0, 1), (0, 2)], occb=[(0, 1), (0, 1)])
+    # Force the pathological start: walkers = first determinant exactly.
+    state = init_walkers(trial, 4)
+    state = state.replace(
+        phia=jnp.broadcast_to(trial.psia[0], state.phia.shape),
+        phib=jnp.broadcast_to(trial.psib[0], state.phib.shape),
+    )
+    md = greens_function_multi_det(trial, state.phia, state.phib)
+    assert bool(jnp.isfinite(md.G).all())
+    assert bool(jnp.isfinite(md.log_ovlp.real).all())
+    # Default init avoids the degeneracy entirely: every det overlaps.
+    md2 = greens_function_multi_det(
+        trial,
+        jnp.asarray(trial.inita)[None],
+        jnp.asarray(trial.initb)[None],
+    )
+    assert bool(jnp.isfinite(md2.G).all())
+    w = np.asarray(md2.det_weights)
+    assert np.abs(w).min() > 0
+
+
+@pytest.mark.unit
+def test_single_det_msd_matches_single_det_driver(tmp_path, monkeypatch):
+    """D=1 NOMSD through the full driver reproduces the single-det result
+    bit-for-bit (same RNG stream, same math)."""
+    import os
+
+    from pauxy_tpu.models import free_electron_trial
+    from pauxy_tpu.models.multi_slater import multi_slater_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    monkeypatch.chdir(tmp_path)
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3,
+                       ktwist=[0.01, -0.02])
+    tr1 = free_electron_trial(ham)
+    psi = np.concatenate([np.asarray(tr1.psia), np.asarray(tr1.psib)], axis=1)
+    trm = multi_slater_trial(ham, psi[None], coeffs=[1.0])
+    qmc = QMCOpts(nwalkers=12, dt=0.05, nsteps=5, nblocks=2, nstblz=5,
+                  npop_control=5, rng_seed=9)
+    out = {}
+    for tag, tr in (("single", tr1), ("msd1", trm)):
+        af = AFQMC(ham, tr, qmc,
+                   estimator_options={"mixed": {"energy_eval_freq": 1}},
+                   filename=str(tmp_path / f"est_{tag}.h5"))
+        out[tag] = np.asarray(af.run())[:, 5].real
+    np.testing.assert_allclose(out["single"], out["msd1"], atol=1e-12)

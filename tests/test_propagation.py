@@ -131,3 +131,35 @@ def test_free_projection_conserves_phase_magnitude():
     new = continuous.propagate_free(prop, trial, state, key, jnp.asarray(0.0 + 0j))
     np.testing.assert_allclose(np.abs(np.asarray(new.phase)), 1.0, atol=1e-12)
     assert np.all(np.asarray(new.weight) > 0)
+
+
+@pytest.mark.unit
+def test_local_energy_weight_update_runs():
+    """hybrid=False uses the local-energy importance function
+    (continuous.py:294-318); weights stay positive and finite."""
+    import jax
+
+    ham, trial, inner, prop, state = setup_problem(nw=4, dt=0.01)
+    prop_le = continuous.Continuous(inner=inner, dt=0.01, hybrid=False)
+    new = prop_le.propagate(trial, state, jax.random.key(2),
+                            jnp.asarray(0.0 + 0j), ham=ham)
+    w = np.asarray(new.weight)
+    assert np.all(np.isfinite(w)) and np.all(w > 0)
+    # eloc recorded on the state for the next step's average.
+    assert np.all(np.abs(np.asarray(new.eloc)) > 0)
+
+
+@pytest.mark.unit
+def test_phmsd_trial_runs():
+    from pauxy_tpu.models.multi_slater import phmsd_trial
+    from pauxy_tpu.models import make_hubbard
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=4, ny=1)
+    trial = phmsd_trial(
+        ham, coeffs=[0.9, 0.3], occa=[(0, 1), (0, 2)], occb=[(0, 1), (0, 1)]
+    )
+    assert trial.ndets == 2
+    psia = np.asarray(trial.psia)
+    # Determinants select identity columns.
+    np.testing.assert_allclose(psia[0], np.eye(4)[:, [0, 1]])
+    np.testing.assert_allclose(psia[1], np.eye(4)[:, [0, 2]])
