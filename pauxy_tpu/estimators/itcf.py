@@ -213,12 +213,35 @@ def measure(prop, trial, state, *, nmax: int, nstblz: int, stable: bool,
     return jnp.concatenate([denom[None], spgf.reshape(-1)])
 
 
+def itcf_to_kspace(spgf, nx: int, ny: int):
+    """FFT the real-space ITCF onto the lattice momentum grid.
+
+    G_k(tau) = (1/M) sum_{ij} e^{-ik(r_i - r_j)} G_ij(tau), evaluated as a
+    2D FFT over both site indices. This is the intent of the reference's
+    (commented-out) k-space branch, ``pauxy/estimators/itcf.py:547-557``.
+    Returns [..., M] diagonal momentum occupations per tau/spin/order.
+    """
+    import numpy as np
+
+    m = nx * ny
+    shape = spgf.shape[:-2]
+    g = spgf.reshape(*shape, ny, nx, ny, nx)
+    # e^{-ik r_i} forward over the first site, e^{+ik r_j} inverse over the
+    # second: G_k = F G F^dagger / M.
+    gk = np.fft.fft2(g, axes=(-4, -3))
+    gk = np.fft.ifft2(gk, axes=(-2, -1)) * m
+    gk = gk.reshape(*shape, m, m) / m
+    return np.einsum("...kk->...k", gk)
+
+
 class ITCFReporter:
     """Host-side HDF5 push (layout: ``itcf/real_space_greens_function`` +
-    ``itcf/denominator``; cf. itcf.py print_step)."""
+    ``itcf/denominator``, optional ``itcf/k_space_greens_function``;
+    cf. itcf.py print_step)."""
 
-    def __init__(self, output):
+    def __init__(self, output, kspace_dims=None):
         self.output = output
+        self.kspace_dims = kspace_dims  # (nx, ny) to also write G_k
 
     def block_row(self, acc, nbasis: int, nmax: int):
         import numpy as np
@@ -228,6 +251,9 @@ class ITCFReporter:
         if abs(denom) > 0:
             spgf = spgf / denom
         self.output.push(spgf.real, "real_space_greens_function")
+        if self.kspace_dims is not None:
+            gk = itcf_to_kspace(spgf, *self.kspace_dims)
+            self.output.push(gk.real, "k_space_greens_function")
         self.output.push(np.array([denom]), "denominator")
         self.output.increment()
         return spgf

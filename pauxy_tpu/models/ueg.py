@@ -49,6 +49,24 @@ class UEG:
     name: str = struct.field(pytree_node=False, default="UEG")
 
     @property
+    def ne(self) -> int:
+        return self.nup + self.ndown
+
+    @property
+    def kf(self) -> float:
+        """Fermi wavevector of the infinite system (``ueg.py:84``);
+        zeta = 1 when fully polarised (ndown == 0)."""
+        import math
+
+        zeta = 1 if self.ndown == 0 else 0
+        return (3 * (zeta + 1) * math.pi ** 2 * self.ne / self.vol) ** (1 / 3)
+
+    @property
+    def ef(self) -> float:
+        """Fermi energy, used for theta = T/T_F reduced units (``ueg.py:86``)."""
+        return 0.5 * self.kf ** 2
+
+    @property
     def nbasis(self) -> int:
         return self.H1.shape[-1]
 

@@ -17,6 +17,7 @@ population control) over ICI.
 from __future__ import annotations
 
 import functools
+import time
 import uuid
 
 import jax
@@ -271,6 +272,12 @@ class AFQMC:
     ):
         import os as _os
 
+        self._t_init = time.time()
+        # Per-phase wall-clock accumulators (afqmc.py:224-279 timing
+        # breakdown). Fused mode is one compiled program, so only the
+        # block total is observable there; split mode times each phase.
+        self.timing = {"setup": 0.0, "block": 0.0, "ortho": 0.0,
+                       "prop": 0.0, "pop": 0.0, "estim": 0.0}
         self.block_mode = block_mode or (
             "split" if _os.environ.get("PAUXY_TPU_SPLIT") == "1" else "fused"
         )
@@ -369,7 +376,13 @@ class AFQMC:
         if self.nitcf:
             from pauxy_tpu.estimators.itcf import ITCFReporter
 
-            self.itcf_reporter = ITCFReporter(H5EstimatorHelper(filename, "itcf"))
+            kdims = None
+            if itcf_opts.get("kspace", False):
+                nx = getattr(ham, "nx", None)
+                kdims = (nx, ham.ny) if nx else None
+            self.itcf_reporter = ITCFReporter(
+                H5EstimatorHelper(filename, "itcf"), kspace_dims=kdims
+            )
 
         seed = qmc.rng_seed if qmc.rng_seed is not None else 7
         self.key = jax.random.key(seed)
@@ -391,6 +404,7 @@ class AFQMC:
             if verbose:
                 print(f"# Restarted {self.state.nwalkers} walkers from "
                       f"{read_file} at step {self.step}.")
+        self.timing["setup"] = time.time() - self._t_init
 
     # ------------------------------------------------------------------
     def _build_propagator(self, popts: dict):
@@ -498,20 +512,32 @@ class AFQMC:
             key = jax.random.fold_in(block_key, i)
             kprop, kpop = jax.random.split(key)
             if step % qmc.nstblz == 0:
+                t0 = time.time()
                 state = _step_ortho(state, self.free_projection)
+                jax.block_until_ready(state.weight)
+                self.timing["ortho"] += time.time() - t0
+            t0 = time.time()
             state = _step_propagate(self.prop, self.trial, state, kprop,
                                     eshift, ham=self.ham)
             if step > 1:
                 state = _step_cap(state)
+            jax.block_until_ready(state.weight)
+            self.timing["prop"] += time.time() - t0
             if step % qmc.npop_control == 0:
+                t0 = time.time()
                 state = _step_pop(
                     state, kpop, float(qmc.nwalkers), qmc.pop_control_method
                 )
+                jax.block_until_ready(state.weight)
+                self.timing["pop"] += time.time() - t0
+            t0 = time.time()
             a = _step_mixed(
                 self.ham, self.trial, state,
                 step % self.energy_eval_freq == 0, self.free_projection,
             )
             acc = a if acc is None else acc + a
+            jax.block_until_ready(acc)
+            self.timing["estim"] += time.time() - t0
         self.state = state
         z = jnp.zeros((2, 0), acc.dtype)
         return acc, z, z
@@ -535,6 +561,7 @@ class AFQMC:
                 self.eshift = self.reporter.get_shift()
             return row
 
+        t_block = time.time()
         self.state, acc, bp_acc, itcf_acc = run_block(
             self.ham,
             self.trial,
@@ -559,6 +586,8 @@ class AFQMC:
             itcf_stable=self.itcf_stable,
             itcf_restore=self.itcf_restore,
         )
+        jax.block_until_ready(acc)
+        self.timing["block"] += time.time() - t_block
         self.step += self.qmc.nsteps
 
         def fetch(x):
@@ -589,4 +618,29 @@ class AFQMC:
         if self.verbose:
             self.reporter.print_header()
         rows = [self.run_block() for _ in range(self.qmc.nblocks)]
+        if self.verbose:
+            self.finalise()
         return np.array(rows)
+
+    def finalise(self, verbose: bool = True):
+        """Print the timing breakdown (``afqmc.py:260-279``). In fused
+        mode the block is one XLA program, so per-phase numbers exist only
+        when block_mode='split' (or PAUXY_TPU_SPLIT=1)."""
+        if not verbose:
+            return
+        t = self.timing
+        nsteps = max(self.step, 1)
+        print(f"# Running time : {time.time() - self._t_init:.6f} seconds")
+        print("# Timing breakdown (per step):")
+        print(f"# - Setup: {t['setup']:.6f} s")
+        nblocks = max(self.step // max(self.qmc.nsteps, 1), 1)
+        if self.block_mode == "split":
+            nstblz = max(self.step // max(self.qmc.nstblz, 1), 1)
+            npcon = max(self.step // max(self.qmc.npop_control, 1), 1)
+            print(f"# - Orthogonalisation: {t['ortho'] / nstblz:.6f} s")
+            print(f"# - Propagation: {t['prop'] / nsteps:.6f} s")
+            print(f"# - Population control: {t['pop'] / npcon:.6f} s")
+            print(f"# - Estimators: {t['estim'] / nsteps:.6f} s")
+        else:
+            print(f"# - Block (fused jit): {t['block'] / nblocks:.6f} s"
+                  f" ({t['block'] / nsteps:.6f} s/step)")

@@ -77,6 +77,16 @@ def get_trial_wavefunction(ham, trial_opts: dict, precision=None, seed=None):
             seed=seed,
             precision=precision,
         )
+    if name in ("phmsd",):
+        from pauxy_tpu.models.multi_slater import phmsd_trial
+
+        return phmsd_trial(
+            ham,
+            coeffs=trial_opts["coefficients"],
+            occa=trial_opts["occa"],
+            occb=trial_opts["occb"],
+            precision=precision,
+        )
     if name in ("hartree_fock", "multislater"):
         filename = trial_opts.get("filename")
         if filename is not None:
@@ -93,6 +103,10 @@ def get_driver(options: dict, verbose: bool = False):
     qmc_opts = options.get("qmc", {})
     qmc = QMCOpts.from_dict(qmc_opts, verbose=verbose)
     ham = get_system(model)
+    if qmc.scaled_temp:
+        # theta = T/T_F input (UEG): rescale beta/dt to Hartree units
+        # (options.py:5-19 + 114-118).
+        qmc.convert_from_reduced_units(ham, verbose=verbose)
     est = options.get("estimates", options.get("estimators", {})) or {}
     popts = options.get("propagator", options.get("propagators", {})) or {}
 

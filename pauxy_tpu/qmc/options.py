@@ -22,6 +22,8 @@ class QMCOpts:
     beta: float | None = None
     rng_seed: int | None = None
     pop_control_method: str = "comb"
+    scaled_temp: bool = False
+    beta_scaled: float | None = None
 
     @property
     def total_steps(self) -> int:
@@ -30,6 +32,17 @@ class QMCOpts:
     @property
     def neqlb(self) -> int:
         return int(self.eqlb_time / self.dt)
+
+    def convert_from_reduced_units(self, system, verbose: bool = False):
+        """theta = T/T_F reduced units -> Hartree (``options.py:5-19``):
+        beta and dt are given in units of the inverse Fermi temperature."""
+        tf = system.ef
+        self.beta_scaled = self.beta
+        self.dt = self.dt / tf
+        self.beta = self.beta / tf
+        if verbose:
+            print(f"# beta in Hartree^-1:  {self.beta:13.8e}")
+            print(f"# dt in Hartree^-1: {self.dt:13.8e}")
 
     @classmethod
     def from_dict(cls, inputs: dict, verbose: bool = False) -> "QMCOpts":
@@ -67,5 +80,9 @@ class QMCOpts:
             ),
             pop_control_method=get_input_value(
                 inputs, "pop_control_method", default="comb", verbose=verbose
+            ),
+            scaled_temp=get_input_value(
+                inputs, "scaled_temperature", default=False,
+                alias=["reduced_temperature"], verbose=verbose,
             ),
         )

@@ -313,3 +313,59 @@ def test_write_input_and_sys_info(tmp_path):
     assert full["estimators"]["back_propagated"]["nsplit"] == 4
     info = get_sys_info()
     assert "git_sha" in info and "numpy" in info
+
+
+@pytest.mark.unit
+def test_scaled_temperature_conversion():
+    """theta = T/T_F reduced units rescale beta and dt by 1/ef
+    (options.py:5-19)."""
+    from pauxy_tpu.models.ueg import make_ueg
+    from pauxy_tpu.qmc.options import QMCOpts
+
+    ham = make_ueg(nup=7, ndown=7, rs=1.0, ecut=1.0)
+    assert ham.ef > 0
+    qmc = QMCOpts.from_dict(
+        {"beta": 1.0, "timestep": 0.05, "scaled_temperature": True}
+    )
+    assert qmc.scaled_temp
+    qmc.convert_from_reduced_units(ham)
+    assert qmc.beta_scaled == 1.0
+    assert qmc.beta == pytest.approx(1.0 / ham.ef)
+    assert qmc.dt == pytest.approx(0.05 / ham.ef)
+
+
+@pytest.mark.driver
+def test_timing_breakdown_and_phmsd_input(tmp_path, monkeypatch, capsys):
+    """finalise() prints the per-phase table in split mode
+    (afqmc.py:260-279) and JSON inputs build PHMSD trials."""
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.qmc.calc import get_driver
+
+    monkeypatch.chdir(tmp_path)
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=4, ny=1)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=8, dt=0.05, nsteps=4, nblocks=2, nstblz=2,
+                  npop_control=2, rng_seed=1)
+    af = AFQMC(ham, trial, qmc, block_mode="split",
+               estimator_options={"mixed": {"energy_eval_freq": 4}},
+               filename=str(tmp_path / "t.h5"))
+    af.run()
+    af.finalise()
+    out = capsys.readouterr().out
+    assert "Propagation:" in out and "Population control:" in out
+    assert af.timing["prop"] > 0 and af.timing["setup"] > 0
+
+    driver = get_driver({
+        "model": {"name": "Hubbard", "nx": 4, "ny": 1, "nup": 2,
+                  "ndown": 2, "U": 4.0},
+        "qmc": {"nwalkers": 8, "timestep": 0.05, "num_steps": 2,
+                "blocks": 1, "rng_seed": 1},
+        "trial": {"name": "phmsd", "coefficients": [0.9, 0.3],
+                  "occa": [(0, 1), (0, 2)], "occb": [(0, 1), (0, 2)]},
+        "estimators": {"filename": str(tmp_path / "p.h5"),
+                       "mixed": {"energy_eval_freq": 2}},
+    })
+    assert driver.trial.ndets == 2
+    rows = driver.run()
+    assert np.isfinite(np.asarray(rows)[:, 5].real).all()

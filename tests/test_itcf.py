@@ -92,3 +92,42 @@ def test_itcf_interacting_sanity(tmp_path):
     np.testing.assert_allclose(eye_sum, np.eye(ham.nbasis), atol=1e-6)
     # On-site greater function decays in imaginary time.
     assert spgf[-1, 0, 0, 0, 0] < spgf[0, 0, 0, 0, 0]
+
+
+@pytest.mark.driver
+def test_itcf_kspace_free_fermions(tmp_path):
+    """kspace=True writes G_k(tau); for U=0 with the free-electron trial the
+    tau=0 lesser diagonal is the exact momentum occupation n_k and
+    G_k^gr(tau) on an empty/full band decays as e^{-tau e_k}."""
+    ham = make_hubbard(nup=3, ndown=3, U=0.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    ntau, dt = 4, 0.05
+    qmc = QMCOpts(nwalkers=4, dt=dt, nsteps=ntau, nblocks=2, nstblz=100,
+                  npop_control=100, rng_seed=3)
+    af = AFQMC(
+        ham, trial, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "itcf": {"tau_max": ntau * dt, "kspace": True},
+        },
+        filename=str(tmp_path / "itcfk.h5"),
+    )
+    af.run()
+
+    import h5py
+
+    with h5py.File(str(tmp_path / "itcfk.h5"), "r") as fh5:
+        keys = sorted(fh5["itcf/k_space_greens_function"].keys())
+        gk = fh5[f"itcf/k_space_greens_function/{keys[-1]}"][:]
+    assert gk.shape == (ntau + 1, 2, 2, 9)
+    # At tau=0: n_k sums to nup; occupations are 0/1 for the exact
+    # plane-wave trial (k-ordering is ky*nx + kx by construction).
+    nk = gk[0, 0, 1]
+    assert nk.sum() == pytest.approx(3.0, abs=1e-8)
+    # e(k) for the 3x3 lattice in the FFT's ky*nx+kx ordering.
+    ks = 2 * np.pi * np.arange(3) / 3
+    ek = -2.0 * (np.cos(ks)[None, :] + np.cos(ks)[:, None]).reshape(-1)
+    # Greater function decays with e_k: G^gr_k(tau) = e^{-tau e_k} (1 - n_k).
+    for n in range(ntau + 1):
+        expect = np.exp(-n * dt * ek) * (1.0 - nk)
+        np.testing.assert_allclose(gk[n, 0, 0], expect, atol=1e-7)
