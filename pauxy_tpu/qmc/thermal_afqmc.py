@@ -119,9 +119,22 @@ class ThermalAFQMC:
         self.verbose = verbose
         self.prec = config.get_precision(precision)
         self.ntime_slices = trial.num_slices
-        self.prop = make_thermal_propagator(
-            ham, trial, qmc.dt, options=propagator_options, precision=self.prec
-        )
+        popts = dict(propagator_options or {})
+        if "discrete" in popts.get("hubbard_stratonovich", ""):
+            # Discrete Hirsch fields (thermal_propagation/utils.py:24-33).
+            from pauxy_tpu.propagation.thermal_discrete import (
+                make_thermal_discrete)
+
+            self.prop = make_thermal_discrete(
+                ham, trial, qmc.dt,
+                charge_decomposition=popts.get("charge_decomposition", False),
+                free_projection=popts.get("free_projection", False),
+                precision=self.prec,
+            )
+        else:
+            self.prop = make_thermal_propagator(
+                ham, trial, qmc.dt, options=popts, precision=self.prec
+            )
         self.state = tws.init_thermal_walkers(trial, qmc.nwalkers)
         eopts = dict(estimator_options or {})
         if filename is None:

@@ -181,3 +181,154 @@ def test_thermal_with_mean_field_trial(tmp_path):
     af = ThermalAFQMC(ham, trial, qmc, filename=str(tmp_path / "mf.h5"))
     rows = af.run()
     assert np.isfinite(rows.real).all()
+
+
+# ---------------------------------------------------------------------------
+# ThermalDiscrete (thermal_propagation/hubbard.py counterpart)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.unit
+def test_thermal_discrete_ratio_is_exact_det_ratio():
+    """The heat-bath ratio R = prod_s (1 + (1-G_ii) delta) from the sweep
+    boundary G must equal the brute-force det(1+A')/det(1+A) for inserting
+    the field at the current slice."""
+    import jax
+    import jax.numpy as jnp
+
+    from pauxy_tpu.propagation.thermal_discrete import make_thermal_discrete
+    from pauxy_tpu.walkers import thermal_state as tws
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=4, ny=1)
+    beta, dt = 0.4, 0.05
+    trial = make_one_body_trial(ham, beta, dt, stack_size=2)
+    prop = make_thermal_discrete(ham, trial, dt)
+    state = tws.init_thermal_walkers(trial, 1)
+    key = jax.random.key(0)
+    # Advance a few slices so the stack holds genuinely sampled B's.
+    for ts in range(3):
+        key, k = jax.random.split(key)
+        state = prop.propagate(trial, state, k, jnp.asarray(ts))
+
+    ts = 3
+    g = prop._sweep_greens_function(trial, state, jnp.asarray(ts))
+    g = np.asarray(g)[0]
+
+    # Brute force: A = BH1 . right . sampled bins . trial bins . BT tail.
+    bh1 = np.asarray(prop.BH1)
+    right = np.asarray(state.right)[0]
+    stack = np.asarray(state.stack)[0]
+    left = np.asarray(trial.left_table)
+    ss, nbins = trial.stack_size, trial.nbins
+    block, c = ts // ss, ts % ss
+    m = ham.nbasis
+    auxf = np.asarray(prop.auxf)
+    for spin in (0, 1):
+        a = bh1[spin] @ (right[spin] if c else np.eye(m))
+        for b in range(block - 1, -1, -1):
+            a = a @ stack[b, spin]
+        for b in range(nbins - 1, block, -1):
+            a = a @ stack[b, spin]
+        a = a @ left[c, spin]
+        g_exact = np.linalg.inv(np.eye(m) + a)
+        np.testing.assert_allclose(g[spin], g_exact, atol=1e-10)
+        # Rank-1 ratio vs det ratio for a field on site 0.
+        for xi in (0, 1):
+            dlt = auxf[xi, spin] - 1.0
+            r_formula = 1 + (1 - g_exact[0, 0]) * dlt
+            bv = np.ones(m, dtype=complex)
+            bv[0] = auxf[xi, spin]
+            a_new = np.diag(bv) @ a
+            r_exact = np.linalg.det(np.eye(m) + a_new) / np.linalg.det(
+                np.eye(m) + a
+            )
+            np.testing.assert_allclose(r_formula, r_exact, rtol=1e-9)
+
+
+@pytest.mark.driver
+def test_thermal_discrete_free_fermions_exact(tmp_path):
+    """U=0: the discrete path has delta=0, so every block is exact."""
+    ham = make_hubbard(nup=3, ndown=3, U=0.0, nx=3, ny=3)
+    beta, dt = 1.0, 0.05
+    trial = make_one_body_trial(ham, beta, dt)
+    qmc = QMCOpts(nwalkers=4, dt=dt, nsteps=1, nblocks=2, beta=beta,
+                  npop_control=5, rng_seed=3)
+    af = ThermalAFQMC(ham, trial, qmc,
+                      propagator_options={"hubbard_stratonovich": "discrete"},
+                      filename=str(tmp_path / "td0.h5"))
+    rows = af.run()
+    e_exact, n_exact = exact_free_fermions(np.asarray(ham.T[0]), beta,
+                                           trial.mu)
+    for row in rows:
+        assert row[5].real == pytest.approx(e_exact, abs=1e-5)
+        assert row[10].real == pytest.approx(n_exact, abs=1e-6)
+
+
+def exact_grand_canonical_hubbard_2site(u, t, beta, mu):
+    """Brute-force grand-canonical 2-site Hubbard (16 Fock states)."""
+    import itertools
+
+    h1 = np.array([[0.0, -t], [-t, 0.0]])
+    # open 2-site chain; occupation-number basis per spin: 00,10,01,11
+    es, ns = [], []
+    for na in range(4):
+        for nb in range(4):
+            occa = [(na >> i) & 1 for i in range(2)]
+            occb = [(nb >> i) & 1 for i in range(2)]
+            # Build many-body H in this (na, nb) sector? 2-site is small
+            # enough: diagonalise the full 16x16 once instead.
+    # Full Fock-space build.
+    dim = 16
+    h = np.zeros((dim, dim))
+
+    def occ(state, spin, site):
+        return (state >> (spin * 2 + site)) & 1
+
+    def hop(state, spin, i, j):
+        # c^dag_i c_j with JW sign for 2 sites (adjacent, sign +1 here).
+        if not occ(state, spin, j) or occ(state, spin, i):
+            return None, 0.0
+        s2 = state ^ (1 << (spin * 2 + j)) ^ (1 << (spin * 2 + i))
+        return s2, 1.0
+
+    for s in range(dim):
+        ntot = sum(occ(s, sp, i) for sp in range(2) for i in range(2))
+        h[s, s] += u * sum(occ(s, 0, i) * occ(s, 1, i) for i in range(2))
+        h[s, s] += -mu * ntot
+        for sp in range(2):
+            for (i, j) in ((0, 1), (1, 0)):
+                s2, sgn = hop(s, sp, i, j)
+                if s2 is not None:
+                    h[s2, s] += -t * sgn
+    w, v = np.linalg.eigh(h)
+    z = np.exp(-beta * w)
+    nop = np.zeros(dim)
+    hop_free = np.zeros((dim, dim))
+    for s in range(dim):
+        nop[s] = sum(occ(s, sp, i) for sp in range(2) for i in range(2))
+    e_int = (z * (w + mu * (v.conj().T @ np.diag(nop) @ v).diagonal().real)
+             ).sum() / z.sum()
+    nav = (z * (v.conj().T @ np.diag(nop) @ v).diagonal().real).sum() / z.sum()
+    return e_int, nav
+
+
+@pytest.mark.driver
+def test_thermal_discrete_vs_ed(tmp_path):
+    """2-site U=4 open chain vs exact grand-canonical diagonalisation."""
+    ham = make_hubbard(nup=1, ndown=1, U=4.0, nx=2, ny=1, xpbc=False)
+    beta, dt, mu = 1.0, 0.025, 1.0
+    trial = make_one_body_trial(ham, beta, dt, mu=mu)
+    e_ed, n_ed = exact_grand_canonical_hubbard_2site(4.0, 1.0, beta, mu)
+    qmc = QMCOpts(nwalkers=256, dt=dt, nsteps=1, nblocks=12, beta=beta,
+                  npop_control=5, rng_seed=11)
+    af = ThermalAFQMC(ham, trial, qmc,
+                      propagator_options={"hubbard_stratonovich": "discrete"},
+                      filename=str(tmp_path / "td2.h5"))
+    rows = af.run()
+    et = rows[:, 5].real
+    nav = rows[:, 10].real
+    err = et.std(ddof=1) / len(et) ** 0.5
+    assert abs(et.mean() - e_ed) < max(4 * err, 0.05), (
+        f"E {et.mean()} vs ED {e_ed}"
+    )
+    assert abs(nav.mean() - n_ed) < 0.05
