@@ -196,3 +196,139 @@ def coherent_state_trial(
         name="coherent_state",
     )
     return trial
+
+
+def _lf_params(ham: HubbardHolstein):
+    """Standard Lang-Firsov dressing gamma and the effective Hubbard U
+    (``systems/hubbard_holstein.py:107-110``)."""
+    gamma = ham.g * np.sqrt(2.0 / (ham.m * ham.w0 ** 3))
+    ueff = (
+        ham.U
+        + gamma ** 2 * ham.m * ham.w0 ** 2
+        - 2.0 * ham.g * gamma * np.sqrt(2.0 * ham.m * ham.w0)
+    )
+    return gamma, ueff
+
+
+def lang_firsov_energy(ham: HubbardHolstein, psia, psib, gamma):
+    """Variational energy of the LF-transformed Hamiltonian at zero shift
+    (``trial_wavefunction/lang_firsov.py:47-126`` objective_function):
+
+      E = sum_i (gamma_i^2 m w0^2/2 - g gamma_i sqrt(2 m w0)) n_i
+        + sum_i (U + gamma_i^2 m w0^2 - 2 g gamma_i sqrt(2 m w0)) n_ia n_ib
+        + sum_ij e^{-(a_i^2+a_j^2)/2} T_ij G_ij,  a = gamma sqrt(m w0/2).
+    """
+    ga = (psia @ np.linalg.inv(psia.conj().T @ psia) @ psia.conj().T).T
+    if psib.shape[1] > 0:
+        gb = (psib @ np.linalg.inv(psib.conj().T @ psib) @ psib.conj().T).T
+    else:
+        gb = np.zeros_like(ga)
+    nia, nib = np.diag(ga).real, np.diag(gb).real
+    ni = nia + nib
+    sq2mw = np.sqrt(2.0 * ham.m * ham.w0)
+    gamma = np.asarray(gamma) * np.ones(ham.nbasis)
+    eeph = np.sum(
+        (gamma ** 2 * ham.m * ham.w0 ** 2 / 2.0 - ham.g * gamma * sq2mw) * ni
+    )
+    eee = np.sum(
+        (ham.U + gamma ** 2 * ham.m * ham.w0 ** 2
+         - 2.0 * ham.g * gamma * sq2mw) * nia * nib
+    )
+    alpha = gamma * np.sqrt(ham.m * ham.w0 / 2.0)
+    const = np.exp(-0.5 * alpha ** 2)
+    cmat = np.outer(const, const)
+    t = np.asarray(ham.T)
+    ekin = np.sum(cmat * t[0] * ga + cmat * t[1] * gb).real
+    return float(eeph + eee + ekin)
+
+
+def lang_firsov_trial(
+    ham: HubbardHolstein,
+    relax_gamma: bool = False,
+    restricted: bool = False,
+    nrestart: int = 5,
+    precision=None,
+):
+    """Variationally optimised Lang-Firsov trial.
+
+    Counterpart of ``trial_wavefunction/lang_firsov.py:128-320``: orbital
+    rotations C_s = C0_s exp(theta_s) (theta antisymmetric from the
+    occupied-virtual block) minimising the LF objective; gamma fixed to the
+    standard polaron value g sqrt(2/(m w0^3)) unless relax_gamma. The
+    phonon shift is zero in the LF frame (``lang_firsov.py:284``).
+    """
+    import scipy.linalg
+    import scipy.optimize
+
+    prec = config.get_precision(precision)
+    m = ham.nbasis
+    na, nb = ham.nup, ham.ndown
+    nva, nvb = m - na, m - nb
+    t = np.asarray(ham.T)
+    _, c0a = np.linalg.eigh(t[0])
+    _, c0b = np.linalg.eigh(t[1])
+    gamma0, _ = _lf_params(ham)
+
+    def unpack(x):
+        daia = x[: nva * na].reshape(nva, na)
+        daib = x[nva * na : nva * na + nvb * nb].reshape(nvb, nb)
+        if restricted:
+            daib = daia
+        gamma = (
+            x[nva * na + nvb * nb :] if relax_gamma else gamma0 * np.ones(m)
+        )
+        return daia, daib, gamma
+
+    def orbitals(daia, daib):
+        tha = np.zeros((m, m))
+        tha[na:, :na] = daia
+        tha[:na, na:] = -daia.T
+        thb = np.zeros((m, m))
+        thb[nb:, :nb] = daib
+        thb[:nb, nb:] = -daib.T
+        ca = c0a @ scipy.linalg.expm(tha)
+        cb = c0b @ scipy.linalg.expm(thb)
+        return ca[:, :na], cb[:, :nb]
+
+    def objective(x):
+        daia, daib, gamma = unpack(x)
+        psia, psib = orbitals(daia, daib)
+        return lang_firsov_energy(ham, psia, psib, gamma)
+
+    nparam = nva * na + nvb * nb + (m if relax_gamma else 0)
+    rng = np.random.default_rng(7)
+    best_e, best_x = np.inf, np.zeros(nparam)
+    x = np.zeros(nparam)
+    if relax_gamma:
+        x[nva * na + nvb * nb :] = gamma0
+    for it in range(nrestart):
+        res = scipy.optimize.minimize(objective, x, method="L-BFGS-B")
+        if res.fun < best_e - 1e-6:
+            best_e, best_x = res.fun, res.x.copy()
+        else:
+            break
+        x = best_x + 0.01 * rng.standard_normal(nparam)
+        if relax_gamma:
+            x[nva * na + nvb * nb :] = np.abs(x[nva * na + nvb * nb :])
+    daia, daib, gamma = unpack(best_x)
+    psia, psib = orbitals(daia, daib)
+
+    from pauxy_tpu.models.trial import SingleDetTrial, trial_density_matrix
+    from pauxy_tpu.utils.transfer import HostArray, to_device
+
+    psia_c = psia.astype(prec.cplx)
+    psib_c = psib.astype(prec.cplx)
+    g_mat = trial_density_matrix(psia_c, psib_c)
+    psia_d = to_device(psia_c)
+    psib_d = to_device(psib_c)
+    trial = SingleDetTrial(
+        psia=psia_d,
+        psib=psib_d,
+        inita=psia_d,
+        initb=psib_d,
+        shift=jnp.zeros((m,), prec.real),
+        G_host=HostArray(g_mat),
+        etrial=float(best_e),
+        name="lang_firsov",
+    )
+    return trial, np.asarray(gamma)

@@ -104,11 +104,20 @@ class HirschDMC:
         return state.replace(weight=state.weight * growth)
 
 
-def make_hirsch_dmc(ham, trial, dt: float, precision=None) -> HirschDMC:
+def make_hirsch_dmc(ham, trial, dt: float, lang_firsov: bool = False,
+                    precision=None) -> HirschDMC:
+    """lang_firsov=True replaces U by the LF effective interaction in the
+    Hirsch field tables (``propagation/hubbard_holstein.py:63-69``)."""
     prec = config.get_precision(precision)
     from pauxy_tpu.utils.transfer import to_device, to_host
 
-    hirsch = make_hirsch(ham, trial, dt)
+    ham_eff = ham
+    if lang_firsov:
+        from pauxy_tpu.models.hubbard_holstein import _lf_params
+
+        _gamma, ueff = _lf_params(ham)
+        ham_eff = ham.replace(U=float(ueff))
+    hirsch = make_hirsch(ham_eff, trial, dt)
     t = np.asarray(ham.T)
     bt_half = np.stack(
         [scipy.linalg.expm(-0.5 * dt * t[0]), scipy.linalg.expm(-0.5 * dt * t[1])]

@@ -413,8 +413,11 @@ class AFQMC:
         if name == "HubbardHolstein":
             from pauxy_tpu.propagation.hirsch_dmc import make_hirsch_dmc
 
-            return make_hirsch_dmc(self.ham, self.trial, self.qmc.dt,
-                                   precision=self.prec)
+            return make_hirsch_dmc(
+                self.ham, self.trial, self.qmc.dt,
+                lang_firsov=popts.get("lang_firsov", False),
+                precision=self.prec,
+            )
         if "discrete" in hs:
             # Discrete Hirsch propagator (propagation/utils.py:8-45 dispatch).
             if name != "Hubbard":

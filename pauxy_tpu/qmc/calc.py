@@ -34,6 +34,20 @@ def get_system(model_opts: dict, precision=None):
             pinning_fields=model_opts.get("pinning_fields", False),
             precision=precision,
         )
+    if name == "HubbardHolstein":
+        from pauxy_tpu.models.hubbard_holstein import make_hubbard_holstein
+
+        return make_hubbard_holstein(
+            nup=model_opts["nup"],
+            ndown=model_opts["ndown"],
+            U=model_opts["U"],
+            nx=model_opts["nx"],
+            ny=model_opts.get("ny", 1),
+            t=model_opts.get("t", 1.0),
+            w0=model_opts.get("w0", 1.0),
+            lmbda=model_opts.get("lambda", model_opts.get("lmbda", 0.5)),
+            precision=precision,
+        )
     if name == "UEG":
         from pauxy_tpu.models.ueg import make_ueg
 
@@ -77,6 +91,20 @@ def get_trial_wavefunction(ham, trial_opts: dict, precision=None, seed=None):
             seed=seed,
             precision=precision,
         )
+    if name in ("coherent_state",):
+        from pauxy_tpu.models.hubbard_holstein import coherent_state_trial
+
+        return coherent_state_trial(ham, precision=precision)
+    if name in ("lang_firsov",):
+        from pauxy_tpu.models.hubbard_holstein import lang_firsov_trial
+
+        trial, _gamma = lang_firsov_trial(
+            ham,
+            relax_gamma=trial_opts.get("relax_gamma", False),
+            restricted=trial_opts.get("restricted", False),
+            precision=precision,
+        )
+        return trial
     if name in ("phmsd",):
         from pauxy_tpu.models.multi_slater import phmsd_trial
 

@@ -88,3 +88,69 @@ def test_hh_g0_matches_hubbard(tmp_path):
     # CPMC on 4-site chain with this trial: close to the FCI electronic
     # energy (loose window; short run, constrained-path bias).
     assert abs(et - e_fci[0]) < 0.3, (et, e_fci[0])
+
+
+@pytest.mark.unit
+def test_lang_firsov_exact_limits():
+    """LF is exact for the single-site (bi)polaron: one electron gives
+    E = -g^2/w0, two give U - 4 g^2/w0 (lang_firsov.py:47-126 objective)."""
+    from pauxy_tpu.models.hubbard_holstein import (lang_firsov_energy,
+                                                   lang_firsov_trial,
+                                                   _lf_params)
+
+    g, w0, u = 0.5, 1.25, 4.0
+    ham2 = make_hubbard_holstein(nup=1, ndown=1, U=u, nx=1, g=g, w0=w0)
+    gamma, ueff = _lf_params(ham2)
+    psi = np.ones((1, 1), dtype=complex)
+    e2 = lang_firsov_energy(ham2, psi, psi, gamma)
+    assert e2 == pytest.approx(u - 4 * g ** 2 / w0, abs=1e-12)
+    # Ueff at the standard gamma is U - 2 g^2/w0 (polaron-reduced repulsion).
+    assert ueff == pytest.approx(u - 2 * g ** 2 / w0, abs=1e-12)
+
+    ham1 = make_hubbard_holstein(nup=1, ndown=0, U=u, nx=1, g=g, w0=w0)
+    e1 = lang_firsov_energy(ham1, psi, np.zeros((1, 0), dtype=complex), gamma)
+    assert e1 == pytest.approx(-g ** 2 / w0, abs=1e-12)
+
+
+@pytest.mark.unit
+def test_lang_firsov_trial_variational():
+    """Orbital relaxation only lowers the LF energy; relax_gamma lowers it
+    further; both stay above the coherent-state+LF lower spread."""
+    from pauxy_tpu.models.hubbard_holstein import lang_firsov_trial
+
+    ham = make_hubbard_holstein(nup=2, ndown=2, U=4.0, nx=4, w0=1.0,
+                                lmbda=0.5)
+    tr, gamma = lang_firsov_trial(ham)
+    tr_rel, gamma_rel = lang_firsov_trial(ham, relax_gamma=True)
+    assert tr_rel.etrial <= tr.etrial + 1e-8
+    assert tr.name == "lang_firsov"
+    assert np.allclose(np.asarray(tr.shift), 0.0)
+    # Orbitals orthonormal.
+    psia = np.asarray(tr.psia)
+    np.testing.assert_allclose(psia.conj().T @ psia, np.eye(2), atol=1e-8)
+
+
+@pytest.mark.driver
+def test_lang_firsov_driver_runs(tmp_path, monkeypatch):
+    """LF trial + lang_firsov propagator (Ueff Hirsch tables) through the
+    full JSON-driven path stays finite."""
+    from pauxy_tpu.qmc.calc import setup_calculation
+
+    monkeypatch.chdir(tmp_path)
+    drv = setup_calculation({
+        "model": {"name": "HubbardHolstein", "nx": 4, "ny": 1, "nup": 2,
+                  "ndown": 2, "U": 4.0, "w0": 1.0, "lambda": 0.25},
+        "qmc": {"nwalkers": 16, "timestep": 0.01, "num_steps": 5,
+                "blocks": 3, "rng_seed": 2, "pop_control_freq": 5,
+                "stabilise_freq": 5},
+        "trial": {"name": "lang_firsov"},
+        "propagator": {"lang_firsov": True},
+        "estimators": {"filename": str(tmp_path / "lf.h5"),
+                       "mixed": {"energy_eval_freq": 5}},
+        "verbosity": 0,
+    })
+    assert drv.trial.name == "lang_firsov"
+    rows = drv.run()
+    w = np.asarray(rows)[:, 4].real
+    assert np.isfinite(np.asarray(rows)).all()
+    assert (w > 0).all()
