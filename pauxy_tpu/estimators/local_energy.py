@@ -224,6 +224,41 @@ def local_energy_G_host(ham, G: np.ndarray):
             complex(to_host(ke)[0]),
             complex(to_host(pe)[0]),
         )
+    if name == "PW_FFT":
+        # Host dense version with explicit momentum lookups (build-time
+        # only; the batched path is local_energy_pw_fft).
+        basis = np.asarray(ham.basis)
+        lookup = {tuple(k): i for i, k in enumerate(basis)}
+        eig = np.asarray(ham.sp_eigv)
+        ke = np.dot(eig, np.diagonal(G[0]) + np.diagonal(G[1]))
+        qvecs = np.asarray(ham.qvecs)
+        vq = np.asarray(ham.vqvec)
+        m = basis.shape[0]
+        pe = 0.0 + 0j
+        gk = np.zeros((2, len(qvecs)), dtype=complex)
+        gp = np.zeros((2, len(qvecs)), dtype=complex)
+        gx = np.zeros((2, len(qvecs)), dtype=complex)
+        for iq, q in enumerate(qvecs):
+            if vq[iq] == 0.0:
+                continue
+            kpq = [lookup.get(tuple(k + q)) for k in basis]
+            pmq = [lookup.get(tuple(k - q)) for k in basis]
+            for s in (0, 1):
+                gk[s, iq] = sum(G[s][i, j] for i, j in enumerate(kpq)
+                                if j is not None)
+                gp[s, iq] = sum(G[s][i, j] for i, j in enumerate(pmq)
+                                if j is not None)
+                gx[s, iq] = sum(
+                    G[s][j, kpq[i]] * G[s][i, pmq[j]]
+                    for i in range(m) for j in range(m)
+                    if kpq[i] is not None and pmq[j] is not None
+                )
+        fac = 1.0 / (2.0 * ham.vol)
+        ess = np.dot(vq, gk[0] * gp[0] - gx[0]) + np.dot(
+            vq, gk[1] * gp[1] - gx[1])
+        eos = np.dot(vq, gk[0] * gp[1]) + np.dot(vq, gk[1] * gp[0])
+        pe = fac * (ess + eos)
+        return ke + pe, ke, pe
     if name == "Generic":
         # Dense reference contraction from the Cholesky factors:
         # full (ik|jl) = sum_x L[i,k,x] L[j,l,x].
@@ -240,3 +275,71 @@ def local_energy_G_host(ham, G: np.ndarray):
         e2b = ecoul - exx
         return e1b + e2b + ham.ecore, e1b + ham.ecore, e2b
     raise NotImplementedError(f"local_energy_G_host for {name}")
+
+
+# ---------------------------------------------------------------------------
+# PW_FFT (FFT-grid UEG) — counterpart of pauxy/estimators/pw_fft.py:18-115.
+# ---------------------------------------------------------------------------
+
+
+def _pw_cubes(arr, gmap, ngrid):
+    cube = jnp.zeros(arr.shape[:-1] + (ngrid,), arr.dtype)
+    return cube.at[..., gmap].set(arr)
+
+
+def local_energy_pw_fft(ham, trial, gha: jax.Array, ghb: jax.Array):
+    """Batched FFT local energy from half-rotated Green's functions
+    (``pw_fft.py:18-115``):
+
+      Gkpq(Q) = sum_iG CT_i(G+Q) theta_i(G)
+      Gpmq(Q) = sum_iG CT_i(G-Q) theta_i(G)
+      Gprod(Q) = sum_ij [sum_G CT_i(G+Q) theta_j(G)]
+                       [sum_G CT_j(G-Q) theta_i(G)]
+
+    each evaluated as circular FFT convolutions on the qmesh cube (exact:
+    correlations of mesh-supported functions never alias, models/pw_fft.py).
+    """
+    from pauxy_tpu.propagation.pw_fft import fft3, ifft3
+
+    qmesh = tuple(ham.qmesh)
+    ng = int(np.prod(qmesh))
+    gmap = jnp.asarray(ham.gmap)
+    qmap = jnp.asarray(ham.qmap)
+    psia = trial.psia
+    psib = trial.psib
+
+    diag_a = jnp.einsum("mi,wim->wm", psia.conj(), gha, optimize=True)
+    diag_b = jnp.einsum("mi,wim->wm", psib.conj(), ghb, optimize=True)
+    eig = jnp.asarray(ham.sp_eigv)
+    ke = jnp.einsum("m,wm->w", eig, diag_a + diag_b)
+
+    def spin_terms(psi, gh):
+        ct = _pw_cubes(jnp.swapaxes(psi.conj(), 0, 1), gmap, ng)  # [n, Ng]
+        th = _pw_cubes(gh, gmap, ng)                              # [w, n, Ng]
+        ct_f, ct_if = fft3(ct, qmesh), ifft3(ct, qmesh)
+        th_f, th_if = fft3(th, qmesh), ifft3(th, qmesh)
+        gkpq = ifft3(
+            jnp.einsum("ig,wig->wg", ct_f, th_if, optimize=True) * ng, qmesh
+        )[..., qmap]
+        gpmq = ifft3(
+            jnp.einsum("wig,ig->wg", th_f, ct_if, optimize=True) * ng, qmesh
+        )[..., qmap]
+        # Exchange: P[i,j](Q) = sum_G CT_i(G+Q) theta_j(G),
+        #           R[i,j](Q) = sum_G CT_j(G-Q) theta_i(G).
+        p = ifft3(ct_f[None, :, None] * th_if[:, None] * ng, qmesh)
+        r = ifft3(th_f[:, :, None] * ct_if[None, None] * ng, qmesh)
+        gprod = jnp.einsum("wijg,wijg->wg", p, r, optimize=True)[..., qmap]
+        return gkpq, gpmq, gprod
+
+    gkpq_a, gpmq_a, gprod_a = spin_terms(psia, gha)
+    gkpq_b, gpmq_b, gprod_b = spin_terms(psib, ghb)
+    fac = 1.0 / (2.0 * ham.vol)
+    vq = jnp.asarray(ham.vqvec)
+    ess = jnp.einsum("q,wq->w", vq, gkpq_a * gpmq_a - gprod_a) + jnp.einsum(
+        "q,wq->w", vq, gkpq_b * gpmq_b - gprod_b
+    )
+    eos = jnp.einsum("q,wq->w", vq, gkpq_a * gpmq_b) + jnp.einsum(
+        "q,wq->w", vq, gkpq_b * gpmq_a
+    )
+    pe = fac * (ess + eos)
+    return ke + pe, ke, pe

@@ -51,6 +51,10 @@ def energy_estimator(ham, trial):
         )
     if name == "UEG":
         return lambda ga, gb: le.local_energy_ueg(ham, ga.G, gb.G)
+    if name == "PW_FFT":
+        return lambda ga, gb: le.local_energy_pw_fft(
+            ham, trial, ga.Ghalf, gb.Ghalf
+        )
     raise NotImplementedError(f"no local energy kernel for system {name!r}")
 
 

@@ -9,6 +9,7 @@ step functions — never baked in as constants.
 from pauxy_tpu.models.hubbard import Hubbard, make_hubbard
 from pauxy_tpu.models.generic import Generic, make_generic
 from pauxy_tpu.models.ueg import UEG, make_ueg
+from pauxy_tpu.models.pw_fft import PWFFT, make_pw_fft
 from pauxy_tpu.models.multi_slater import MultiSlaterTrial, multi_slater_trial
 from pauxy_tpu.models.trial import (
     SingleDetTrial,
@@ -25,6 +26,8 @@ __all__ = [
     "make_generic",
     "UEG",
     "make_ueg",
+    "PWFFT",
+    "make_pw_fft",
     "MultiSlaterTrial",
     "multi_slater_trial",
     "SingleDetTrial",

@@ -91,7 +91,13 @@ class Continuous:
 
 
 def _apply_bh1(bh1: jax.Array, phia: jax.Array, phib: jax.Array):
-    """One-body half-step phi <- B_{T/2} phi (propagation/operations.py:29)."""
+    """One-body half-step phi <- B_{T/2} phi (propagation/operations.py:29).
+
+    A [2, M] bh1 is a diagonal propagator (plane-wave bases,
+    propagation/pw.py kinetic_real with diagH1) applied elementwise.
+    """
+    if bh1.ndim == 2:
+        return bh1[0][None, :, None] * phia, bh1[1][None, :, None] * phib
     phia = jnp.einsum("pm,wmn->wpn", bh1[0], phia, optimize=True)
     phib = jnp.einsum("pm,wmn->wpn", bh1[1], phib, optimize=True)
     return phia, phib

@@ -456,6 +456,14 @@ class AFQMC:
             inner = make_planewave(
                 self.ham, self.trial, self.qmc.dt, precision=self.prec
             )
+        elif name == "PW_FFT":
+            from pauxy_tpu.propagation.pw_fft import make_pw_fft_inner
+
+            inner = make_pw_fft_inner(
+                self.ham, self.trial, self.qmc.dt,
+                exp_order=popts.get("expansion_order", 6),
+                precision=self.prec,
+            )
         else:
             raise NotImplementedError(f"no propagator for system {name!r}")
         return continuous.Continuous(

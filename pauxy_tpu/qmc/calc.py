@@ -48,6 +48,17 @@ def get_system(model_opts: dict, precision=None):
             lmbda=model_opts.get("lambda", model_opts.get("lmbda", 0.5)),
             precision=precision,
         )
+    if name == "PW_FFT":
+        from pauxy_tpu.models.pw_fft import make_pw_fft
+
+        return make_pw_fft(
+            nup=model_opts["nup"],
+            ndown=model_opts["ndown"],
+            rs=model_opts["rs"],
+            ecut=model_opts["ecut"],
+            ktwist=model_opts.get("ktwist"),
+            precision=precision,
+        )
     if name == "UEG":
         from pauxy_tpu.models.ueg import make_ueg
 
