@@ -61,14 +61,45 @@ def measure(block_mode="fused", nwalkers=None):
         block_mode=block_mode,
     )
 
+    # Drive the compiled block directly, keeping EVERYTHING on device: the
+    # axon tunnel intermittently fails device->host copies (UNIMPLEMENTED),
+    # so the timed loop does no transfers at all — only block_until_ready.
+    from pauxy_tpu.qmc import afqmc as afq
+
+    state = af.state
+    eshift = jnp.zeros((), state.log_ovlp.dtype)
+    key = jax.random.key(8)
+    statics = dict(
+        nsteps=NSTEPS, nstblz=qmc.nstblz, npop_control=qmc.npop_control,
+        pop_method=qmc.pop_control_method, target_weight=float(nwalkers),
+        energy_eval_freq=1, free_projection=False,
+    )
+
+    def one_block(state, sub, step):
+        if block_mode == "split":
+            af.state = state
+            af.key = sub
+            af.eshift = 0.0
+            af.step = int(step)
+            # _run_block_split mutates af.state; returns device accumulators.
+            af._run_block_split(sub, eshift)
+            return af.state
+        st, _acc, _bp, _itcf = afq.run_block(
+            ham, trial, af.prop, state, sub, eshift,
+            jnp.asarray(step, jnp.int32), **statics,
+        )
+        return st
+
     # Warm-up block: compile + first execution.
-    af.run_block()
-    jax.block_until_ready(af.state.weight)
+    key, sub = jax.random.split(key)
+    state = one_block(state, sub, 0)
+    jax.block_until_ready(state.weight)
 
     t0 = time.perf_counter()
-    for _ in range(NBLOCKS_MEASURE):
-        af.run_block()
-    jax.block_until_ready(af.state.weight)
+    for b in range(NBLOCKS_MEASURE):
+        key, sub = jax.random.split(key)
+        state = one_block(state, sub, (b + 1) * NSTEPS)
+    jax.block_until_ready(state.weight)
     elapsed = time.perf_counter() - t0
 
     walker_steps = nwalkers * NSTEPS * NBLOCKS_MEASURE
