@@ -25,6 +25,7 @@ from flax import struct
 
 from pauxy_tpu import config
 from pauxy_tpu.estimators.thermal import one_rdm_from_G
+from pauxy_tpu.walkers import low_rank as lrw
 from pauxy_tpu.walkers import thermal_state as tws
 
 
@@ -126,15 +127,17 @@ class ThermalContinuous:
     mf_const_fac: complex = struct.field(pytree_node=False, default=1.0 + 0j)
     force_bias: bool = struct.field(pytree_node=False, default=True)
     free_projection: bool = struct.field(pytree_node=False, default=False)
+    low_rank: bool = struct.field(pytree_node=False, default=False)
+    low_rank_thresh: float = struct.field(pytree_node=False, default=1e-6)
 
-    def propagate(self, trial, state, key, ts):
-        """One time slice for the whole population
-        (thermal_propagation/continuous.py:202-257)."""
+    def _sample_b(self, state, key, cdtype):
+        """Sample auxiliary fields and build the slice propagator
+        B = B_{H1/2} e^{VHS} B_{H1/2}; returns (b, cfb, cmf)
+        (thermal_propagation/continuous.py:84-120 + planewave.py:220-274)."""
         inner = self.inner
         nw = state.nwalkers
         nfields = inner.mf_shift.shape[0]
         rdtype = state.weight.dtype
-        cdtype = state.log_m0.dtype
         sqrt_dt = self.dt ** 0.5
 
         xi = jax.random.normal(key, (nw, nfields), dtype=rdtype)
@@ -154,31 +157,57 @@ class ThermalContinuous:
         bv = inner.dense_bv(xshifted)                     # [w, 2, M, M]
         b = jnp.einsum("spm,wsmq,sqn->wspn", inner.BH1, bv, inner.BH1,
                        optimize=True)
+        return b, cfb, cmf
 
-        state = tws.update_stack(trial, state, b, ts)
-        g_new, log_m0_new = tws.greens_function(state.stack)
-
-        log_oratio = jnp.sum(state.log_m0 - log_m0_new, axis=-1)
-        hybrid = log_oratio + cfb + cmf
+    def _update_weight(self, state, log_oratio, cfb, cmf, extra):
+        """Hybrid phaseless / free-projection weight update shared by the
+        full-rank and low-rank paths (continuous.py:176-257)."""
+        cdtype = log_oratio.dtype
         if self.free_projection:
-            # weight |exp(cmf+cfb) oratio|, phase to walker phase
-            # (continuous.py:176-201).
             arg = cmf + cfb + log_oratio
             magn = jnp.exp(arg.real)
             weight = state.weight * magn
             phase = state.phase * jnp.exp(1j * arg.imag).astype(cdtype)
             weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
-            return state.replace(
-                G=g_new, log_m0=log_m0_new, weight=weight, phase=phase
-            )
+            return state.replace(weight=weight, phase=phase, **extra)
+        hybrid = log_oratio + cfb + cmf
         mfc = jnp.asarray(self.mf_const_fac, cdtype)
         magn = jnp.abs(mfc) * jnp.exp(hybrid.real)
         dtheta = (hybrid - cfb).imag
         cosine_fac = jnp.maximum(0.0, jnp.cos(dtheta))
         weight = state.weight * magn * cosine_fac
         weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
-        return state.replace(
-            G=g_new, log_m0=log_m0_new, weight=weight
+        return state.replace(weight=weight, **extra)
+
+    def propagate_low_rank(self, trial, state, key, ts):
+        """One time slice on the low-rank stack
+        (thermal_propagation/planewave.py:519-573): the Green's function and
+        det(1+A) come straight from the masked QDT update, and the weight
+        uses the overlap ratio instead of det(G)/det(G')."""
+        cdtype = state.log_ovlp.dtype
+        b, cfb, cmf = self._sample_b(state, key, cdtype)
+        btinv_diag = jnp.diagonal(trial.dmat_inv, axis1=-2, axis2=-1)
+        new = lrw.update_low_rank(
+            btinv_diag, state, b, ts,
+            stack_size=trial.stack_size, thresh=self.low_rank_thresh,
+        )
+        log_oratio = jnp.sum(new.log_ovlp - state.log_ovlp, axis=-1)
+        return self._update_weight(new, log_oratio, cfb, cmf, {})
+
+    def propagate(self, trial, state, key, ts):
+        """One time slice for the whole population
+        (thermal_propagation/continuous.py:202-257)."""
+        if isinstance(state, lrw.LowRankWalkerState):
+            return self.propagate_low_rank(trial, state, key, ts)
+        cdtype = state.log_m0.dtype
+        b, cfb, cmf = self._sample_b(state, key, cdtype)
+
+        state = tws.update_stack(trial, state, b, ts)
+        g_new, log_m0_new = tws.greens_function(state.stack)
+
+        log_oratio = jnp.sum(state.log_m0 - log_m0_new, axis=-1)
+        return self._update_weight(
+            state, log_oratio, cfb, cmf, {"G": g_new, "log_m0": log_m0_new}
         )
 
 
@@ -191,7 +220,14 @@ def make_thermal_propagator(
     from pauxy_tpu.utils.transfer import to_device
 
     p_trial = np.asarray(trial.P_host.arr)
-    mu = trial.mu
+    # The sampled slices B(x) carry the SYSTEM chemical potential (the grand-
+    # canonical ensemble being simulated), which may differ from the trial's
+    # bisected mu used in the unfilled B_T slices (thermal_propagation/
+    # planewave.py:104-106 uses system.mu; generic.py:71).
+    mu = opts.get("mu")
+    if mu is None:
+        mu = trial.mu
+    mu = float(mu)
     name = ham.name
     if name == "Hubbard":
         iu = 1j * ham.U ** 0.5
@@ -255,4 +291,6 @@ def make_thermal_propagator(
         mf_const_fac=complex(np.exp(-dt * complex(mf_core))),
         force_bias=opts.get("force_bias", True),
         free_projection=opts.get("free_projection", False),
+        low_rank=opts.get("low_rank", False),
+        low_rank_thresh=float(opts.get("low_rank_thresh", 1e-6)),
     )

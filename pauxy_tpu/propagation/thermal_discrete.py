@@ -171,16 +171,19 @@ class ThermalDiscrete:
 
 def make_thermal_discrete(
     ham, trial, dt: float, charge_decomposition: bool = False,
-    free_projection: bool = False, precision=None,
+    free_projection: bool = False, mu: float | None = None, precision=None,
 ) -> ThermalDiscrete:
     """Build the discrete thermal propagator
-    (thermal_propagation/hubbard.py:10-88). Assumes mu_T == mu_system (our
-    one-body trials are always built at the system's mu, so the reference's
-    dmu shift is identically zero)."""
+    (thermal_propagation/hubbard.py:10-88). BH1 is built at the trial's mu
+    (it must equal the trial B_T for the stack's left-fill algebra); a
+    system mu differing from it is folded into the diagonal field factors,
+    auxf *= e^{dt (mu_sys - mu_T)} (thermal_propagation/hubbard.py:41-48)."""
     prec = config.get_precision(precision)
     from pauxy_tpu.utils.transfer import to_device
 
-    u, mu = float(ham.U), float(trial.mu)
+    u = float(ham.U)
+    dmu = 0.0 if mu is None else float(mu) - float(trial.mu)
+    mu = float(trial.mu)
     if charge_decomposition:
         gamma = np.arccosh(np.exp(-0.5 * dt * u + 0j))
         auxf = np.array(
@@ -199,7 +202,7 @@ def make_thermal_discrete(
         aux_wfac = np.array([1.0, 1.0])
     if not ham.symmetric:
         auxf = auxf * np.exp(-0.5 * dt * u)
-    auxf = auxf.astype(complex)
+    auxf = auxf.astype(complex) * np.exp(dt * dmu)
     h1 = np.asarray(ham.T)  # bare hopping: U handled by the fields
     eye = np.eye(ham.nbasis)
     bh1 = np.stack(

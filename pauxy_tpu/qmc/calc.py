@@ -154,18 +154,26 @@ def get_driver(options: dict, verbose: bool = False):
         from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
 
         topts = options.get("trial", {}) or {}
+        # The trial bisects its own mu to the target <N> unless given one in
+        # the trial section; the model-section mu is the SYSTEM chemical
+        # potential and goes to the propagator (onebody.py:50 reads only
+        # trial options; planewave.py:106 uses system.mu).
         trial = make_one_body_trial(
             ham,
             qmc.beta,
             qmc.dt,
-            mu=topts.get("mu", model.get("mu")),
+            mu=topts.get("mu"),
             nav=topts.get("nav"),
             stack_size=topts.get("stack_size"),
         )
+        popts = dict(popts)
+        if model.get("mu") is not None:
+            popts.setdefault("mu", model["mu"])
         return ThermalAFQMC(
             ham, trial, qmc,
             propagator_options=popts,
             estimator_options=est,
+            walker_options=options.get("walkers", {}) or {},
             verbose=verbose,
             filename=est.get("filename"),
         )

@@ -24,6 +24,7 @@ from pauxy_tpu.propagation.thermal import make_thermal_propagator
 from pauxy_tpu.qmc.options import QMCOpts
 from pauxy_tpu.utils.io import (H5EstimatorHelper, create_estimates_file,
                                 get_sys_info)
+from pauxy_tpu.walkers import low_rank as lrw
 from pauxy_tpu.walkers import pop_control as pc
 from pauxy_tpu.walkers import thermal_state as tws
 
@@ -75,15 +76,20 @@ def run_path(
     from pauxy_tpu.utils import jaxops
 
     state, _ = jaxops.scan(one_slice, state, (jnp.arange(ntime_slices), keys))
+    return state, measure_state(ham, trial, state)
 
-    # Mixed thermal measurement from the end-of-path Green's function
-    # (estimators/mixed.py:183-208, thermal branch).
+
+@jax.jit
+def measure_state(ham, trial, state):
+    """Mixed thermal measurement from the current Green's function
+    (estimators/mixed.py:183-208, thermal branch); works for both the
+    full-rank and low-rank walker states (both carry G)."""
     p = one_rdm_from_G(state.G)
     e_fn = mixed.energy_estimator_G(ham, trial)
     etot, e1b, e2b = e_fn(p[:, 0], p[:, 1])
     nav = particle_number(p)
     w = state.weight
-    cdtype = state.log_m0.dtype
+    cdtype = state.G.dtype
     acc = jnp.stack(
         [
             jnp.sum(state.unscaled_weight).astype(cdtype),
@@ -95,7 +101,7 @@ def run_path(
             jnp.sum(w * nav).astype(cdtype),
         ]
     )
-    return state, jnp.stack([acc.real, acc.imag])
+    return jnp.stack([acc.real, acc.imag])
 
 
 class ThermalAFQMC:
@@ -108,6 +114,7 @@ class ThermalAFQMC:
         qmc: QMCOpts,
         propagator_options: dict | None = None,
         estimator_options: dict | None = None,
+        walker_options: dict | None = None,
         verbose: bool = False,
         filename: str | None = None,
         precision=None,
@@ -120,6 +127,22 @@ class ThermalAFQMC:
         self.prec = config.get_precision(precision)
         self.ntime_slices = trial.num_slices
         popts = dict(propagator_options or {})
+        wopts = dict(walker_options or {})
+        # Low-rank QDT stack (walkers/stack.py:326-489): requires a diagonal
+        # trial density matrix (stack.py:333).
+        self.low_rank = bool(wopts.get("low_rank", False))
+        if self.low_rank:
+            dmat = np.asarray(trial.dmat)
+            off = dmat - np.stack(
+                [np.diag(np.diagonal(dmat[0])), np.diag(np.diagonal(dmat[1]))]
+            )
+            assert np.abs(off).max() < 1e-10, (
+                "low-rank stack requires a diagonal trial density matrix"
+            )
+            popts.setdefault("low_rank", True)
+            popts.setdefault(
+                "low_rank_thresh", wopts.get("low_rank_thresh", 1e-6)
+            )
         if "discrete" in popts.get("hubbard_stratonovich", ""):
             # Discrete Hirsch fields (thermal_propagation/utils.py:24-33).
             from pauxy_tpu.propagation.thermal_discrete import (
@@ -129,13 +152,18 @@ class ThermalAFQMC:
                 ham, trial, qmc.dt,
                 charge_decomposition=popts.get("charge_decomposition", False),
                 free_projection=popts.get("free_projection", False),
+                mu=popts.get("mu"),
                 precision=self.prec,
             )
         else:
             self.prop = make_thermal_propagator(
                 ham, trial, qmc.dt, options=popts, precision=self.prec
             )
-        self.state = tws.init_thermal_walkers(trial, qmc.nwalkers)
+        self._init_walkers = (
+            lrw.init_low_rank_walkers if self.low_rank
+            else tws.init_thermal_walkers
+        )
+        self.state = self._init_walkers(trial, qmc.nwalkers)
         eopts = dict(estimator_options or {})
         if filename is None:
             filename = eopts.get("filename", "estimates.0.h5")
@@ -160,6 +188,26 @@ class ThermalAFQMC:
         self.block = 0
         self._t0 = time.time()
 
+    def _emit_row(self, acc, iteration):
+        ri = np.asarray(acc)
+        acc = ri[0] + 1j * ri[1]
+        uweight, weight, enum, edenom, e1b, e2b, navw = acc
+        now = time.time()
+        elapsed, self._t0 = now - self._t0, now
+        row = np.array(
+            [
+                iteration, uweight, weight, enum, edenom,
+                enum / edenom, e1b / edenom, e2b / edenom,
+                0.0, 0.0, navw / edenom, elapsed,
+            ],
+            dtype=np.complex128,
+        )
+        if self.verbose:
+            print("".join(f"{v.real: 16.8e} " for v in row))
+        self.output.push(row, "energies")
+        self.output.increment()
+        return row
+
     def run_block(self):
         self.key, sub = jax.random.split(self.key)
         self.state, acc = run_path(
@@ -173,31 +221,18 @@ class ThermalAFQMC:
             pop_method=self.qmc.pop_control_method,
             target_weight=float(self.qmc.nwalkers),
         )
-        ri = np.asarray(acc)
-        acc = ri[0] + 1j * ri[1]
         self.block += 1
-        uweight, weight, enum, edenom, e1b, e2b, navw = acc
-        now = time.time()
-        elapsed, self._t0 = now - self._t0, now
-        row = np.array(
-            [
-                self.block, uweight, weight, enum, edenom,
-                enum / edenom, e1b / edenom, e2b / edenom,
-                0.0, 0.0, navw / edenom, elapsed,
-            ],
-            dtype=np.complex128,
-        )
-        if self.verbose:
-            print("".join(f"{v.real: 16.8e} " for v in row))
-        self.output.push(row, "energies")
-        self.output.increment()
+        row = self._emit_row(acc, self.block)
         # Reset to the trial density matrix for the next independent path
         # (thermal_afqmc.py:235 + handler.py:423-429).
-        self.state = tws.init_thermal_walkers(self.trial, self.qmc.nwalkers)
+        self.state = self._init_walkers(self.trial, self.qmc.nwalkers)
         return row
 
     def run(self):
         if self.verbose:
             print("".join(f"{h:>17s}" for h in THERMAL_HEADER))
-        rows = [self.run_block() for _ in range(self.qmc.nblocks)]
+        rows = [self._emit_row(
+            measure_state(self.ham, self.trial, self.state), 0
+        )]
+        rows += [self.run_block() for _ in range(self.qmc.nblocks)]
         return np.array(rows)

@@ -325,10 +325,152 @@ def test_thermal_discrete_vs_ed(tmp_path):
                       propagator_options={"hubbard_stratonovich": "discrete"},
                       filename=str(tmp_path / "td2.h5"))
     rows = af.run()
-    et = rows[:, 5].real
-    nav = rows[:, 10].real
+    # rows[0] is the deterministic iteration-0 trial measurement; the ED
+    # comparison uses the sampled blocks only.
+    et = rows[1:, 5].real
+    nav = rows[1:, 10].real
     err = et.std(ddof=1) / len(et) ** 0.5
     assert abs(et.mean() - e_ed) < max(4 * err, 0.05), (
         f"E {et.mean()} vs ED {e_ed}"
     )
     assert abs(nav.mean() - n_ed) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Low-rank propagator stack (walkers/stack.py:326-489 counterpart)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.unit
+def test_low_rank_update_vs_dense():
+    """Masked low-rank QDT update == dense (1+A)^-1 / det(1+A) to machine
+    precision when nothing truncates, for every slice incl. stack
+    boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from pauxy_tpu.walkers import low_rank as lrw
+
+    rng = np.random.default_rng(3)
+    m, nslice, ss, nw = 12, 6, 2, 3
+    bt_diag = np.sort(rng.uniform(0.2, 1.4, m))[::-1].copy()
+    btinv = jnp.asarray(np.stack([1 / bt_diag] * 2), jnp.complex128)
+    bs = np.eye(m)[None, None, None] + 0.3 * (
+        rng.standard_normal((nslice, nw, 2, m, m))
+        + 1j * rng.standard_normal((nslice, nw, 2, m, m))
+    ) / np.sqrt(m)
+
+    class T:
+        nbasis = m
+        num_slices = nslice
+        dmat = jnp.asarray(np.stack([np.diag(bt_diag)] * 2), jnp.complex128)
+
+    state = lrw.init_low_rank_walkers.__wrapped__(T(), nw)
+    for t in range(nslice):
+        state = lrw.update_low_rank(
+            btinv, state, jnp.asarray(bs[t]), jnp.asarray(t),
+            stack_size=ss, thresh=1e-6,
+        )
+        for w in range(nw):
+            for s in range(2):
+                a = np.eye(m, dtype=complex)
+                for k in range(t + 1):
+                    a = bs[k, w, s] @ a
+                a = np.diag(bt_diag.astype(complex) ** (nslice - t - 1)) @ a
+                g = np.linalg.inv(np.eye(m) + a)
+                sign, ld = np.linalg.slogdet(np.eye(m) + a)
+                np.testing.assert_allclose(
+                    np.asarray(state.G)[w, s], g, atol=1e-12
+                )
+                np.testing.assert_allclose(
+                    np.asarray(state.log_ovlp)[w, s],
+                    ld + np.log(sign), atol=1e-12,
+                )
+
+
+@pytest.mark.unit
+def test_low_rank_truncation_stable():
+    """With a strongly decaying trial spectrum the truncation is active;
+    errors stay at the threshold scale and nothing over/underflows."""
+    import jax.numpy as jnp
+
+    from pauxy_tpu.walkers import low_rank as lrw
+
+    rng = np.random.default_rng(5)
+    m, nslice, ss, nw = 16, 20, 4, 2
+    ek = np.sort(rng.uniform(0, 30, m))
+    bt_diag = np.exp(-0.5 * ek)
+    btinv = jnp.asarray(np.stack([1 / bt_diag] * 2), jnp.complex128)
+    bs = np.einsum(
+        "i,lwsij->lwsij", bt_diag,
+        np.eye(m)[None, None, None] + 0.1 * (
+            rng.standard_normal((nslice, nw, 2, m, m))
+            + 1j * rng.standard_normal((nslice, nw, 2, m, m))
+        ) / np.sqrt(m),
+    )
+
+    class T:
+        nbasis = m
+        num_slices = nslice
+        dmat = jnp.asarray(np.stack([np.diag(bt_diag)] * 2), jnp.complex128)
+
+    state = lrw.init_low_rank_walkers.__wrapped__(T(), nw)
+    for t in range(nslice):
+        state = lrw.update_low_rank(
+            btinv, state, jnp.asarray(bs[t]), jnp.asarray(t),
+            stack_size=ss, thresh=1e-6,
+        )
+    for w in range(nw):
+        for s in range(2):
+            a = np.eye(m, dtype=complex)
+            for k in range(nslice):
+                a = bs[k, w, s] @ a
+            g = np.linalg.inv(np.eye(m) + a)
+            sign, ld = np.linalg.slogdet(np.eye(m) + a)
+            np.testing.assert_allclose(np.asarray(state.G)[w, s], g, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(state.log_ovlp)[w, s], ld + np.log(sign), atol=1e-5
+            )
+
+
+@pytest.mark.driver
+def test_thermal_ueg_lowrank_anchor(tmp_path):
+    """BASELINE anchor (reference test_thermal_afqmc.py:46-51): UEG rs=1,
+    beta=0.5, mu=0.245, ecut=4, low-rank stack. The iteration-0 row is
+    deterministic (trial density matrix at the bisected trial mu) and must
+    match the pinned reference values exactly; the block rows are compared
+    statistically against a 40-block reference series (RNG streams differ
+    by design)."""
+    import os
+
+    from pauxy_tpu.qmc.calc import setup_calculation
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "thermal_ueg_lowrank.npz")
+    options = {
+        "verbosity": 0,
+        "qmc": {"timestep": 0.05, "rng_seed": 8, "nblocks": 12,
+                "nwalkers": 10, "beta": 0.5},
+        "model": {"name": "UEG", "rs": 1.0, "ecut": 4, "nup": 1,
+                  "mu": 0.245, "ndown": 1},
+        "trial": {"name": "one_body"},
+        "walkers": {"low_rank": True, "low_rank_thresh": 1e-6},
+        "estimates": {"filename": str(tmp_path / "tueg.h5")},
+    }
+    af = setup_calculation(options)
+    rows = af.run()
+    assert rows[0, 5].real == pytest.approx(5.97385568, abs=1e-7)
+    assert rows[0, 10].real == pytest.approx(1.99999991, abs=1e-7)
+    if not os.path.exists(path):
+        pytest.skip("golden data missing")
+    g = np.load(path)
+    et, ref = rows[1:, 5].real, np.asarray(g["etotal"])[1:]
+    nav, refn = rows[1:, 10].real, np.asarray(g["nav"])[1:]
+    se = np.hypot(et.std(ddof=1) / len(et) ** 0.5,
+                  ref.std(ddof=1) / len(ref) ** 0.5)
+    sen = np.hypot(nav.std(ddof=1) / len(nav) ** 0.5,
+                   refn.std(ddof=1) / len(refn) ** 0.5)
+    assert abs(et.mean() - ref.mean()) < max(4 * se, 0.05), (
+        et.mean(), ref.mean(), se)
+    assert abs(nav.mean() - refn.mean()) < max(4 * sen, 0.02), (
+        nav.mean(), refn.mean(), sen)

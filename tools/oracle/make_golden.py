@@ -137,6 +137,57 @@ def run_hubbard_4x4_uhf_discrete(outdir, blocks=100):
     )
 
 
+def run_thermal_ueg_lowrank(outdir, blocks=40):
+    """Thermal UEG rs=1 beta=0.5 mu=0.245 ecut=4, low-rank stack — the
+    reference regression family of pauxy/qmc/tests/test_thermal_afqmc.py
+    (whose pinned block-1 values are a single 10-walker sample; this stores
+    a many-block series for a statistical comparison)."""
+    numpy.random.seed(8)
+    import ueg_kernels_shim
+
+    ueg_kernels_shim.inject()
+    from mpi4py import MPI
+    from pauxy.qmc.thermal_afqmc import ThermalAFQMC
+    from pauxy.analysis.extraction import extract_data
+
+    options = {
+        "verbosity": 0,
+        "get_sha1": False,
+        "qmc": {
+            "timestep": 0.05,
+            "rng_seed": 8,
+            "nblocks": blocks,
+            "nwalkers": 10,
+            "beta": 0.5,
+            "pop_control_freq": 1,
+        },
+        "model": {
+            "name": "UEG", "rs": 1.0, "ecut": 4, "nup": 1, "ndown": 1,
+            "mu": 0.245,
+        },
+        "trial": {"name": "one_body"},
+        "walkers": {"low_rank": True, "low_rank_thresh": 1e-6},
+        "estimators": {"filename": os.path.join(outdir, "tmp_tueg.h5")},
+    }
+    comm = MPI.COMM_WORLD
+    afqmc = ThermalAFQMC(comm=comm, options=options, verbose=0)
+    afqmc.run(comm=comm)
+    afqmc.finalise(verbose=0)
+    data = extract_data(afqmc.estimators.filename, "basic", "energies")
+    numpy.savez(
+        os.path.join(outdir, "thermal_ueg_lowrank.npz"),
+        etotal=numpy.real(data.ETotal.values),
+        nav=numpy.real(data.Nav.values),
+        weight_factor=numpy.real(data.WeightFactor.values),
+        beta=0.5, dt=0.05, mu=0.245, rs=1.0, ecut=4.0, nwalkers=10,
+        nblocks=blocks,
+    )
+    os.remove(afqmc.estimators.filename)
+    print("thermal_ueg_lowrank:",
+          numpy.real(data.ETotal.values[:3]), "...",
+          numpy.real(data.ETotal.values[1:]).mean())
+
+
 if __name__ == "__main__":
     outdir = sys.argv[1] if len(sys.argv) > 1 else "tests/data"
     os.makedirs(outdir, exist_ok=True)
@@ -145,3 +196,5 @@ if __name__ == "__main__":
         run_hubbard_4x4_uhf_continuous(outdir)
     if which in ("all", "discrete"):
         run_hubbard_4x4_uhf_discrete(outdir)
+    if which in ("all", "thermal_ueg"):
+        run_thermal_ueg_lowrank(outdir)
