@@ -77,7 +77,9 @@ def local_energy_generic_opt(trial, Ghalfa: jax.Array, Ghalfb: jax.Array,
       e2b      = 0.5 (ecoul - exxa - exxb)
 
     Reference: ``pauxy/estimators/generic.py:156-221``. The exchange term is
-    the FLOP hot spot (naux matmuls of [n,M]x[M,n] per walker).
+    the FLOP hot spot (naux matmuls of [n,M]x[M,n] per walker); its
+    [w, X, n, n] intermediate is chunked over the Cholesky axis when it
+    would exceed ~2 GB so production (nmo, naux, nwalkers) fit in HBM.
     """
     rca, rcb = trial.rchola, trial.rcholb            # [X, n, M]
     e1b = (
@@ -88,11 +90,66 @@ def local_energy_generic_opt(trial, Ghalfa: jax.Array, Ghalfb: jax.Array,
     xb = jnp.einsum("xim,wim->wx", rcb, Ghalfb, optimize=True)
     x = xa + xb
     ecoul = jnp.einsum("wx,wx->w", x, x)
-    ta = jnp.einsum("xim,wjm->wxij", rca, Ghalfa, optimize=True)
-    tb = jnp.einsum("xim,wjm->wxij", rcb, Ghalfb, optimize=True)
-    exx = jnp.einsum("wxij,wxji->w", ta, ta) + jnp.einsum("wxij,wxji->w", tb, tb)
+    exx = _exx(rca, Ghalfa) + _exx(rcb, Ghalfb)
     e2b = 0.5 * (ecoul - exx)
     return e1b + e2b + ecore, e1b + ecore, e2b
+
+
+def _exx(rchol: jax.Array, ghalf: jax.Array,
+         max_elems: int = 1 << 27) -> jax.Array:
+    """exx[w] = sum_x tr(T_x(w) T_x(w)), T_x(w) = rchol_x Ghalf_w^T.
+
+    Single einsum when the [w, X, n, n] intermediate is small; otherwise a
+    ``lax.scan`` over Cholesky-axis chunks (the device-side equivalent of the
+    reference's per-aux python loop at ``generic.py:208-212``, but batched
+    chunk-wise onto the MXU).
+    """
+    nx, n, _ = rchol.shape
+    w = ghalf.shape[0]
+    if w * nx * n * n <= max_elems:
+        t = jnp.einsum("xim,wjm->wxij", rchol, ghalf, optimize=True)
+        return jnp.einsum("wxij,wxji->w", t, t)
+    chunk = max(1, max_elems // (w * n * n))
+    nchunks = -(-nx // chunk)
+    pad = nchunks * chunk - nx
+    rc = jnp.pad(rchol, ((0, pad), (0, 0), (0, 0)))  # zero chunks add zero
+    rc = rc.reshape(nchunks, chunk, n, rchol.shape[-1])
+
+    def body(acc, rck):
+        t = jnp.einsum("xim,wjm->wxij", rck, ghalf, optimize=True)
+        return acc + jnp.einsum("wxij,wxji->w", t, t), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((w,), rchol.dtype), rc)
+    return acc
+
+
+def local_energy_generic_opt_multi(trial, Ghalfa, Ghalfb, det_weights,
+                                   ecore: float):
+    """Det-batched ab-initio local energy for NOMSD trials.
+
+    Per-determinant fast kernel (rchol_d, Ghalf_d as in
+    :func:`local_energy_generic_opt`, with a leading determinant axis),
+    det-averaged with the overlap weights w_d = conj(c_d) det_d / sum
+    (the per-walker version of the reference's multi-det energy,
+    ``pauxy/estimators/mixed.py:439-458`` + ``multi_slater.py:267-420``).
+
+    Ghalf: [w, D, n, M]; rchol: [D, X, n, M]; det_weights: [w, D].
+    """
+    rca, rcb = trial.rchola, trial.rcholb
+    e1_d = (
+        jnp.einsum("dim,wdim->wd", trial.rh1a, Ghalfa, optimize=True)
+        + jnp.einsum("dim,wdim->wd", trial.rh1b, Ghalfb, optimize=True)
+    )
+    xa = jnp.einsum("dxim,wdim->wdx", rca, Ghalfa, optimize=True)
+    xb = jnp.einsum("dxim,wdim->wdx", rcb, Ghalfb, optimize=True)
+    x = xa + xb
+    ecoul_d = jnp.einsum("wdx,wdx->wd", x, x)
+    exx_per_det = jax.vmap(_exx, in_axes=(0, 1), out_axes=1)
+    exx_d = exx_per_det(rca, Ghalfa) + exx_per_det(rcb, Ghalfb)
+    e2_d = 0.5 * (ecoul_d - exx_d)
+    e1b = jnp.sum(det_weights * e1_d, axis=-1) + ecore
+    e2b = jnp.sum(det_weights * e2_d, axis=-1)
+    return e1b + e2b, e1b, e2b
 
 
 def local_energy_generic_cholesky_G(ham, Ga: jax.Array, Gb: jax.Array):

@@ -46,6 +46,10 @@ def energy_estimator(ham, trial):
     if name == "Hubbard":
         return lambda ga, gb: le.local_energy_hubbard(ham, ga.G, gb.G)
     if name == "Generic":
+        if getattr(trial, "rchola", None) is not None and trial.rchola.ndim == 4:
+            return lambda ga, gb: le.local_energy_generic_opt_multi(
+                trial, ga.Ghalf, gb.Ghalf, ga.det_weights, ham.ecore
+            )
         return lambda ga, gb: le.local_energy_generic_opt(
             trial, ga.Ghalf, gb.Ghalf, ham.ecore
         )
@@ -88,16 +92,22 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False):
         # Per-determinant mixed energy, det-weighted
         # (mixed.py:439-458 local_energy_multi_det).
         md = greens_function_multi_det(trial, state.phia, state.phib)
-        eg = energy_estimator_G(ham, trial)
-        nw, nd = md.det_weights.shape
-        m = state.phia.shape[1]
-        gi = md.Gi.reshape(nw * nd, 2, m, m)
-        etot_d, e1_d, e2_d = eg(gi[:, 0], gi[:, 1])
+        if ham.name == "Generic" and trial.rchola is not None:
+            # Per-det half-rotated fast path (multi_slater.py:267-420).
+            _e_tuple = le.local_energy_generic_opt_multi(
+                trial, md.Ghalfa, md.Ghalfb, md.det_weights, ham.ecore
+            )
+        else:
+            eg = energy_estimator_G(ham, trial)
+            nw, nd = md.det_weights.shape
+            m = state.phia.shape[1]
+            gi = md.Gi.reshape(nw * nd, 2, m, m)
+            etot_d, e1_d, e2_d = eg(gi[:, 0], gi[:, 1])
 
-        def det_avg(x):
-            return jnp.sum(md.det_weights * x.reshape(nw, nd), axis=-1)
+            def det_avg(x):
+                return jnp.sum(md.det_weights * x.reshape(nw, nd), axis=-1)
 
-        _e_tuple = (det_avg(etot_d), det_avg(e1_d), det_avg(e2_d))
+            _e_tuple = (det_avg(etot_d), det_avg(e1_d), det_avg(e2_d))
         e_fn = lambda *_: _e_tuple
         ga = gb = None
     elif ham.name == "HubbardHolstein":

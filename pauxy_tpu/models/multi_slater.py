@@ -35,6 +35,13 @@ class MultiSlaterTrial:
     coeffs: Any            # [D] complex
     inita: Any             # [M, na] initial walker determinant
     initb: Any             # [M, nb]
+    # Per-determinant half-rotated Cholesky + one-body tensors (Generic
+    # Hamiltonians): the fast force-bias / local-energy path
+    # (multi_slater.py:267-420 half_rotate; rchol[d] = psi_d^dag L).
+    rchola: Any = None     # [D, X, na, M] or None
+    rcholb: Any = None     # [D, X, nb, M] or None
+    rh1a: Any = None       # [D, na, M] or None
+    rh1b: Any = None       # [D, nb, M] or None
     G_host: Any = struct.field(pytree_node=False, default=None)
     etrial: float = struct.field(pytree_node=False, default=0.0)
     name: str = struct.field(pytree_node=False, default="multi_slater")
@@ -61,6 +68,8 @@ class MultiDetGreens(NamedTuple):
     Gi: jax.Array         # [w, D, 2, M, M] per-determinant
     det_weights: jax.Array  # [w, D] complex, conj(c_d) det_d / denom
     log_ovlp: jax.Array   # [w] complex log <psi_T|phi>
+    Ghalfa: jax.Array = None   # [w, D, na, M] per-det half-rotated GF
+    Ghalfb: jax.Array = None   # [w, D, nb, M]
 
 
 def _logsumexp_c(z: jax.Array, axis=-1) -> jax.Array:
@@ -73,7 +82,7 @@ def _logsumexp_c(z: jax.Array, axis=-1) -> jax.Array:
 def greens_function_multi_det(trial: MultiSlaterTrial, phia, phib) -> MultiDetGreens:
     """Batched multi-determinant Green's function (multi_det.py:31-150)."""
 
-    def spin(phi, psi):
+    def spin_half(phi, psi):
         s = jnp.einsum("wmi,dmj->wdij", phi, psi.conj(), optimize=True)
         logdet = clinalg.slogdet(s)                        # [w, D]
         # A walker exactly orthogonal to one determinant (det S_d = 0) makes
@@ -86,16 +95,17 @@ def greens_function_multi_det(trial: MultiSlaterTrial, phia, phib) -> MultiDetGr
         ghalf = jnp.where(singular[..., None, None], 0.0, ghalf)
         logdet = jnp.where(singular, -1e30, logdet.real) + 1j * logdet.imag
         g = jnp.einsum("dmi,wdin->wdmn", psi.conj(), ghalf, optimize=True)
-        return g, logdet
+        return g, ghalf, logdet
 
-    ga, la = spin(phia, trial.psia)
-    gb, lb = spin(phib, trial.psib)
+    ga, gha, la = spin_half(phia, trial.psia)
+    gb, ghb, lb = spin_half(phib, trial.psib)
     logw = la + lb + jnp.log(trial.coeffs.conj())[None, :]  # [w, D]
     log_ovlp = _logsumexp_c(logw, axis=-1)
     w_d = jnp.exp(logw - log_ovlp[:, None])                 # [w, D]
     gi = jnp.stack([ga, gb], axis=2)                        # [w, D, 2, M, M]
     g = jnp.einsum("wd,wdsmn->wsmn", w_d, gi, optimize=True)
-    return MultiDetGreens(G=g, Gi=gi, det_weights=w_d, log_ovlp=log_ovlp)
+    return MultiDetGreens(G=g, Gi=gi, det_weights=w_d, log_ovlp=log_ovlp,
+                          Ghalfa=gha, Ghalfb=ghb)
 
 
 def log_overlap_multi_det(trial: MultiSlaterTrial, phia, phib) -> jax.Array:
@@ -170,12 +180,37 @@ def multi_slater_trial(ham, psi: np.ndarray, coeffs=None, init=None,
         etrial = float(np.real(le.local_energy_G_host(ham, g_host)[0]))
     except NotImplementedError:
         etrial = 0.0
+
+    # Per-determinant half rotation for Generic Hamiltonians: rchol_d =
+    # psi_d^dag L, rh1_d = psi_d^dag H1 — the MSD fast force-bias/energy
+    # tensors (multi_slater.py:267-420; one einsum replaces the reference's
+    # per-rank Cholesky column slabs).
+    rchola = rcholb = rh1a = rh1b = None
+    if getattr(ham, "chol", None) is not None:
+        chol = np.asarray(ham.chol)                       # [M, M, X]
+        h1 = np.asarray(ham.H1)
+        rchola = to_device(np.einsum(
+            "dpi,pmx->dxim", psia.conj(), chol, optimize=True
+        ).astype(prec.cplx))
+        rcholb = to_device(np.einsum(
+            "dpi,pmx->dxim", psib.conj(), chol, optimize=True
+        ).astype(prec.cplx))
+        rh1a = to_device(np.einsum(
+            "dpi,pm->dim", psia.conj(), h1[0], optimize=True
+        ).astype(prec.cplx))
+        rh1b = to_device(np.einsum(
+            "dpi,pm->dim", psib.conj(), h1[1], optimize=True
+        ).astype(prec.cplx))
     return MultiSlaterTrial(
         psia=to_device(psia),
         psib=to_device(psib),
         coeffs=to_device(coeffs),
         inita=to_device(init[:, :na].astype(prec.cplx)),
         initb=to_device(init[:, na:].astype(prec.cplx)),
+        rchola=rchola,
+        rcholb=rcholb,
+        rh1a=rh1a,
+        rh1b=rh1b,
         G_host=HostArray(g_host),
         etrial=etrial,
     )

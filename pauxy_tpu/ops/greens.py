@@ -29,11 +29,17 @@ from pauxy_tpu.ops import clinalg
 
 
 class SpinGreens(NamedTuple):
-    """Green's function bundle for one spin sector (batched over walkers)."""
+    """Green's function bundle for one spin sector (batched over walkers).
+
+    For multi-determinant trials ``Ghalf`` carries a determinant axis
+    ([w, D, n, M]) and ``det_weights`` the per-walker overlap weights
+    w_d = conj(c_d) det_d / sum_d' (None for single determinants).
+    """
 
     G: jax.Array        # [w, M, M] full Green's function
     Ghalf: jax.Array    # [w, n, M] half-rotated Green's function
     log_ovlp: jax.Array  # [w] complex log of det(phi^T conj(psi))
+    det_weights: jax.Array = None  # [w, D] for MSD trials
 
 
 def _clog_det(sign: jax.Array, logdet: jax.Array, cdtype) -> jax.Array:

@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 WALKER_AXIS = "walker"
+CHOL_AXIS = "chol"
 
 
 def walker_mesh(devices=None) -> Mesh:
@@ -26,6 +27,72 @@ def walker_mesh(devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (WALKER_AXIS,))
+
+
+def walker_chol_mesh(n_chol: int, devices=None) -> Mesh:
+    """2-D mesh [walker, chol] for HBM-bound Generic runs.
+
+    The Cholesky tensor L[M, M, X] (and its half-rotations) is the memory
+    hot spot of ab-initio AFQMC; the reference replicates it per node via
+    MPI shared windows (``pauxy/utils/mpi.py:13-35``, ``systems/
+    utils.py:86-123``). Here the X axis is sharded over the 'chol' mesh
+    axis and XLA completes the force-bias/VHS/energy contractions with
+    psum collectives over ICI (SURVEY.md section 2.11).
+    """
+    if devices is None:
+        devices = jax.devices()
+    nd = len(devices)
+    assert nd % n_chol == 0, f"{nd} devices not divisible by n_chol={n_chol}"
+    return Mesh(
+        np.asarray(devices).reshape(nd // n_chol, n_chol),
+        (WALKER_AXIS, CHOL_AXIS),
+    )
+
+
+def shard_generic(ham, trial, prop, mesh: Mesh):
+    """Place a Generic Hamiltonian + trial + propagator on a [walker, chol]
+    mesh with every Cholesky-indexed tensor sharded over its X axis.
+
+    chol [M, M, X] -> P(None, None, 'chol'); rchol [(D,) X, n, M] ->
+    P((None,) 'chol'); mf_shift [X] -> P('chol'); everything else
+    replicated.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def x_sharding(ndim: int, x_axis: int) -> NamedSharding:
+        spec = [None] * ndim
+        spec[x_axis] = CHOL_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    def place_repl(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jax.numpy.asarray(x), repl), tree
+        )
+
+    def place_x(arr, x_axis):
+        arr = jax.numpy.asarray(arr)
+        return jax.device_put(arr, x_sharding(arr.ndim, x_axis))
+
+    ham = place_repl(ham)
+    if getattr(ham, "chol", None) is not None:
+        ham = ham.replace(chol=place_x(ham.chol, -1))
+    trial = place_repl(trial)
+    if getattr(trial, "rchola", None) is not None:
+        x_axis = 0 if trial.rchola.ndim == 3 else 1   # MSD: [D, X, n, M]
+        trial = trial.replace(
+            rchola=place_x(trial.rchola, x_axis),
+            rcholb=place_x(trial.rcholb, x_axis),
+        )
+    prop = place_repl(prop)
+    inner = prop.inner
+    updates = {}
+    if getattr(inner, "chol", None) is not None:
+        updates["chol"] = place_x(inner.chol, -1)
+    if getattr(inner, "mf_shift", None) is not None:
+        updates["mf_shift"] = place_x(inner.mf_shift, 0)
+    if updates:
+        prop = prop.replace(inner=inner.replace(**updates))
+    return ham, trial, prop
 
 
 def shard_walkers(state, mesh: Mesh):

@@ -35,9 +35,13 @@ def trial_greens(trial, phia, phib):
 
     if isinstance(trial, MultiSlaterTrial):
         md = greens_function_multi_det(trial, phia, phib)
-        ga = greens.SpinGreens(G=md.G[:, 0], Ghalf=None, log_ovlp=md.log_ovlp)
+        ga = greens.SpinGreens(G=md.G[:, 0], Ghalf=md.Ghalfa,
+                               log_ovlp=md.log_ovlp,
+                               det_weights=md.det_weights)
         gb = greens.SpinGreens(
-            G=md.G[:, 1], Ghalf=None, log_ovlp=jnp.zeros_like(md.log_ovlp)
+            G=md.G[:, 1], Ghalf=md.Ghalfb,
+            log_ovlp=jnp.zeros_like(md.log_ovlp),
+            det_weights=md.det_weights,
         )
         return ga, gb, md.log_ovlp
     ga = greens.greens_function(phia, trial.psia)

@@ -50,18 +50,29 @@ class GenericContinuous:
 
     def force_bias(self, trial, ga, gb):
         """xbar = -sqrt(dt) (i vbias - mf_shift) with vbias from the
-        half-rotated Cholesky tensors (``generic.py:130-152``), or the full
-        Green's function when no half-rotation exists (multi-determinant
-        trials; ``generic.py:109-128`` slow path)."""
-        if ga.Ghalf is None or getattr(trial, "rchola", None) is None:
+        half-rotated Cholesky tensors (``generic.py:130-152``); for MSD
+        trials the per-determinant half-rotated path, det-weighted
+        (vbias = sum_d w_d tr(rchol_d Ghalf_d) — O(D X n M) instead of the
+        reference's O(nfields M^2) full-G contraction at
+        ``generic.py:154-157``). Falls back to the full Green's function
+        when no half-rotation exists (``generic.py:109-128`` slow path)."""
+        rca = getattr(trial, "rchola", None)
+        if ga.Ghalf is None or rca is None:
             m = self.BH1.shape[-1]
             vbias = jnp.einsum(
                 "pqx,wpq->wx", self.chol.reshape(m, m, -1), ga.G + gb.G,
                 optimize=True,
             )
+        elif ga.Ghalf.ndim == 4:
+            wd = ga.det_weights[..., None, None]          # [w, D, 1, 1]
+            vbias = jnp.einsum(
+                "dxim,wdim->wx", rca, wd * ga.Ghalf, optimize=True
+            ) + jnp.einsum(
+                "dxim,wdim->wx", trial.rcholb, wd * gb.Ghalf, optimize=True
+            )
         else:
             vbias = jnp.einsum(
-                "xim,wim->wx", trial.rchola, ga.Ghalf, optimize=True
+                "xim,wim->wx", rca, ga.Ghalf, optimize=True
             ) + jnp.einsum("xim,wim->wx", trial.rcholb, gb.Ghalf, optimize=True)
         return -self.sqrt_dt * (1j * vbias - self.mf_shift)
 

@@ -184,3 +184,65 @@ def test_single_det_msd_matches_single_det_driver(tmp_path, monkeypatch):
                    filename=str(tmp_path / f"est_{tag}.h5"))
         out[tag] = np.asarray(af.run())[:, 5].real
     np.testing.assert_allclose(out["single"], out["msd1"], atol=1e-12)
+
+
+@pytest.mark.unit
+def test_msd_half_rotated_energy_vs_dense():
+    """The per-determinant half-rotated fast energy kernel
+    (local_energy_generic_opt_multi) equals the dense per-det cholesky
+    energy, det-averaged — and the MSD force bias from per-det rchol equals
+    the full-G contraction."""
+    from pauxy_tpu.estimators import local_energy as le
+    from pauxy_tpu.propagation.continuous import trial_greens
+    from pauxy_tpu.propagation.generic import make_generic_continuous
+
+    rng = np.random.default_rng(7)
+    nmo, na, nb, nchol, ndets, nw = 9, 3, 3, 18, 4, 5
+    h1e, chol, enuc, _ = generate_hamiltonian(nmo, (na, nb), seed=7)
+    ham = make_generic((na, nb), h1e, chol, enuc)
+    psi = rng.standard_normal((ndets, nmo, na + nb)) + 0.1j * (
+        rng.standard_normal((ndets, nmo, na + nb))
+    )
+    coeffs = rng.standard_normal(ndets) + 0.1j * rng.standard_normal(ndets)
+    trial = multi_slater_trial(ham, psi, coeffs)
+    assert trial.rchola is not None and trial.rchola.ndim == 4
+
+    phia = jnp.asarray(
+        rng.standard_normal((nw, nmo, na))
+        + 0.1j * rng.standard_normal((nw, nmo, na))
+    )
+    phib = jnp.asarray(
+        rng.standard_normal((nw, nmo, nb))
+        + 0.1j * rng.standard_normal((nw, nmo, nb))
+    )
+    md = greens_function_multi_det(trial, phia, phib)
+    etf, _, _ = le.local_energy_generic_opt_multi(
+        trial, md.Ghalfa, md.Ghalfb, md.det_weights, ham.ecore
+    )
+    # dense per-det reference
+    h1 = np.asarray(ham.H1)
+    chold = np.asarray(ham.chol)
+    gi, wd = np.asarray(md.Gi), np.asarray(md.det_weights)
+    etd = np.zeros(nw, complex)
+    for w in range(nw):
+        for d in range(ndets):
+            ga, gb = gi[w, d, 0], gi[w, d, 1]
+            e1 = np.einsum("mn,mn->", h1[0], ga) + np.einsum(
+                "mn,mn->", h1[1], gb
+            )
+            x = np.einsum("ikx,ik->x", chold, ga + gb)
+            exx = 0.0
+            for g in (ga, gb):
+                t = np.einsum("il,ikx->lkx", g, chold)
+                exx += np.einsum("lkx,klx->", t, t)
+            etd[w] += wd[w, d] * (e1 + 0.5 * (x @ x - exx) + ham.ecore)
+    np.testing.assert_allclose(np.asarray(etf), etd, atol=1e-11)
+
+    inner = make_generic_continuous(ham, trial, 0.01)
+    ga, gb, _ = trial_greens(trial, phia, phib)
+    fb_fast = np.asarray(inner.force_bias(trial, ga, gb))
+    fb_slow = np.asarray(
+        inner.force_bias(trial, ga._replace(Ghalf=None),
+                         gb._replace(Ghalf=None))
+    )
+    np.testing.assert_allclose(fb_fast, fb_slow, atol=1e-12)

@@ -66,3 +66,71 @@ def test_comb_gather_across_devices():
     got = np.round(np.asarray(out.phia[:, 0, 0]).real).astype(int)
     assert np.all(got == 3)
     np.testing.assert_allclose(np.asarray(out.weight), 1.0)
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 devices")
+def test_generic_chol_sharded_matches_single_device(tmp_path):
+    """Generic run with the Cholesky axis sharded over a [walker=2, chol=4]
+    mesh gives identical physics to the unsharded run (SURVEY 2.11:
+    chol-axis sharding with psum-completed contractions)."""
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.trial import rhf_identity_trial
+    from pauxy_tpu.utils.testing import generate_hamiltonian
+
+    h1e, chol, enuc, _ = generate_hamiltonian(8, (3, 3), seed=5, nchol=16)
+    ham = make_generic((3, 3), h1e, chol, enuc)
+    trial = rhf_identity_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.005, nsteps=8, nblocks=2, nstblz=4,
+                  npop_control=2, rng_seed=3)
+
+    af1 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "g1.h5"))
+    rows1 = af1.run()
+
+    af2 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "g2.h5"))
+    m2 = pmesh.walker_chol_mesh(4)
+    sham, strial, sprop = pmesh.shard_generic(af2.ham, af2.trial, af2.prop, m2)
+    af2.ham, af2.trial, af2.prop = sham, strial, sprop
+    af2.state = pmesh.shard_walkers(af2.state, m2)
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 devices")
+def test_msd_generic_chol_sharded(tmp_path):
+    """MSD trial with per-det rchol sharded over the chol axis."""
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.multi_slater import multi_slater_trial
+    from pauxy_tpu.utils.testing import generate_hamiltonian
+
+    h1e, chol, enuc, _ = generate_hamiltonian(8, (3, 3), seed=5, nchol=16)
+    ham = make_generic((3, 3), h1e, chol, enuc)
+    rng = np.random.default_rng(4)
+    eye = np.eye(8)[:, :6]
+    psi = np.stack([eye, eye + 0.05 * rng.standard_normal(eye.shape)])
+    trial = multi_slater_trial(ham, psi, np.array([0.9, 0.1]))
+    qmc = QMCOpts(nwalkers=16, dt=0.005, nsteps=6, nblocks=2, nstblz=3,
+                  npop_control=2, rng_seed=9)
+
+    af1 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "m1.h5"))
+    rows1 = af1.run()
+
+    af2 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "m2.h5"))
+    m2 = pmesh.walker_chol_mesh(4)
+    af2.ham, af2.trial, af2.prop = pmesh.shard_generic(
+        af2.ham, af2.trial, af2.prop, m2
+    )
+    af2.state = pmesh.shard_walkers(af2.state, m2)
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
