@@ -189,14 +189,29 @@ def coulomb_greens_function_ueg(ham, G: jax.Array):
     return gkpq, gpmq
 
 
-def exchange_greens_function_ueg(ham, G: jax.Array, q_chunk: int = 64):
+def exchange_greens_function_ueg(ham, G: jax.Array, q_chunk: int | None = None,
+                                 max_elems: int = 2 ** 26):
     """Gprod[w, q] = sum_{ij} G[j, idx(k_i+q)] G[i, idx(k_j-q)].
 
     The O(nnz^2)-per-q Cython loop (``ueg_kernels.pyx:58-75``) becomes, per
-    q, an elementwise trace of two gathered matrices; chunked over q to bound
-    the [w, qc, M, M] intermediates.
+    q, an elementwise trace of two gathered matrices; chunked over q — and,
+    when one q per step still exceeds the budget (large walker batches),
+    over walkers too — to bound the [wc, qc, M, M] intermediates.
     """
     m = G.shape[-1]
+    w = G.shape[0]
+    if q_chunk is None:
+        q_chunk = max(1, max_elems // max(1, 2 * w * m * m))
+    if w * m * m * 2 > max_elems and w > 1:
+        # One q already busts the budget: halve the walker batch recursively.
+        half = w // 2
+        return jnp.concatenate(
+            [
+                exchange_greens_function_ueg(ham, G[:half], None, max_elems),
+                exchange_greens_function_ueg(ham, G[half:], None, max_elems),
+            ],
+            axis=0,
+        )
     rows = jnp.arange(m)[None, :]
 
     def chunk(carry, idx):

@@ -5,12 +5,13 @@ represents the momentum-transfer density operators rho_q as scipy sparse
 matrices (``ueg.py:336-428``) and evaluates their Green's-function
 contractions in Cython (``ueg_kernels.pyx``). Here:
 
-* rho_q is stored DENSE as [nq, M, M] real (entries sqrt(pi/(vol q^2)) at
-  (k+q, k)); the propagator's force-bias / VHS contractions become batched
-  [w, M^2] x [M^2, nq] einsums on the MXU.
-* The energy kernels use integer gather maps kpq/pmq ([nq, M] index + mask):
-  the Cython O(nnz) / O(nnz^2) loops become masked gathers + reductions,
-  vectorized over walkers (see estimators/local_energy.py).
+* rho_q stays SPARSE: the system carries only the integer gather maps
+  kpq/pmq ([nq, M] index + mask). Propagator force-bias/VHS contractions
+  are masked gathers + a sorted segment-sum scatter (ops/ueg_sparse.py) —
+  O(nq M) storage like the reference's scipy matrices, never [nq, M, M].
+* The energy kernels use the same maps: the Cython O(nnz) / O(nnz^2) loops
+  become masked gathers + reductions, vectorized over walkers (see
+  estimators/local_energy.py).
 
 Units/conventions follow the reference exactly: kfac = 2 pi / L, energies in
 Hartree, ecut in scaled units, q grid = 4*ecut sphere minus q=0
@@ -31,7 +32,6 @@ class UEG:
 
     H1: np.ndarray         # [2, M, M] diagonal kinetic energy
     h1e_mod: np.ndarray    # [2, M, M] with the exchange-fock diagonal shift
-    rho: np.ndarray        # [nq, M, M] real scaled density operators
     kpq_idx: np.ndarray    # [nq, M] int32: index of k_i + q (0 if invalid)
     kpq_mask: np.ndarray   # [nq, M] bool
     pmq_idx: np.ndarray    # [nq, M] int32: index of k_i - q
@@ -177,12 +177,9 @@ def make_ueg(
     pmq_idx = pmq_idx.reshape(nq, m)
     pmq_mask = pmq_mask.reshape(nq, m)
 
-    # Dense scaled density operators rho_q[k+q, k] = sqrt(pi/(vol q^2))
-    # (ueg.py:336-428: values (pi/vol/q^2)^0.5 at (kpq, i)).
-    factor = np.sqrt(np.pi / vol / qsq)                   # [nq]
-    rho = np.zeros((nq, m, m))
-    qi, ii = np.nonzero(kpq_mask)
-    rho[qi, kpq_idx[qi, ii], ii] = factor[qi]
+    # The scaled density operators rho_q[k+q, k] = sqrt(pi/(vol q^2))
+    # (ueg.py:336-428) are NOT materialized: propagators/estimators consume
+    # the (kpq_idx, kpq_mask, vqvec) gather maps via ops/ueg_sparse.
 
     # One-body: T = diag(sp_eigv); h1e_mod subtracts the q-summed Coulomb
     # diagonal 1/(2 vol) sum_{j != i} 4 pi/|k_i - k_j|^2 (ueg.py:288-310).
@@ -198,7 +195,6 @@ def make_ueg(
     return UEG(
         H1=np.stack([t, t]).astype(rdtype),
         h1e_mod=np.stack([h1e_mod, h1e_mod]).astype(rdtype),
-        rho=rho.astype(rdtype),
         kpq_idx=kpq_idx.astype(np.int32),
         kpq_mask=kpq_mask,
         pmq_idx=pmq_idx.astype(np.int32),

@@ -1,8 +1,10 @@
 """Continuous HS propagator for the UEG (plane waves).
 
 TPU-native counterpart of ``pauxy/propagation/planewave.py:11-140``. The
-reference contracts scipy-sparse iA/iB operators per walker; here the dense
-[nq, M, M] rho tensor turns force bias and VHS into batched MXU einsums:
+reference contracts scipy-sparse iA/iB operators per walker; here the
+density operators stay sparse (``ops/ueg_sparse.SparseRho``): force bias is
+a masked gather over the kpq index map, and VHS is a sorted segment-sum
+scatter of the per-q coefficients,
 
   iA_q = i (rho_q + rho_q^dagger),  iB_q = -(rho_q - rho_q^dagger)
   VHS  = sqrt(dt) sum_q [ (i x+_q - x-_q) rho_q + (i x+_q + x-_q) rho_q^T ]
@@ -14,12 +16,12 @@ reference contracts scipy-sparse iA/iB operators per walker; here the dense
 from __future__ import annotations
 
 import numpy as np
-import scipy.linalg
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from pauxy_tpu import config
+from pauxy_tpu.ops import ueg_sparse
 from pauxy_tpu.propagation.generic import apply_exponential_taylor
 
 
@@ -29,7 +31,7 @@ class PlaneWave:
 
     BH1: jax.Array        # [2, M, M]
     mf_shift: jax.Array   # [2 nq] zeros (planewave.py:25)
-    rho: jax.Array        # [nq, M, M] real
+    sp: ueg_sparse.SparseRho
     dt: float = struct.field(pytree_node=False)
     exp_order: int = struct.field(pytree_node=False, default=6)
 
@@ -39,31 +41,26 @@ class PlaneWave:
 
     @property
     def nq(self):
-        return self.rho.shape[0]
-
-    def _rho_expectations(self, g):
-        """(<rho_q>, <rho_q^T>) for g = G_up + G_dn, shapes [w, nq]."""
-        t1 = jnp.einsum("wpm,qpm->wq", g, self.rho, optimize=True)
-        t2 = jnp.einsum("wpm,qmp->wq", g, self.rho, optimize=True)
-        return t1, t2
+        return self.sp.nq
 
     def force_bias(self, trial, ga, gb):
         """-sqrt(dt) * (Gvec . iA, Gvec . iB)  (planewave.py:57-77)."""
-        t1, t2 = self._rho_expectations(ga.G + gb.G)
+        t1, t2 = ueg_sparse.rho_expectations(self.sp, ga.G + gb.G)
         vplus = 1j * (t1 + t2)
         vminus = -(t1 - t2)
         return -self.sqrt_dt * jnp.concatenate([vplus, vminus], axis=-1)
 
-    def apply_vhs(self, phia, phib, xshifted):
-        """VHS = sqrt(dt)(iA x+ + iB x-), batched, then Taylor-apply
-        (planewave.py:94-112 + continuous.py:82-111)."""
+    def build_vhs(self, xshifted):
+        """VHS = sqrt(dt)(iA x+ + iB x-), batched [w, M, M]
+        (planewave.py:94-112)."""
         xa = xshifted[:, : self.nq]
         xb = xshifted[:, self.nq :]
         c1 = 1j * xa - xb          # coefficient of rho_q
         c2 = 1j * xa + xb          # coefficient of rho_q^T
-        vhs = jnp.einsum("qpm,wq->wpm", self.rho, c1, optimize=True)
-        vhs = vhs + jnp.einsum("qmp,wq->wpm", self.rho, c2, optimize=True)
-        vhs = self.sqrt_dt * vhs
+        return self.sqrt_dt * ueg_sparse.assemble_vhs(self.sp, c1, c2)
+
+    def apply_vhs(self, phia, phib, xshifted):
+        vhs = self.build_vhs(xshifted)
         return (
             apply_exponential_taylor(vhs, phia, self.exp_order),
             apply_exponential_taylor(vhs, phib, self.exp_order),
@@ -92,7 +89,7 @@ def make_planewave(ham, trial, dt: float, precision=None, exp_order=6) -> PlaneW
     return PlaneWave(
         BH1=to_device(bh1.astype(prec.cplx)),
         mf_shift=jnp.zeros((2 * ham.nq,), prec.cplx),
-        rho=jnp.asarray(np.asarray(ham.rho).astype(prec.real)),
+        sp=ueg_sparse.make_sparse_rho(ham, prec.real),
         dt=float(dt),
         exp_order=int(exp_order),
     )

@@ -88,32 +88,32 @@ class ThermalUEGInner:
 
     BH1: jax.Array
     mf_shift: jax.Array   # [2 nq] zeros
-    rho: jax.Array        # [nq, M, M]
+    sp: Any               # ops/ueg_sparse.SparseRho
     dt: float = struct.field(pytree_node=False)
     exp_order: int = struct.field(pytree_node=False, default=6)
 
     @property
     def nq(self):
-        return self.rho.shape[0]
+        return self.sp.nq
 
     def force_bias_P(self, p):
+        from pauxy_tpu.ops import ueg_sparse
+
         psum = p[:, 0] + p[:, 1]
-        t1 = jnp.einsum("wpm,qpm->wq", psum, self.rho, optimize=True)
-        t2 = jnp.einsum("wpm,qmp->wq", psum, self.rho, optimize=True)
+        t1, t2 = ueg_sparse.rho_expectations(self.sp, psum)
         vplus = 1j * (t1 + t2)
         vminus = -(t1 - t2)
         return -(self.dt ** 0.5) * jnp.concatenate([vplus, vminus], axis=-1)
 
     def dense_bv(self, xshifted):
+        from pauxy_tpu.ops import ueg_sparse
         from pauxy_tpu.propagation.generic import apply_exponential_taylor
 
         xa = xshifted[:, : self.nq]
         xb = xshifted[:, self.nq :]
-        vhs = jnp.einsum("qpm,wq->wpm", self.rho, 1j * xa - xb, optimize=True)
-        vhs = vhs + jnp.einsum(
-            "qmp,wq->wpm", self.rho, 1j * xa + xb, optimize=True
+        vhs = self.dt ** 0.5 * ueg_sparse.assemble_vhs(
+            self.sp, 1j * xa - xb, 1j * xa + xb
         )
-        vhs = self.dt ** 0.5 * vhs
         m = vhs.shape[-1]
         eye = jnp.broadcast_to(jnp.eye(m, dtype=vhs.dtype), vhs.shape)
         bv = apply_exponential_taylor(vhs, eye, self.exp_order)
@@ -276,10 +276,12 @@ def make_thermal_propagator(
             [np.diag(np.exp(-0.5 * dt * np.diagonal(h1[0]))),
              np.diag(np.exp(-0.5 * dt * np.diagonal(h1[1])))]
         )
+        from pauxy_tpu.ops import ueg_sparse
+
         inner = ThermalUEGInner(
             BH1=to_device(bh1.astype(prec.cplx)),
             mf_shift=jnp.zeros((2 * ham.nq,), prec.cplx),
-            rho=to_device(np.asarray(ham.rho).astype(prec.real)),
+            sp=ueg_sparse.make_sparse_rho(ham, prec.real),
             dt=float(dt),
         )
         mf_core = 0.0

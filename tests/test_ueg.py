@@ -49,14 +49,25 @@ def test_system_vs_reference():
         np.asarray(ham.h1e_mod[0]), ref.h1e_mod[0], atol=1e-12
     )
     assert ham.ecore == pytest.approx(ref.ecore)
-    # Dense rho vs reference sparse chol_vecs ([M^2, nq], column iq is rho_q
-    # raveled with rows kpq*M + i).
-    rho_ref = np.asarray(ref.chol_vecs.todense()).reshape(
-        ham.nbasis, ham.nbasis, ham.nq
-    )
-    np.testing.assert_allclose(
-        np.asarray(ham.rho), np.moveaxis(rho_ref, -1, 0), atol=1e-12
-    )
+    # Sparse rho (scatter metadata) vs reference sparse chol_vecs
+    # ([M^2, nq], column iq is rho_q raveled with rows kpq*M + i).
+    from pauxy_tpu.ops import ueg_sparse
+
+    sp = ueg_sparse.make_sparse_rho(ham, np.float64)
+    m, nq = ham.nbasis, ham.nq
+    rho_ref = np.asarray(ref.chol_vecs.todense()).reshape(m, m, nq)
+    rho_dense = np.zeros((nq, m, m))
+    lin, sel, val = (np.asarray(sp.lin), np.asarray(sp.sel), np.asarray(sp.val))
+    keep = sel < nq                    # rho_q entries (sel >= nq are rho_q^T)
+    rho_dense[sel[keep], lin[keep] // m, lin[keep] % m] = val[keep]
+    np.testing.assert_allclose(rho_dense, np.moveaxis(rho_ref, -1, 0),
+                               atol=1e-12)
+    # The rho^T entries must mirror the rho entries exactly.
+    keep_t = ~keep
+    rho_t = np.zeros((nq, m, m))
+    rho_t[sel[keep_t] - nq, lin[keep_t] // m, lin[keep_t] % m] = val[keep_t]
+    np.testing.assert_allclose(rho_t, np.moveaxis(rho_ref, -1, 0).swapaxes(1, 2),
+                               atol=1e-12)
     # Gather maps vs reference index lists (thermal=True -> full-M maps).
     for iq in range(0, ham.nq, 7):
         mask = np.asarray(ham.kpq_mask[iq])
@@ -173,3 +184,54 @@ def test_ueg_afqmc_runs(tmp_path):
                filename=str(tmp_path / "u.h5"))
     rows = af.run()
     assert np.isfinite(rows.real).all()
+
+
+@pytest.mark.unit
+def test_sparse_vhs_chunking_and_expectations():
+    """assemble_vhs must be exact regardless of the nonzero chunk size, and
+    rho_expectations must match a dense einsum built from the same metadata."""
+    from pauxy_tpu.ops import ueg_sparse
+
+    ham = make_ueg(nup=2, ndown=2, rs=1.0, ecut=0.5)
+    sp = ueg_sparse.make_sparse_rho(ham, np.float64)
+    m, nq = ham.nbasis, ham.nq
+    # Dense rho rebuilt from the scatter metadata (rho_q part only).
+    lin, sel, val = (np.asarray(sp.lin), np.asarray(sp.sel), np.asarray(sp.val))
+    keep = sel < nq
+    rho = np.zeros((nq, m, m))
+    rho[sel[keep], lin[keep] // m, lin[keep] % m] = val[keep]
+
+    rng = np.random.default_rng(11)
+    nw = 3
+    c1 = rng.standard_normal((nw, nq)) + 1j * rng.standard_normal((nw, nq))
+    c2 = rng.standard_normal((nw, nq)) + 1j * rng.standard_normal((nw, nq))
+    want = np.einsum("qpm,wq->wpm", rho, c1) + np.einsum("qmp,wq->wpm", rho, c2)
+    for max_elems in (10, 1000, 2**26):
+        got = np.asarray(
+            ueg_sparse.assemble_vhs(sp, jnp.asarray(c1), jnp.asarray(c2),
+                                    max_elems=max_elems)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    g = rng.standard_normal((nw, m, m)) + 1j * rng.standard_normal((nw, m, m))
+    t1, t2 = ueg_sparse.rho_expectations(sp, jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(t1), np.einsum("wpm,qpm->wq", g, rho),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(t2), np.einsum("wpm,qmp->wq", g, rho),
+                               atol=1e-10)
+
+
+@pytest.mark.unit
+def test_exchange_kernel_walker_chunking():
+    """The recursive walker split must agree with the unchunked kernel."""
+    ham = make_ueg(nup=2, ndown=2, rs=1.0, ecut=0.5)
+    rng = np.random.default_rng(5)
+    m = ham.nbasis
+    g = rng.standard_normal((5, m, m)) + 1j * rng.standard_normal((5, m, m))
+    full = np.asarray(le.exchange_greens_function_ueg(ham, jnp.asarray(g)))
+    # Budget so small that one q per step with all walkers still busts it.
+    tiny = np.asarray(
+        le.exchange_greens_function_ueg(ham, jnp.asarray(g),
+                                        max_elems=2 * m * m)
+    )
+    np.testing.assert_allclose(tiny, full, atol=1e-10)
