@@ -47,6 +47,16 @@ GEN_NBLOCKS = 3
 # ceiling" number, not an f32-relative one.
 V5E_BF16_PEAK_FLOPS = 394e12
 
+# UEG at scale (sparse-rho path; ecut=8 -> M=257, nq=2108, nfields=4216 —
+# a basis the dense-rho design could not hold in HBM). Reference (pauxy,
+# numpy + the vectorized ueg_kernels shim, 1 CPU core): measured 2026-08-16
+# via the serial oracle at the same config (energy every 10th step).
+REFERENCE_UEG_WALKER_STEPS_PER_SEC = 31.0  # 4 walkers x 10 steps in 1.29 s
+UEG_ECUT = 8.0
+UEG_NWALKERS = 512
+UEG_NSTEPS = 10
+UEG_NBLOCKS = 3
+
 
 def measure(block_mode="fused", nwalkers=None):
     import jax
@@ -58,6 +68,7 @@ def measure(block_mode="fused", nwalkers=None):
 
     from pauxy_tpu.models import make_hubbard, free_electron_trial
     from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.utils.transfer import device_zeros
 
     nwalkers = nwalkers or NWALKERS
     ham = make_hubbard(nup=7, ndown=7, U=4.0, nx=4, ny=4)
@@ -87,7 +98,7 @@ def measure(block_mode="fused", nwalkers=None):
     from pauxy_tpu.qmc import afqmc as afq
 
     state = af.state
-    eshift = jnp.zeros((), state.log_ovlp.dtype)
+    eshift = device_zeros((), state.log_ovlp.dtype)
     key = jax.random.key(8)
     statics = dict(
         nsteps=NSTEPS, nstblz=qmc.nstblz, npop_control=qmc.npop_control,
@@ -186,6 +197,7 @@ def measure_generic():
     from pauxy_tpu.models.generic import make_generic
     from pauxy_tpu.models.trial import rhf_identity_trial
     from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.utils.transfer import device_zeros
     from pauxy_tpu.qmc import afqmc as afq
 
     nmo, na, nx, nw = GEN_NMO, GEN_NA, GEN_NAUX, GEN_NWALKERS
@@ -204,7 +216,7 @@ def measure_generic():
                verbose=False, filename="bench_generic.h5")
 
     state = af.state
-    eshift = jnp.zeros((), state.log_ovlp.dtype)
+    eshift = device_zeros((), state.log_ovlp.dtype)
     key = jax.random.key(8)
     statics = dict(
         nsteps=GEN_NSTEPS, nstblz=qmc.nstblz, npop_control=1,
@@ -259,6 +271,74 @@ def measure_generic():
     )
 
 
+def measure_ueg():
+    """UEG throughput at a basis size the dense-rho design could not hold."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", False)
+
+    from pauxy_tpu.models import make_ueg, rhf_identity_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.utils.transfer import device_zeros
+    from pauxy_tpu.qmc import afqmc as afq
+
+    nw = UEG_NWALKERS
+    ham = make_ueg(nup=7, ndown=7, rs=1.0, ecut=UEG_ECUT)
+    trial = rhf_identity_trial(ham)
+    qmc = QMCOpts(nwalkers=nw, dt=0.005, nsteps=UEG_NSTEPS,
+                  nblocks=UEG_NBLOCKS + 1, nstblz=5, npop_control=1,
+                  rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 10}},
+               verbose=False, filename="bench_ueg.h5")
+
+    state = af.state
+    eshift = device_zeros((), state.log_ovlp.dtype)
+    key = jax.random.key(8)
+    statics = dict(
+        nsteps=UEG_NSTEPS, nstblz=qmc.nstblz, npop_control=1,
+        pop_method=qmc.pop_control_method, target_weight=float(nw),
+        energy_eval_freq=10, free_projection=False,
+    )
+
+    def one_block(state, sub, step):
+        st, _acc, _bp, _itcf = afq.run_block(
+            ham, trial, af.prop, state, sub, eshift,
+            jnp.asarray(step, jnp.int32), **statics,
+        )
+        return st
+
+    key, sub = jax.random.split(key)
+    state = one_block(state, sub, 0)
+    jax.block_until_ready(state.weight)
+
+    t0 = time.perf_counter()
+    for b in range(UEG_NBLOCKS):
+        key, sub = jax.random.split(key)
+        state = one_block(state, sub, (b + 1) * UEG_NSTEPS)
+    jax.block_until_ready(state.weight)
+    elapsed = time.perf_counter() - t0
+
+    _assert_really_executed(state.weight)
+
+    rate = nw * UEG_NSTEPS * UEG_NBLOCKS / elapsed
+    out = {
+        "metric": "walker_steps_per_sec_ueg_ecut8_M257",
+        "value": round(rate, 1),
+        "unit": "walker-steps/s/chip",
+        "nwalkers": nw,
+        "nbasis": int(ham.nbasis),
+        "nfields": int(ham.nfields),
+    }
+    if REFERENCE_UEG_WALKER_STEPS_PER_SEC:
+        out["vs_baseline"] = round(rate / REFERENCE_UEG_WALKER_STEPS_PER_SEC, 2)
+    print("RESULT " + json.dumps(out), flush=True)
+
+
 def _run_child(args_extra):
     here = os.path.abspath(__file__)
     args = [sys.executable, here, "--measure"] + args_extra
@@ -277,6 +357,9 @@ def main():
     if "--measure" in sys.argv:
         if "--generic" in sys.argv:
             measure_generic()
+            return
+        if "--ueg" in sys.argv:
+            measure_ueg()
             return
         mode = "split" if "--split" in sys.argv else "fused"
         nw = None
@@ -319,6 +402,15 @@ def main():
             break
     else:
         result["generic_error"] = gerr[-200:]
+    # Tertiary UEG-at-scale measurement (VERDICT r1 item 4: sparse rho at
+    # ecut >= 4 on one chip without OOM).
+    for _ in range(2):
+        ueg, uerr = _run_child(["--ueg"])
+        if ueg is not None:
+            result["ueg"] = ueg
+            break
+    else:
+        result["ueg_error"] = uerr[-200:]
     print(json.dumps(result))
 
 

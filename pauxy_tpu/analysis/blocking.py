@@ -134,3 +134,94 @@ def analyse_energy(files_or_frame, skip: int = 0) -> pd.DataFrame:
             [extract_mixed_estimates(f) for f in files_or_frame]
         )
     return reblock_mixed(frame, skip=skip)
+
+
+def average_rdm(filename, skip: int = 1, est_type: str = "back_propagated",
+                rdm_type: str = "one_rdm", ix=None):
+    """Block-averaged RDM + standard error (``blocking.py:181-186``)."""
+    from pauxy_tpu.analysis.extraction import extract_rdm
+
+    series = extract_rdm(filename, est_type=est_type, rdm_type=rdm_type,
+                         ix=ix)
+    av = series[skip:].mean(axis=0)
+    err = series[skip:].std(axis=0, ddof=1) / len(series[skip:]) ** 0.5
+    return av, err
+
+
+def analyse_estimates(files, start_time: float = 0.0,
+                      verbose: bool = False) -> pd.DataFrame:
+    """One-shot analysis writer (``blocking.py:292-340``): reblock the mixed
+    estimates of each file (FP-aware), print the table, and write
+    ``analysed_<basename>.h5`` with basic/estimates + headers + metadata.
+    """
+    import json
+    import os
+
+    import h5py
+
+    from pauxy_tpu.analysis.extraction import (extract_mixed_estimates,
+                                               get_metadata, get_param)
+
+    if isinstance(files, str):
+        files = [files]
+    mds, frames = [], []
+    fp = False
+    for f in files:
+        md = get_metadata(f)
+        step = (md.get("qmc", {}) or {}).get("nsteps", 1)
+        dt = (md.get("qmc", {}) or {}).get("dt", 1.0)
+        fp = bool((md.get("propagators", {}) or {}).get("free_projection",
+                                                        False))
+        skip = int(start_time / (step * dt)) + 1
+        frames.append(extract_mixed_estimates(f, skip))
+        mds.append(md)
+    frame = pd.concat(frames)
+    if fp:
+        out = average_fp(frame)
+    else:
+        out = reblock_mixed(frame.apply(np.real))
+    if verbose:
+        print(out.to_string(index=False,
+                            float_format=lambda x: f"{x:13.8f}"))
+    base = os.path.basename(files[0])
+    outfile = "analysed_" + base
+    with h5py.File(outfile, "w") as fh5:
+        fh5["metadata"] = np.array(
+            [json.dumps(md) for md in mds]
+        ).astype("S")
+        fh5["basic/estimates"] = out.values.astype(float)
+        fh5["basic/headers"] = np.array(out.columns.values).astype("S")
+    return out
+
+
+def get_ortho_ao_mod(s: np.ndarray, lindep_cutoff: float = 1e-14):
+    """Canonical orthogonalization dropping near-null directions
+    (``pauxy/utils/linalg.py:191-199``)."""
+    sdiag, us = np.linalg.eigh(s)
+    keep = sdiag > lindep_cutoff
+    x = us[:, keep] / np.sqrt(sdiag[keep])
+    smod = us[:, keep] @ np.diag(sdiag[keep]) @ us[:, keep].conj().T
+    return smod, x
+
+
+def analyse_ekt_ipea(filename, ix=None, cutoff: float = 1e-14,
+                     screen_factor: float = 1.0):
+    """EKT ionization potentials / electron affinities from the BP 1-RDM and
+    the 1h/1p generalized Fock matrices (``blocking.py:342-362``):
+    solve F^h c = e S c in the orthogonalized metric S = spin-summed RDM
+    (IPs) and S = 2 - RDM^T (EAs)."""
+    rdm, rdm_err = average_rdm(filename, rdm_type="one_rdm", ix=ix)
+    f1h, f1h_err = average_rdm(filename, rdm_type="fock_1h", ix=ix)
+    f1p, f1p_err = average_rdm(filename, rdm_type="fock_1p", ix=ix)
+    rdm = np.where(np.abs(rdm) < screen_factor * rdm_err, 0.0, rdm)
+    f1h = np.where(np.abs(f1h) < screen_factor * f1h_err, 0.0, f1h)
+    f1p = np.where(np.abs(f1p) < screen_factor * f1p_err, 0.0, f1p)
+    rdm = rdm[0] + rdm[1]
+    rdm = 0.5 * np.real(rdm + rdm.conj().T)
+    _, x = get_ortho_ao_mod(rdm, cutoff)
+    eip, eip_vec = np.linalg.eigh(x.conj().T @ f1h @ x)
+    norb = rdm.shape[-1]
+    gamma = 2.0 * np.eye(norb) - rdm.T
+    _, x = get_ortho_ao_mod(gamma, cutoff)
+    eea, eea_vec = np.linalg.eigh(x.conj().T @ f1p @ x)
+    return (eip, eip_vec), (eea, eea_vec)

@@ -138,42 +138,56 @@ class BPReporter:
     ``one_rdm_{nbp}`` so ``pauxy.analysis.extraction.extract_rdm`` works.
     """
 
-    def __init__(self, output, nbp: int, eval_energy: bool):
+    def __init__(self, output, nbp: int, eval_energy: bool, nsplit: int = 1):
         self.output = output
         self.nbp = nbp
         self.eval_energy = eval_energy
+        self.nsplit = nsplit
+        self.splits = [(i + 1) * (nbp // nsplit) for i in range(nsplit)]
 
     def block_row(self, acc, nbasis: int):
         import numpy as np
 
-        denom = acc[3]
-        self.output.push(np.array([denom]), f"denominator_{self.nbp}")
-        if self.eval_energy and abs(denom) > 0:
-            self.output.push(acc[:3] / denom, f"energies_{self.nbp}")
-        ng = 2 * nbasis * nbasis
-        g = acc[4 : 4 + ng].reshape(2, nbasis, nbasis)
-        self.output.push(g, f"one_rdm_{self.nbp}")
-        rest = acc[4 + ng :]
-        if rest.size == ng:
-            nmm = nbasis * nbasis
-            self.output.push(rest[:nmm].reshape(nbasis, nbasis),
-                             f"fock_1p_{self.nbp}")
-            self.output.push(rest[nmm:].reshape(nbasis, nbasis),
-                             f"fock_1h_{self.nbp}")
+        acc = np.asarray(acc)
+        per = acc.size // self.nsplit
+        out = None
+        for k, s in enumerate(self.splits):
+            a = acc[k * per : (k + 1) * per]
+            denom = a[3]
+            self.output.push(np.array([denom]), f"denominator_{s}")
+            if self.eval_energy and abs(denom) > 0:
+                self.output.push(a[:3] / denom, f"energies_{s}")
+            ng = 2 * nbasis * nbasis
+            g = a[4 : 4 + ng].reshape(2, nbasis, nbasis)
+            self.output.push(g, f"one_rdm_{s}")
+            rest = a[4 + ng :]
+            if rest.size == ng:
+                nmm = nbasis * nbasis
+                self.output.push(rest[:nmm].reshape(nbasis, nbasis),
+                                 f"fock_1p_{s}")
+                self.output.push(rest[nmm:].reshape(nbasis, nbasis),
+                                 f"fock_1h_{s}")
+            if s == self.splits[-1]:
+                out = a[:3] / denom if abs(denom) > 0 else a[:3]
         self.output.increment()
-        return acc[:3] / denom if abs(denom) > 0 else acc[:3]
+        return out
 
 
 def update(ham, trial, prop, state, energy_fn, *, nstblz: int,
            restore_weights: str | None, discrete: bool,
-           eval_ekt: bool = False):
+           eval_ekt: bool = False, nbp_len: int | None = None):
     """One BP measurement: returns the flat accumulator
     [e, e1b, e2b, denom, G.flatten() (, EKT 1p/1h Focks)] summed over
-    walkers."""
+    walkers. ``nbp_len`` restricts to the first n stored configs — the
+    multi-split schedule measures at several BP times through the same
+    buffer (back_propagation.py:70-72,144-147)."""
+    configs = state.configs
+    if nbp_len is not None:
+        configs = configs[:, :nbp_len]
     if discrete:
-        phia_bp, phib_bp = back_propagate_hirsch(prop, trial, state.configs, nstblz)
+        phia_bp, phib_bp = back_propagate_hirsch(prop, trial, configs, nstblz)
     else:
-        phia_bp, phib_bp = back_propagate_continuous(prop, trial, state.configs, nstblz)
+        phia_bp, phib_bp = back_propagate_continuous(prop, trial, configs, nstblz)
     ga, gb = bp_greens_function(phia_bp, phib_bp, state.phia_old, state.phib_old)
     w = bp_weights(state, restore_weights)
     if energy_fn is not None:

@@ -23,7 +23,7 @@ def dense_eri(ham) -> np.ndarray:
     hubbard.py:158-163, generic.py:168-172, ueg.py:443-470)."""
     m = ham.nbasis
     name = ham.name
-    if name == "Hubbard":
+    if name in ("Hubbard", "HubbardHolstein"):
         eri = np.zeros((m, m, m, m))
         for i in range(m):
             eri[i, i, i, i] = ham.U
@@ -146,3 +146,83 @@ def simple_fci(ham, nup=None, ndown=None, nroots: int = 1):
     hmat, basis = fci_hamiltonian(ham, nup, ndown)
     evals, evecs = np.linalg.eigh(hmat)
     return evals[:nroots], evecs[:, :nroots], basis
+
+
+# ----------------------------------------------------------------------------
+# Bose-fermi FCI (Hubbard-Holstein oracle)
+# ----------------------------------------------------------------------------
+
+def _boson_basis(m: int, nboson_max: int):
+    """All site-occupation tuples with total boson number <= nboson_max,
+    ordered by total (the reference's 'perms', ``ci.py:13-22``)."""
+    basis = []
+    for ntot in range(nboson_max + 1):
+        # Compositions of ntot into m nonnegative parts, lexicographic.
+        def comps(total, parts):
+            if parts == 1:
+                yield (total,)
+                return
+            for first in range(total + 1):
+                for rest in comps(total - first, parts - 1):
+                    yield (first,) + rest
+
+        basis.extend(comps(ntot, m))
+    return basis
+
+
+def simple_fci_bose_fermi(ham, nboson_max: int = 1, nroots: int = 1):
+    """Exact diagonalization of the Hubbard-Holstein model in the product
+    space (electron determinants) x (truncated boson Fock space).
+
+    Counterpart of ``pauxy/estimators/ci.py:8-156``:
+      H = H_el (x) 1  +  1 (x) w0 sum_i b_i^dag b_i
+          + g sum_i n_i (x) (b_i + b_i^dag).
+    No boson zero-point term, matching the reference (its pinned values:
+    ``pauxy/estimators/tests/test_ci.py:19-52``); add M*w0/2 to compare with
+    the continuous-coordinate convention of the AFQMC estimators.
+    Returns (evals[:nroots], evecs, (det_basis, boson_basis)).
+    """
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    m = ham.nbasis
+    hel, det_basis = fci_hamiltonian(ham)
+    nd = hel.shape[0]
+    bbasis = _boson_basis(m, nboson_max)
+    nb = len(bbasis)
+    index = {b: i for i, b in enumerate(bbasis)}
+
+    hel = scipy.sparse.csr_matrix(hel)
+    hb = scipy.sparse.diags(
+        [ham.w0 * sum(b) for b in bbasis], format="csr"
+    )
+    ib = scipy.sparse.eye(nb, format="csr")
+    iel = scipy.sparse.eye(nd, format="csr")
+
+    htot = scipy.sparse.kron(ib, hel) + scipy.sparse.kron(hb, iel)
+    g = float(ham.g)
+    for isite in range(m):
+        # x_i = b_i + b_i^dag on the truncated basis.
+        rows, cols, vals = [], [], []
+        for j, b in enumerate(bbasis):
+            if b[isite] > 0:
+                tgt = list(b)
+                tgt[isite] -= 1
+                rows.append(index[tuple(tgt)])
+                cols.append(j)
+                vals.append(np.sqrt(b[isite]))
+        bi = scipy.sparse.csr_matrix((vals, (rows, cols)), shape=(nb, nb))
+        xi = bi + bi.T
+        # Electron density at site i (both spins), diagonal over dets.
+        rho = np.zeros(nd)
+        for idx, (oa, ob) in enumerate(det_basis):
+            rho[idx] = (isite in oa) + (isite in ob)
+        rhoi = scipy.sparse.diags(rho, format="csr")
+        htot = htot + g * scipy.sparse.kron(xi, rhoi)
+
+    k = min(max(nroots, 2), htot.shape[0] - 2)
+    evals, evecs = scipy.sparse.linalg.eigsh(htot, k=k, which="SA")
+    order = np.argsort(evals)
+    return evals[order][:nroots], evecs[:, order][:, :nroots], (
+        det_basis, bbasis
+    )

@@ -239,9 +239,23 @@ class ITCFReporter:
     ``itcf/denominator``, optional ``itcf/k_space_greens_function``;
     cf. itcf.py print_step)."""
 
-    def __init__(self, output, kspace_dims=None):
+    def __init__(self, output, kspace_dims=None, mode="full"):
         self.output = output
         self.kspace_dims = kspace_dims  # (nx, ny) to also write G_k
+        # Output mode (itcf.py:40-44,570-575): 'full' writes the whole
+        # [ntau+1, 2, 2, M, M] tensor, 'diagonal' only G_ii(tau), a list of
+        # (i, j) pairs only those elements.
+        self.mode = mode
+
+    def _select(self, spgf):
+        import numpy as np
+
+        if self.mode == "full":
+            return spgf
+        if self.mode == "diagonal":
+            return np.einsum("...ii->...i", spgf)
+        pairs = np.asarray(self.mode, dtype=int).reshape(-1, 2)
+        return spgf[..., pairs[:, 0], pairs[:, 1]]
 
     def block_row(self, acc, nbasis: int, nmax: int):
         import numpy as np
@@ -250,7 +264,7 @@ class ITCFReporter:
         spgf = acc[1:].reshape(nmax + 1, 2, 2, nbasis, nbasis)
         if abs(denom) > 0:
             spgf = spgf / denom
-        self.output.push(spgf.real, "real_space_greens_function")
+        self.output.push(self._select(spgf).real, "real_space_greens_function")
         if self.kspace_dims is not None:
             gk = itcf_to_kspace(spgf, *self.kspace_dims)
             self.output.push(gk.real, "k_space_greens_function")

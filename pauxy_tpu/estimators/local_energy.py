@@ -58,6 +58,35 @@ def local_energy_hubbard_holstein(ham, Ga, Gb, X, shift):
     return etot, ke + pe, pe_ph + ke_ph + e_eph
 
 
+def local_energy_multi_coherent(ham, Gi, comp_w, X, lap):
+    """Batched multi-coherent Hubbard-Holstein local energy.
+
+    TPU rewrite of ``pauxy/estimators/mixed.py:450-458``
+    (local_energy_multi_det_hh): component-weighted electron + e-ph terms,
+    with the phonon kinetic term from the mixture trial-laplacian
+    (lap = sum_p v_p lap phi_B,p / phi_B,p, which equals the reference's
+    per-component weighting of Lapi pulled out of the sum).
+
+    Gi [w, P, 2, M, M]; comp_w [w, P] normalized; X [w, M]; lap [w, M].
+    """
+    t = ham.T
+    ke_p = (
+        jnp.einsum("mn,wpmn->wp", t[0], Gi[:, :, 0], optimize=True)
+        + jnp.einsum("mn,wpmn->wp", t[1], Gi[:, :, 1], optimize=True)
+    )
+    da = jnp.diagonal(Gi[:, :, 0], axis1=-2, axis2=-1)    # [w, P, M]
+    db = jnp.diagonal(Gi[:, :, 1], axis1=-2, axis2=-1)
+    pe_p = ham.U * jnp.sum(da * db, axis=-1)
+    rho = da + db
+    e_eph_p = -ham.gsq2mw * jnp.sum(rho * X[:, None, :], axis=-1)
+    e_el = jnp.sum(comp_w * (ke_p + pe_p), axis=-1)
+    e_eph = jnp.sum(comp_w * e_eph_p, axis=-1)
+    pe_ph = 0.5 * ham.m * ham.w0 ** 2 * jnp.sum(X * X, axis=-1)
+    ke_ph = -0.5 * jnp.sum(lap, axis=-1) / ham.m - 0.5 * ham.w0 * ham.nbasis
+    etot = e_el + pe_ph + ke_ph + e_eph
+    return etot, e_el, pe_ph + ke_ph + e_eph
+
+
 # ----------------------------------------------------------------------------
 # Generic (Cholesky-factorized ab-initio) — half-rotated fast path
 # ----------------------------------------------------------------------------
@@ -150,6 +179,152 @@ def local_energy_generic_opt_multi(trial, Ghalfa, Ghalfb, det_weights,
     e1b = jnp.sum(det_weights * e1_d, axis=-1) + ecore
     e2b = jnp.sum(det_weights * e2_d, axis=-1)
     return e1b + e2b, e1b, e2b
+
+
+def local_energy_generic_exact_eri(trial, Ghalfa, Ghalfb, ecore: float):
+    """Exact half-rotated-ERI local energy (``pauxy/estimators/generic.py:
+    130-154``): E2 from the precomputed v_{ipjq} tensors, batched.
+    """
+    e1b = (
+        jnp.einsum("im,wim->w", trial.rh1a, Ghalfa, optimize=True)
+        + jnp.einsum("im,wim->w", trial.rh1b, Ghalfb, optimize=True)
+        + ecore
+    )
+    ejaa = 0.5 * jnp.einsum("ipjq,wip,wjq->w", trial.eri_aa, Ghalfa, Ghalfa,
+                            optimize=True)
+    ejbb = 0.5 * jnp.einsum("ipjq,wip,wjq->w", trial.eri_bb, Ghalfb, Ghalfb,
+                            optimize=True)
+    ejab = jnp.einsum("ipjq,wip,wjq->w", trial.eri_ab, Ghalfa, Ghalfb,
+                      optimize=True)
+    ekaa = -0.5 * jnp.einsum("ipjq,wiq,wjp->w", trial.eri_aa, Ghalfa, Ghalfa,
+                             optimize=True)
+    ekbb = -0.5 * jnp.einsum("ipjq,wiq,wjp->w", trial.eri_bb, Ghalfb, Ghalfb,
+                             optimize=True)
+    e2b = ejaa + ejbb + ejab + ekaa + ekbb
+    return e1b + e2b, e1b, e2b
+
+
+def local_energy_generic_stochastic_ri(trial, Ghalfa, Ghalfb, ecore: float,
+                                       key, nsamples: int,
+                                       control_variate: bool):
+    """Stochastic-RI exchange (``pauxy/estimators/generic.py:293-396``).
+
+    The Coulomb term is exact (same X contraction as the fast path); the
+    exchange is estimated with ``nsamples`` Rademacher probes theta over the
+    Cholesky axis, optionally using the trial's exact exchange as a control
+    variate. One shared probe set per call (the reference redraws per
+    walker; sharing is the batched equivalent and keeps walkers correlated
+    only within a single step's estimate).
+    """
+    rca, rcb = trial.rchola, trial.rcholb
+    e1b = (
+        jnp.einsum("im,wim->w", trial.rh1a, Ghalfa, optimize=True)
+        + jnp.einsum("im,wim->w", trial.rh1b, Ghalfb, optimize=True)
+        + ecore
+    )
+    xa = jnp.einsum("xim,wim->wx", rca, Ghalfa, optimize=True)
+    xb = jnp.einsum("xim,wim->wx", rcb, Ghalfb, optimize=True)
+    x = xa + xb
+    ecoul = jnp.einsum("wx,wx->w", x, x)
+
+    naux = rca.shape[0]
+    theta = jax.random.rademacher(key, (naux, nsamples)).astype(rca.dtype)
+    scale = 1.0 / nsamples
+
+    def exx_stoch(rc, ghalf):
+        # ra[i, p, s] = sum_X rchol[X, i, p] theta[X, s] / sqrt(S)
+        ra = jnp.einsum("xip,xs->ips", rc, theta, optimize=True)
+        gra = jnp.einsum("wkq,lqs->wlks", ghalf, ra, optimize=True)
+        return scale * jnp.einsum("wlks,wkls->w", gra, gra, optimize=True)
+
+    def exx_stoch_0(rc, ghalf0):
+        ra = jnp.einsum("xip,xs->ips", rc, theta, optimize=True)
+        gra = jnp.einsum("kq,lqs->lks", ghalf0, ra, optimize=True)
+        return scale * jnp.einsum("lks,kls->", gra, gra, optimize=True)
+
+    exxa = exx_stoch(rca, Ghalfa)
+    exxb = exx_stoch(rcb, Ghalfb)
+    if control_variate:
+        _, exxa0, exxb0 = trial.e0_terms
+        exxa = exxa0 + (exxa - exx_stoch_0(rca, trial.ghalf0a))
+        exxb = exxb0 + (exxb - exx_stoch_0(rcb, trial.ghalf0b))
+    e2b = 0.5 * (ecoul - exxa - exxb)
+    return e1b + e2b, e1b, e2b
+
+
+def local_energy_generic_pno(trial, Ghalfa, Ghalfb, ecore: float):
+    """PNO-compressed local energy (``pauxy/estimators/generic.py:34-128``):
+    E2 = 0.5(ecoul0 - exxa0 - exxb0) + per-pair SVD-truncated corrections
+    relative to the trial, batched over walkers and pairs.
+    """
+    e1b = (
+        jnp.einsum("im,wim->w", trial.rh1a, Ghalfa, optimize=True)
+        + jnp.einsum("im,wim->w", trial.rh1b, Ghalfb, optimize=True)
+        + ecore
+    )
+
+    def channel(pno, ga, gb, g0a, g0b, exchange: bool):
+        idx_i, idx_j, coeff, u, vt = pno
+        gi = ga[:, idx_i, :]                              # [w, n, M]
+        gj = gb[:, idx_j, :]
+        g0i = g0a[idx_i, :]                               # [n, M]
+        g0j = g0b[idx_j, :]
+
+        def dot_uv(a, b):                                 # [w, n]
+            tu = jnp.einsum("wnp,npk->wnk", a, u, optimize=True)
+            tv = jnp.einsum("wnp,nkp->wnk", b, vt, optimize=True)
+            return jnp.einsum("wnk,wnk->wn", tu, tv)
+
+        def dot_uv0(a, b):                                # [n]
+            tu = jnp.einsum("np,npk->nk", a, u, optimize=True)
+            tv = jnp.einsum("np,nkp->nk", b, vt, optimize=True)
+            return jnp.einsum("nk,nk->n", tu, tv)
+
+        ej = jnp.einsum("n,wn->w", coeff, dot_uv(gi, gj) - dot_uv0(g0i, g0j)[None])
+        if not exchange:
+            return ej, 0.0
+        ek = -jnp.einsum("n,wn->w", coeff,
+                         dot_uv(gj, gi) - dot_uv0(g0j, g0i)[None])
+        return ej, ek
+
+    ejaa, ekaa = channel(trial.pno_aa, Ghalfa, Ghalfa, trial.ghalf0a,
+                         trial.ghalf0a, True)
+    ejbb, ekbb = channel(trial.pno_bb, Ghalfb, Ghalfb, trial.ghalf0b,
+                         trial.ghalf0b, True)
+    ejab, _ = channel(trial.pno_ab, Ghalfa, Ghalfb, trial.ghalf0a,
+                      trial.ghalf0b, False)
+    ecoul0, exxa0, exxb0 = trial.e0_terms
+    e2b = 0.5 * (ecoul0 - exxa0 - exxb0) + ejaa + ejbb + ejab + ekaa + ekbb
+    return e1b + e2b, e1b, e2b
+
+
+def local_energy_hubbard_ghf(ham, Gi: jax.Array, det_weights: jax.Array):
+    """Batched GHF local energy for the Hubbard model.
+
+    TPU rewrite of ``pauxy/estimators/hubbard.py:117-143``
+    (local_energy_hubbard_ghf): Gi [w, D, 2M, 2M] per-determinant GHF
+    Green's functions, det_weights [w, D] normalized overlap weights
+    (conj(c_d) det_d / sum — so no denominator division here).
+
+      ke = sum_d w_d Tr(Gi_d Text),  Text = blockdiag(T_up, T_dn)
+      pe = U sum_d w_d sum_i (Guu_ii Gdd_ii - Gud_ii Gdu_ii)
+    """
+    t = ham.T
+    m = t.shape[-1]
+    ke = (
+        jnp.einsum("wd,wdkl,kl->w", det_weights, Gi[:, :, :m, :m], t[0],
+                   optimize=True)
+        + jnp.einsum("wd,wdkl,kl->w", det_weights, Gi[:, :, m:, m:], t[1],
+                     optimize=True)
+    )
+    guu = jnp.diagonal(Gi[:, :, :m, :m], axis1=-2, axis2=-1)
+    gdd = jnp.diagonal(Gi[:, :, m:, m:], axis1=-2, axis2=-1)
+    gud = jnp.diagonal(Gi[:, :, m:, :m], axis1=-2, axis2=-1)
+    gdu = jnp.diagonal(Gi[:, :, :m, m:], axis1=-2, axis2=-1)
+    pe = ham.U * jnp.einsum(
+        "wd,wdi->w", det_weights, guu * gdd - gud * gdu, optimize=True
+    )
+    return ke + pe, ke, pe
 
 
 def local_energy_generic_cholesky_G(ham, Ga: jax.Array, Gb: jax.Array):
@@ -284,18 +459,32 @@ def local_energy_G_host(ham, G: np.ndarray):
             pe = ham.U * np.dot(np.diagonal(G[0]), np.diagonal(G[1]))
         return ke + pe, ke, pe
     if name == "UEG":
-        import jax.numpy as jnp_
-
-        etot, ke, pe = local_energy_ueg(
-            ham, jnp_.asarray(G[0][None]), jnp_.asarray(G[1][None])
-        )
-        from pauxy_tpu.utils.transfer import to_host
-
-        return (
-            complex(to_host(etot)[0]),
-            complex(to_host(ke)[0]),
-            complex(to_host(pe)[0]),
-        )
+        # Pure-numpy mirror of local_energy_ueg: setup runs host-side (an
+        # eager device round-trip would need complex transfers, which the
+        # axon backend cannot do).
+        h1 = np.asarray(ham.H1)
+        ke = np.sum(h1[0] * G[0] + h1[1] * G[1])
+        rows = np.arange(G[0].shape[-1])[None, :]
+        kpq_idx = np.asarray(ham.kpq_idx)
+        pmq_idx = np.asarray(ham.pmq_idx)
+        kpq_m = np.asarray(ham.kpq_mask)
+        pmq_m = np.asarray(ham.pmq_mask)
+        gk = np.zeros((2, ham.nq), dtype=complex)
+        gp = np.zeros((2, ham.nq), dtype=complex)
+        gx = np.zeros((2, ham.nq), dtype=complex)
+        for s in (0, 1):
+            gs = np.asarray(G[s])
+            gk[s] = np.sum(gs[rows, kpq_idx] * kpq_m, axis=-1)
+            gp[s] = np.sum(gs[rows, pmq_idx] * pmq_m, axis=-1)
+            a = gs[:, kpq_idx] * kpq_m[None]              # [M(j), nq, M(i)]
+            b = gs[:, pmq_idx] * pmq_m[None]              # [M(i), nq, M(j)]
+            gx[s] = np.einsum("jqi,iqj->q", a, b, optimize=True)
+        vq = np.asarray(ham.vqvec)
+        fac = 1.0 / (2.0 * ham.vol)
+        ess = vq @ (gk[0] * gp[0] - gx[0] + gk[1] * gp[1] - gx[1])
+        eos = vq @ (gk[0] * gp[1] + gk[1] * gp[0])
+        pe = fac * (ess + eos)
+        return ke + pe, ke, pe
     if name == "PW_FFT":
         # Host dense version with explicit momentum lookups (build-time
         # only; the batched path is local_energy_pw_fft).

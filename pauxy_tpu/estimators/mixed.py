@@ -37,10 +37,12 @@ HEADER = [
 ]
 
 
-def energy_estimator(ham, trial):
+def energy_estimator(ham, trial, key=None):
     """Return a batched ``(ga, gb) -> (etot, e1b, e2b)`` local-energy closure.
 
-    Dispatch mirrors ``mixed.py:383-437``.
+    Dispatch mirrors ``mixed.py:383-437`` incl. the Generic variants
+    (exact-ERI, PNO, stochastic-RI; ``mixed.py:405-431``). ``key`` feeds the
+    stochastic-RI Rademacher probes.
     """
     name = ham.name
     if name == "Hubbard":
@@ -49,6 +51,21 @@ def energy_estimator(ham, trial):
         if getattr(trial, "rchola", None) is not None and trial.rchola.ndim == 4:
             return lambda ga, gb: le.local_energy_generic_opt_multi(
                 trial, ga.Ghalf, gb.Ghalf, ga.det_weights, ham.ecore
+            )
+        if ham.pno:
+            return lambda ga, gb: le.local_energy_generic_pno(
+                trial, ga.Ghalf, gb.Ghalf, ham.ecore
+            )
+        if ham.exact_eri:
+            return lambda ga, gb: le.local_energy_generic_exact_eri(
+                trial, ga.Ghalf, gb.Ghalf, ham.ecore
+            )
+        if ham.stochastic_ri:
+            if key is None:
+                raise ValueError("stochastic_ri local energy needs an RNG key")
+            return lambda ga, gb: le.local_energy_generic_stochastic_ri(
+                trial, ga.Ghalf, gb.Ghalf, ham.ecore, key,
+                ham.nsamples, ham.control_variate,
             )
         return lambda ga, gb: le.local_energy_generic_opt(
             trial, ga.Ghalf, gb.Ghalf, ham.ecore
@@ -75,20 +92,69 @@ def energy_estimator_G(ham, trial):
     raise NotImplementedError(f"no dense-G energy kernel for {name!r}")
 
 
-def update(ham, trial, state, eval_energy, free_projection: bool = False):
-    """One step's contribution to the block accumulator, shape [NACC] complex.
+def dms_size(ham, calc_one_rdm: bool, calc_two_rdm: str | None) -> int:
+    """Flat length of the optional density-matrix tail of the accumulator
+    (mirrors ``mixed.py:96-111``: one_rdm -> [2, M, M], two_rdm
+    'structure_factor' -> [2, 2, nq], UEG only)."""
+    n = 0
+    if calc_one_rdm:
+        n += 2 * ham.nbasis * ham.nbasis
+    if calc_two_rdm is not None:
+        if calc_two_rdm != "structure_factor" or ham.name != "UEG":
+            raise NotImplementedError(
+                "two_rdm accumulation supports only 'structure_factor' on "
+                "the UEG (pauxy/estimators/mixed.py:101-107)"
+            )
+        n += 4 * ham.nq
+    return n
+
+
+def update(ham, trial, state, eval_energy, free_projection: bool = False,
+           calc_one_rdm: bool = False, calc_two_rdm: str | None = None,
+           est_key=None):
+    """One step's contribution to the block accumulator, shape
+    [NACC + dms_size] complex.
 
     Reference: ``mixed.py:133-233``. ``eval_energy`` is a traced bool —
     energy terms are gated with ``lax.cond`` so skipped steps cost nothing
-    (energy_eval_freq, ``mixed.py:213-224``).
+    (energy_eval_freq, ``mixed.py:213-224``). With ``calc_one_rdm`` /
+    ``calc_two_rdm`` the weighted per-step density matrices are appended
+    flat, like the reference's estimates array (``mixed.py:226-233``) —
+    accumulated on energy-eval steps (where G is freshly computed) and
+    normalized by EDenom at readout.
     """
+    from pauxy_tpu.models.ghf import GHFTrial, ghf_greens_function
     from pauxy_tpu.models.multi_slater import (
         MultiSlaterTrial,
         greens_function_multi_det,
     )
 
+    from pauxy_tpu.models.multi_coherent import (
+        MultiCoherentTrial,
+        mc_boson_mixture,
+        mc_greens_function,
+    )
+
     cdtype = state.log_ovlp.dtype
-    if isinstance(trial, MultiSlaterTrial):
+    if isinstance(trial, MultiCoherentTrial):
+        # Component-weighted electron-phonon energy (mixed.py:450-458
+        # local_energy_multi_det_hh).
+        gi, comp_w = mc_greens_function(trial, state.phia, state.phib,
+                                        state.X)
+        _, lap, _ = mc_boson_mixture(trial, state.phia, state.phib, state.X)
+        _e_tuple = le.local_energy_multi_coherent(
+            ham, gi, comp_w, state.X, lap
+        )
+        e_fn = lambda *_: _e_tuple
+        ga = gb = None
+    elif isinstance(trial, GHFTrial):
+        # Det-weighted GHF energy (multi_ghf.py:206-220 via
+        # estimators/hubbard.py:117-143).
+        gi, det_weights = ghf_greens_function(trial, state.phia, state.phib)
+        _e_tuple = le.local_energy_hubbard_ghf(ham, gi, det_weights)
+        e_fn = lambda *_: _e_tuple
+        ga = gb = None
+    elif isinstance(trial, MultiSlaterTrial):
         # Per-determinant mixed energy, det-weighted
         # (mixed.py:439-458 local_energy_multi_det).
         md = greens_function_multi_det(trial, state.phia, state.phib)
@@ -120,7 +186,7 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False):
     else:
         ga = greens.greens_function(state.phia, trial.psia)
         gb = greens.greens_function(state.phib, trial.psib)
-        e_fn = energy_estimator(ham, trial)
+        e_fn = energy_estimator(ham, trial, key=est_key)
 
     if free_projection:
         # wfac = weight * ot * phase (mixed.py:151-175).
@@ -130,6 +196,43 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False):
     else:
         wfac = state.weight.astype(cdtype)
         ovlp_c = state.weight * jnp.exp(state.log_ovlp.real)
+
+    ndms = dms_size(ham, calc_one_rdm, calc_two_rdm)
+    if ndms and free_projection:
+        # The reference's FP path accumulates no density matrices
+        # (mixed.py:151-175).
+        raise NotImplementedError("RDM accumulation not defined for FP")
+    if ndms and isinstance(trial, GHFTrial):
+        raise NotImplementedError("GHF G is 2M x 2M; one_rdm output is spin-blocked")
+    if ndms and isinstance(trial, MultiCoherentTrial):
+        raise NotImplementedError("RDM accumulation for multi-coherent trials")
+
+    def _dms_flat():
+        """Weighted per-step density-matrix tail (mixed.py:226-233)."""
+        parts = []
+        if isinstance(trial, MultiSlaterTrial):
+            g2 = jnp.einsum("wd,wdsmn->wsmn", md.det_weights, md.Gi,
+                            optimize=True)
+        else:
+            g2 = jnp.stack([ga.G, gb.G], axis=1)          # [w, 2, M, M]
+        if calc_one_rdm:
+            s = jnp.einsum("w,wsmn->smn", wfac, g2.real.astype(cdtype))
+            parts.append(s.reshape(-1))
+        if calc_two_rdm is not None:
+            gkpq_a, gpmq_a = le.coulomb_greens_function_ueg(ham, g2[:, 0])
+            gkpq_b, gpmq_b = le.coulomb_greens_function_ueg(ham, g2[:, 1])
+            gprod_a = le.exchange_greens_function_ueg(ham, g2[:, 0])
+            gprod_b = le.exchange_greens_function_ueg(ham, g2[:, 1])
+            sk = jnp.stack(
+                [
+                    jnp.stack([gkpq_a * gpmq_a - gprod_a, gkpq_a * gpmq_b], 1),
+                    jnp.stack([gkpq_b * gpmq_a, gkpq_b * gpmq_b - gprod_b], 1),
+                ],
+                axis=1,
+            )                                             # [w, 2, 2, nq]
+            s = jnp.einsum("w,wabq->abq", wfac, sk.real.astype(cdtype))
+            parts.append(s.reshape(-1))
+        return jnp.concatenate(parts)
 
     def with_energy(_):
         etot, e1b, e2b = e_fn(ga, gb)
@@ -141,13 +244,16 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False):
             num = jnp.sum(wfac * etot.real)
             t1 = jnp.sum(wfac * e1b.real)
             t2 = jnp.sum(wfac * e2b.real)
-        return num, jnp.sum(wfac), t1, t2
+        dms = _dms_flat() if ndms else jnp.zeros((0,), cdtype)
+        return num, jnp.sum(wfac), t1, t2, dms
 
     def without_energy(_):
         z = jnp.zeros((), cdtype)
-        return z, z, z, z
+        return z, z, z, z, jnp.zeros((ndms if ndms else 0,), cdtype)
 
-    enumer, edenom, e1b, e2b = jax.lax.cond(eval_energy, with_energy, without_energy, None)
+    enumer, edenom, e1b, e2b, dms = jax.lax.cond(
+        eval_energy, with_energy, without_energy, None
+    )
 
     acc = jnp.stack(
         [
@@ -161,7 +267,7 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False):
             jnp.sum(ovlp_c).astype(cdtype),
         ]
     )
-    return acc
+    return jnp.concatenate([acc, dms])
 
 
 class MixedReporter:
@@ -170,13 +276,17 @@ class MixedReporter:
     Mirrors the normalization in ``mixed.py:235-289``.
     """
 
-    def __init__(self, nsteps: int, output=None, verbose: bool = True):
+    def __init__(self, nsteps: int, output=None, verbose: bool = True,
+                 dms_shapes=()):
         self.nsteps = nsteps
         self.output = output
         self.verbose = verbose
         self._t0 = time.time()
         self.eshift_hybrid = 0.0
         self.eshift_proj = 0.0
+        # [(h5 dataset name, shape)] for the flat density-matrix tail
+        # (mixed.py:279-287 one_rdm/two_rdm push).
+        self.dms_shapes = list(dms_shapes)
 
     def print_header(self):
         if self.verbose:
@@ -221,6 +331,16 @@ class MixedReporter:
             print("".join(f"{v.real: 16.8e} " for v in row))
         if self.output is not None:
             self.output.push(row, "energies")
+            # Density-matrix tail: normalize the weighted sum by EDenom
+            # (= the weight mass of the energy-eval steps the DMs were
+            # accumulated on; equals the reference's weight normalization
+            # at energy_eval_freq=1, mixed.py:279-287).
+            off = NACC
+            for name, shape in self.dms_shapes:
+                size = int(np.prod(shape))
+                dm = acc[off : off + size].reshape(shape) / denom
+                self.output.push(dm, name)
+                off += size
             self.output.increment()
         return row
 

@@ -129,3 +129,19 @@ def one_rdm_stable_host(bt: np.ndarray, num_slices: int) -> np.ndarray:
 
 def particle_number_host(p: np.ndarray) -> float:
     return (p[0].trace() + p[1].trace()).real
+
+
+def entropy(beta: float, mu: float, h1: np.ndarray) -> float:
+    """Mean-field (grand-canonical, one-body) electronic entropy.
+
+    S = -2 sum_i [ p_i ln p_i + (1 - p_i) ln(1 - p_i) ],
+    p_i = fermi factor of the eigenvalues of H1 (spin-restricted; the factor
+    2 is the spin sum). Reference: ``pauxy/estimators/thermal.py:198-210``
+    (used for the THF grand-potential logging, ``mean_field.py:85``).
+    """
+    h1 = np.asarray(h1)
+    assert np.linalg.norm(h1[0] - h1[1]) < 1e-12
+    eigs = np.linalg.eigvalsh(h1[0])
+    p = 1.0 / (np.exp(beta * (eigs - mu)) + 1.0)
+    p = np.clip(p, 1e-300, 1.0 - 1e-16)
+    return float(-2.0 * np.sum(p * np.log(p) + (1 - p) * np.log1p(-p)))

@@ -30,6 +30,17 @@ class Generic:
     nup: int = struct.field(pytree_node=False)
     ndown: int = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False, default="Generic")
+    # Local-energy variant flags (``pauxy/systems/generic.py:74-123``):
+    # exact_eri uses the half-rotated 4-index ERIs; stochastic_ri estimates
+    # the exchange with nsamples Rademacher probes (optionally with the
+    # trial as a control variate); pno truncates the half-rotated pair ERIs
+    # by SVD at thresh_pno.
+    exact_eri: bool = struct.field(pytree_node=False, default=False)
+    stochastic_ri: bool = struct.field(pytree_node=False, default=False)
+    nsamples: int = struct.field(pytree_node=False, default=0)
+    control_variate: bool = struct.field(pytree_node=False, default=False)
+    pno: bool = struct.field(pytree_node=False, default=False)
+    thresh_pno: float = struct.field(pytree_node=False, default=0.0)
 
     @property
     def nbasis(self) -> int:
@@ -63,6 +74,12 @@ def make_generic(
     chol: np.ndarray,
     ecore: float = 0.0,
     precision=None,
+    exact_eri: bool = False,
+    stochastic_ri: bool = False,
+    nsamples: int = 0,
+    control_variate: bool = False,
+    pno: bool = False,
+    thresh_pno: float = 0.0,
 ) -> Generic:
     """Build a Generic system from arrays.
 
@@ -80,6 +97,10 @@ def make_generic(
     dtype = prec.cplx if np.iscomplexobj(h1e) or np.iscomplexobj(chol) else prec.real
     h1e = h1e.astype(dtype)
     chol = chol.astype(dtype)
+    if stochastic_ri and nsamples <= 0:
+        raise ValueError("stochastic_ri needs nsamples > 0")
+    if pno and not thresh_pno:
+        raise ValueError("pno needs thresh_pno > 0")
     return Generic(
         H1=h1e,
         h1e_mod=construct_h1e_mod(h1e, chol).astype(dtype),
@@ -87,6 +108,12 @@ def make_generic(
         ecore=float(ecore),
         nup=int(nelec[0]),
         ndown=int(nelec[1]),
+        exact_eri=bool(exact_eri),
+        stochastic_ri=bool(stochastic_ri),
+        nsamples=int(nsamples),
+        control_variate=bool(control_variate),
+        pno=bool(pno),
+        thresh_pno=float(thresh_pno or 0.0),
     )
 
 

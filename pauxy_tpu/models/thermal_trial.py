@@ -205,13 +205,16 @@ def make_mean_field_trial(
     max_scf_it: int = 100,
     deps: float = 1e-6,
     precision=None,
+    verbose: bool = False,
 ) -> OneBodyTrial:
     """Thermal Hartree-Fock trial density matrix.
 
     Counterpart of ``pauxy/trial_density_matrices/mean_field.py:14-94``:
     macro-iterate the chemical potential, with an inner SCF on the Fock
     matrix (density mixing alpha) at fixed mu; the converged HMF defines the
-    slice propagator.
+    slice propagator. With ``verbose``, logs the grand potential
+    Omega = E - mu N - S/beta per macro iteration using the mean-field
+    entropy (``mean_field.py:83-88`` + ``thermal.py:198-210``).
     """
     num_slices = int(round(beta / dt))
     target = nav if nav is not None else (ham.nup + ham.ndown)
@@ -248,6 +251,17 @@ def make_mean_field_trial(
             scipy.linalg.expm(-dtau * hmf[1]),
         ])
         mu = find_chemical_potential(rho0, dtau, num_bins, target, deps=deps)
+        if verbose:
+            from pauxy_tpu.estimators import local_energy as le
+            from pauxy_tpu.estimators.thermal import entropy
+
+            n_cur = float(np.real(particle_number_host(p)))
+            e_cur = float(np.real(le.local_energy_G_host(
+                ham, np.eye(m)[None] - p.transpose(0, 2, 1))[0]))
+            s_cur = entropy(beta, mu, hmf)
+            omega = e_cur - mu * n_cur - s_cur / beta
+            print(f" # THF macro-iteration: mu = {mu:13.8e} "
+                  f"Omega = {omega:13.8e}")
         if abs(mu - mu_old) < deps:
             mu_old = mu
             break

@@ -37,6 +37,21 @@ class SingleDetTrial:
     rh1a: Any = None       # [na, M] half-rotated one-body (alpha)
     rh1b: Any = None       # [nb, M]
     shift: Any = None      # [M] coherent-state phonon displacement (HH)
+    # --- Generic local-energy variant precomputes (multi_slater.py:282-362):
+    # exact_eri: half-rotated 4-index ERIs v_{ipjq} per spin channel.
+    eri_aa: Any = None     # [na, M, na, M]
+    eri_bb: Any = None     # [nb, M, nb, M]
+    eri_ab: Any = None     # [na, M, nb, M]
+    # pno: per-pair truncated SVD factors, zero-padded to a fixed rank cap:
+    # each channel is (idx_i [n], idx_j [n], coeff [n], U [n, M, k], VT [n, k, M]).
+    pno_aa: Any = None
+    pno_bb: Any = None
+    pno_ab: Any = None
+    # stochastic-RI control variate / pno base terms: the trial's own Ghalf
+    # and its exact (ecoul0, exxa0, exxb0).
+    ghalf0a: Any = None    # [na, M]
+    ghalf0b: Any = None    # [nb, M]
+    e0_terms: Any = struct.field(pytree_node=False, default=None)
     # Host-side (numpy) trial Green's function; setup-only, never on device.
     G_host: Any = struct.field(pytree_node=False, default=None)
     etrial: float = struct.field(pytree_node=False, default=0.0)
@@ -90,16 +105,16 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
         # one-body rh1[a, m] = sum_p conj(psi[p, a]) H1[p, m].
         chol = np.asarray(ham.chol)
         h1 = np.asarray(ham.H1)
+        rca = np.einsum("pa,pmx->xam", psia.conj(), chol, optimize=True)
+        rcb = np.einsum("pa,pmx->xam", psib.conj(), chol, optimize=True)
         extras = dict(
-            rchola=to_device(
-                np.einsum("pa,pmx->xam", psia.conj(), chol, optimize=True).astype(dtype)
-            ),
-            rcholb=to_device(
-                np.einsum("pa,pmx->xam", psib.conj(), chol, optimize=True).astype(dtype)
-            ),
+            rchola=to_device(rca.astype(dtype)),
+            rcholb=to_device(rcb.astype(dtype)),
             rh1a=to_device((psia.conj().T @ h1[0]).astype(dtype)),
             rh1b=to_device((psib.conj().T @ h1[1]).astype(dtype)),
         )
+        extras.update(_generic_variant_precomputes(ham, psia, psib, rca, rcb,
+                                                   g, dtype))
     from pauxy_tpu.utils.transfer import HostArray
 
     psia_d = to_device(psia)
@@ -114,6 +129,90 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
         name=name,
         **extras,
     )
+
+
+def _generic_variant_precomputes(ham, psia, psib, rca, rcb, g, dtype) -> dict:
+    """Setup tensors for the exact-ERI / PNO / stochastic-RI local-energy
+    variants (host-side numpy; ``multi_slater.py:282-362``)."""
+    from pauxy_tpu.utils.transfer import to_device
+
+    extras = {}
+    need_eri = getattr(ham, "exact_eri", False) or getattr(ham, "pno", False)
+    need_g0 = getattr(ham, "pno", False) or (
+        getattr(ham, "stochastic_ri", False)
+        and getattr(ham, "control_variate", False)
+    )
+    if need_eri:
+        # v_{ipjq} = sum_X rchol[X,i,p] rchol'[X,j,q] (multi_slater.py:288-290).
+        eri_aa = np.einsum("xip,xjq->ipjq", rca, rca, optimize=True)
+        eri_bb = np.einsum("xip,xjq->ipjq", rcb, rcb, optimize=True)
+        eri_ab = np.einsum("xip,xjq->ipjq", rca, rcb, optimize=True)
+        if getattr(ham, "exact_eri", False):
+            extras.update(
+                eri_aa=to_device(eri_aa.astype(dtype)),
+                eri_bb=to_device(eri_bb.astype(dtype)),
+                eri_ab=to_device(eri_ab.astype(dtype)),
+            )
+    if need_g0:
+        # Trial's own half-rotated Green's function Ghalf0 = (psi^dag psi)^-1
+        # psi^dag at phi = psi, i.e. rows of the pseudo-inverse.
+        g0a = np.linalg.solve(psia.conj().T @ psia, psia.conj().T)
+        g0b = (
+            np.linalg.solve(psib.conj().T @ psib, psib.conj().T)
+            if psib.shape[1]
+            else np.zeros((0, psib.shape[0]), dtype=dtype)
+        )
+        xa = np.einsum("xam,am->x", rca, g0a, optimize=True)
+        xb = np.einsum("xam,am->x", rcb, g0b, optimize=True)
+        x = xa + xb
+        ecoul0 = np.dot(x, x)
+        ta = np.einsum("xim,jm->xij", rca, g0a, optimize=True)
+        tb = np.einsum("xim,jm->xij", rcb, g0b, optimize=True)
+        exxa0 = np.einsum("xij,xji->", ta, ta, optimize=True)
+        exxb0 = np.einsum("xij,xji->", tb, tb, optimize=True)
+        extras.update(
+            ghalf0a=to_device(g0a.astype(dtype)),
+            ghalf0b=to_device(g0b.astype(dtype)),
+            e0_terms=(complex(ecoul0), complex(exxa0), complex(exxb0)),
+        )
+    if getattr(ham, "pno", False):
+        def pno_channel(eri, ni, nj, symmetric):
+            idx_i, idx_j, coeff, us, vts, ranks = [], [], [], [], [], []
+            for i in range(ni):
+                jstart = i if symmetric else 0
+                for j in range(jstart, nj):
+                    u, s, vt = np.linalg.svd(eri[i, :, j, :])
+                    keep = s > ham.thresh_pno
+                    k = int(keep.sum())
+                    idx_i.append(i)
+                    idx_j.append(j)
+                    coeff.append(0.5 if (symmetric and i == j) else 1.0)
+                    us.append(u[:, keep] * np.sqrt(s[keep])[None, :])
+                    vts.append(np.sqrt(s[keep])[:, None] * vt[keep, :])
+                    ranks.append(k)
+            kmax = max(max(ranks), 1)
+            n = len(idx_i)
+            m = eri.shape[1]
+            upad = np.zeros((n, m, kmax), dtype=eri.dtype)
+            vpad = np.zeros((n, kmax, m), dtype=eri.dtype)
+            for t in range(n):
+                upad[t, :, : ranks[t]] = us[t]
+                vpad[t, : ranks[t], :] = vts[t]
+            return (
+                to_device(np.asarray(idx_i, np.int32)),
+                to_device(np.asarray(idx_j, np.int32)),
+                to_device(np.asarray(coeff).astype(dtype)),
+                to_device(upad.astype(dtype)),
+                to_device(vpad.astype(dtype)),
+            )
+
+        na, nb = psia.shape[1], psib.shape[1]
+        extras.update(
+            pno_aa=pno_channel(eri_aa, na, na, True),
+            pno_bb=pno_channel(eri_bb, nb, nb, True),
+            pno_ab=pno_channel(eri_ab, na, nb, False),
+        )
+    return extras
 
 
 def trial_from_orbitals(ham, psi: np.ndarray, precision=None, name="file") -> SingleDetTrial:

@@ -6,16 +6,19 @@ rho_q[idx(k+q), k] = sqrt(pi / (vol q^2)). Round 1 stored them DENSE as
 [nq, M, M], which is O(nq M^2) HBM and blows out a single chip at the basis
 sizes the reference handles on CPU (nq grows ~8x faster than M with ecut).
 
-This module is the TPU-sparse replacement:
+This module is the TPU-sparse replacement. The key structural fact: for any
+matrix position (a, b) there is AT MOST ONE q with k_a - k_b = q (the q grid
+is a set of distinct vectors), so the whole operator family inverts into a
+single [M, M] integer map Q[a, b] = index(k_a - k_b) and
 
-* expectations <rho_q> / <rho_q^T> against a Green's function are masked
-  gathers + reductions over the [nq, M] ``kpq`` index map — O(w nq M) work,
-  no [nq, M, M] tensor;
-* the VHS assembly sum_q c1_q rho_q + c2_q rho_q^T becomes a sorted
-  segment-sum scatter over the (at most 2 nq M) nonzeros, chunked under
-  ``lax.scan`` so the [w, chunk] coefficient intermediate stays bounded.
+  sum_q c1_q rho_q + c2_q rho_q^T  =  c1[Q] * F  +  (c2[Q] * F)^T ,
 
-Both are exactly the reference's sparsity pattern; nothing is truncated.
+with F[a, b] = sqrt(pi/(vol q^2)) masked where k_a - k_b is off-grid. VHS
+assembly is therefore one batched GATHER from the per-q coefficients — no
+scatter (the axon TPU backend does not lower scatter-adds), no [nq, M, M]
+tensor, O(M^2) metadata. Expectations <rho_q>/<rho_q^T> stay masked gathers
+over the [nq, M] ``kpq`` index map. Both reproduce the reference's sparsity
+exactly; nothing is truncated.
 """
 
 from __future__ import annotations
@@ -28,51 +31,48 @@ from flax import struct
 
 @struct.dataclass
 class SparseRho:
-    """Scatter/gather metadata for {rho_q} (static shapes, built host-side).
+    """Gather metadata for {rho_q} (static shapes, built host-side)."""
 
-    ``lin/sel/val`` describe the union of nonzeros of all rho_q and rho_q^T,
-    sorted by flattened (row * M + col) position: entry n scatters
-    coefficient ``c[sel[n]] * val[n]`` into VHS position ``lin[n]``, where
-    ``c = concat([c1, c2])`` are the per-q coefficients of rho / rho^T.
-    """
-
-    lin: jax.Array       # [nnz] int32 flattened (row, col), ascending
-    sel: jax.Array       # [nnz] int32 into concat([c1, c2]) (rho_q: q, rho_q^T: nq+q)
-    val: jax.Array       # [nnz] real sqrt(pi / (vol q^2))
+    qmap: jax.Array      # [M, M] int32: index of q = k_a - k_b (0 if off-grid)
+    fac: jax.Array       # [M, M] real: sqrt(pi/(vol q^2)) at qmap, 0 off-grid
     kpq_idx: jax.Array   # [nq, M] int32 idx(k_i + q) (0 where invalid)
     kpq_fac: jax.Array   # [nq, M] real factor * mask
     nbasis: int = struct.field(pytree_node=False)
     nq: int = struct.field(pytree_node=False)
 
-    @property
-    def nnz(self) -> int:
-        return self.lin.shape[0]
-
 
 def make_sparse_rho(ham, real_dtype) -> SparseRho:
-    """Build the sparse metadata from a UEG Hamiltonian's gather maps.
+    """Build the gather metadata from a UEG Hamiltonian's gather maps.
 
-    ``ham`` needs ``kpq_idx/kpq_mask`` [nq, M], ``vqvec`` [nq] (= 4 pi/q^2)
-    and ``vol``; factor = sqrt(pi/(vol q^2)) = sqrt(vqvec / (4 vol))
-    (``pauxy/systems/ueg.py:336-358``).
+    ``ham`` needs ``basis`` [M, 3], ``qvecs`` [nq, 3], ``kpq_idx/kpq_mask``
+    [nq, M], ``vqvec`` [nq] (= 4 pi/q^2) and ``vol``; factor =
+    sqrt(pi/(vol q^2)) = sqrt(vqvec / (4 vol)) (``ueg.py:336-358``).
     """
+    basis = np.asarray(ham.basis)
+    qvecs = np.asarray(ham.qvecs)
     kpq_idx = np.asarray(ham.kpq_idx)
     kpq_mask = np.asarray(ham.kpq_mask)
     nq, m = kpq_idx.shape
     factor = np.sqrt(np.asarray(ham.vqvec) / (4.0 * ham.vol))
 
+    # Invert the operator family: Q[a, b] = q-index of k_a - k_b.
+    qlut = {tuple(v): i for i, v in enumerate(qvecs)}
+    qmap = np.zeros((m, m), dtype=np.int32)
+    fac = np.zeros((m, m), dtype=real_dtype)
+    diff = basis[:, None, :] - basis[None, :, :]          # [M, M, 3]
+    for a in range(m):
+        for b in range(m):
+            iq = qlut.get(tuple(diff[a, b]))
+            if iq is not None:
+                qmap[a, b] = iq
+                fac[a, b] = factor[iq]
+    # Consistency: (a, b) = (kpq_idx[q, b], b) must round-trip to q.
     qi, ii = np.nonzero(kpq_mask)
-    rows = kpq_idx[qi, ii]
-    # rho_q contribution at (row, i) with coefficient c1[q]; rho_q^T at (i, row)
-    # with coefficient c2[q].
-    lin = np.concatenate([rows * m + ii, ii * m + rows])
-    sel = np.concatenate([qi, nq + qi]).astype(np.int32)
-    val = np.concatenate([factor[qi], factor[qi]]).astype(real_dtype)
-    order = np.argsort(lin, kind="stable")
+    assert (qmap[kpq_idx[qi, ii], ii] == qi).all()
+
     return SparseRho(
-        lin=jnp.asarray(lin[order].astype(np.int32)),
-        sel=jnp.asarray(sel[order]),
-        val=jnp.asarray(val[order]),
+        qmap=jnp.asarray(qmap),
+        fac=jnp.asarray(fac),
         kpq_idx=jnp.asarray(kpq_idx.astype(np.int32)),
         kpq_fac=jnp.asarray((factor[:, None] * kpq_mask).astype(real_dtype)),
         nbasis=int(m),
@@ -92,36 +92,13 @@ def rho_expectations(sp: SparseRho, g: jax.Array):
     return t1, t2
 
 
-def assemble_vhs(sp: SparseRho, c1: jax.Array, c2: jax.Array,
-                 max_elems: int = 2 ** 26) -> jax.Array:
+def assemble_vhs(sp: SparseRho, c1: jax.Array, c2: jax.Array) -> jax.Array:
     """sum_q (c1[w,q] rho_q + c2[w,q] rho_q^T) as a dense [w, M, M] array.
 
-    Sorted segment-sum over the nonzeros, chunked so the per-chunk
-    coefficient gather [w, chunk] stays under ``max_elems`` elements. The
-    result is dense because the VHS exponential consumes it as a matmul
+    One gather of the per-q coefficients through the [M, M] q-map per term.
+    The result is dense because the VHS exponential consumes it as a matmul
     operand; only the *operator basis* storage is sparse.
     """
-    w = c1.shape[0]
-    m = sp.nbasis
-    c = jnp.concatenate([c1, c2], axis=-1)                # [w, 2 nq]
-    nnz = sp.nnz
-    chunk = max(1, min(nnz, max_elems // max(w, 1)))
-    nchunks = -(-nnz // chunk)
-    pad = nchunks * chunk - nnz
-    # Padding scatters value 0 into segment 0 — harmless.
-    lin = jnp.pad(sp.lin, (0, pad)).reshape(nchunks, chunk)
-    sel = jnp.pad(sp.sel, (0, pad)).reshape(nchunks, chunk)
-    val = jnp.pad(sp.val, (0, pad)).reshape(nchunks, chunk)
-
-    def body(acc, operand):
-        lin_k, sel_k, val_k = operand
-        vals = c[:, sel_k] * val_k                        # [w, chunk]
-        part = jax.ops.segment_sum(
-            vals.T, lin_k, num_segments=m * m, indices_are_sorted=True
-        )                                                 # [m*m, w]
-        return acc + part, None
-
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((m * m, w), c.dtype), (lin, sel, val)
-    )
-    return acc.T.reshape(w, m, m)
+    t1 = c1[:, sp.qmap] * sp.fac[None]
+    t2 = c2[:, sp.qmap] * sp.fac[None]
+    return t1 + t2.swapaxes(-1, -2)

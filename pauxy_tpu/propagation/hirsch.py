@@ -47,16 +47,43 @@ class Hirsch:
     charge: bool = struct.field(pytree_node=False, default=False)
     # For interface parity with Continuous (driver eshift handling).
     hybrid: bool = struct.field(pytree_node=False, default=False)
+    # gamma = arccosh(e^{+/- dt U/2}) for the dynamic-force-bias update.
+    gamma: complex = struct.field(pytree_node=False, default=0.0)
+    # 'single_site' (sequential sweep) or 'direct' (whole-lattice dynamic
+    # force bias, hubbard.py:222-275).
+    two_body_mode: str = struct.field(pytree_node=False, default="single_site")
+    # Momentum-space kinetic application (hubbard.py:800-833); btk[ny, nx]
+    # is exp(-dt/2 eps_k) on the FFT grid. None -> dense BT2 matmul.
+    btk: jax.Array | None = None
+    nx: int = struct.field(pytree_node=False, default=0)
+    ny: int = struct.field(pytree_node=False, default=0)
 
     @property
     def delta(self):
         return self.auxf - 1.0
 
     # ------------------------------------------------------------------
+    def _apply_bt2(self, phi):
+        """B_{T/2} phi: dense matmul, or diagonal in momentum space when the
+        lattice is a clean PBC torus (kinetic_kspace, hubbard.py:800-833)."""
+        if self.btk is None:
+            return None  # caller uses the per-spin dense path
+        w, m, n = phi.shape
+        g = phi.reshape(w, self.ny, self.nx, n)
+        gk = jnp.fft.fft2(g, axes=(1, 2))
+        gk = gk * self.btk[None, :, :, None]
+        return jnp.fft.ifft2(gk, axes=(1, 2)).reshape(w, m, n)
+
     def _kinetic_half_step(self, trial, state: WalkerState) -> WalkerState:
         """B_{T/2} phi + real-part constraint (hubbard.py:146-170)."""
-        phia = jnp.einsum("pm,wmn->wpn", self.BT2[0], state.phia, optimize=True)
-        phib = jnp.einsum("pm,wmn->wpn", self.BT2[1], state.phib, optimize=True)
+        if self.btk is not None:
+            phia = self._apply_bt2(state.phia)
+            phib = self._apply_bt2(state.phib)
+        else:
+            phia = jnp.einsum("pm,wmn->wpn", self.BT2[0], state.phia,
+                              optimize=True)
+            phib = jnp.einsum("pm,wmn->wpn", self.BT2[1], state.phib,
+                              optimize=True)
         sa = jnp.einsum("wmi,mj->wij", phia, trial.psia.conj())
         sb = jnp.einsum("wmi,mj->wij", phib, trial.psib.conj())
         log_new = (clinalg.slogdet(sa) + clinalg.slogdet(sb)).astype(
@@ -154,11 +181,70 @@ class Hirsch:
         )
 
     # ------------------------------------------------------------------
+    def _two_body_direct(self, trial, state: WalkerState, key):
+        """Whole-lattice discrete update with dynamic force bias from the
+        current G diagonal (PRA 92, 033603; hubbard.py:222-275). Unlike the
+        site sweep this is embarrassingly parallel over sites — one shot of
+        field sampling + a diagonal scaling — at the cost of a weaker
+        importance function."""
+        m = state.nbasis
+        nw = state.nwalkers
+        cdtype = state.phia.dtype
+        rdtype = state.weight.dtype
+        gamma = jnp.asarray(self.gamma, cdtype)
+
+        sa = jnp.einsum("mi,wmj->wij", trial.psia.conj(), state.phia)
+        sb = jnp.einsum("mi,wmj->wij", trial.psib.conj(), state.phib)
+        inva = clinalg.solve(sa, jnp.broadcast_to(
+            jnp.eye(sa.shape[-1], dtype=cdtype), sa.shape))
+        invb = clinalg.solve(sb, jnp.broadcast_to(
+            jnp.eye(sb.shape[-1], dtype=cdtype), sb.shape))
+        # G_ii = sum_a psi*[i,a] (S^-T phi[i])_a per site (hubbard.py:240).
+        nia = jnp.einsum("ia,wba,wib->wi", trial.psia.conj(), inva, state.phia)
+        nib = jnp.einsum("ia,wba,wib->wi", trial.psib.conj(), invb, state.phib)
+        fb_term = (nia + nib - 1.0) if self.charge else (nia - nib)
+
+        pp = 0.5 * jnp.exp(gamma * fb_term).real           # [w, M]
+        pm = 0.5 * jnp.exp(-gamma * fb_term).real
+        norm = pp + pm
+        r = jax.random.uniform(key, (nw, m), dtype=rdtype)
+        xi = (r >= pp / norm).astype(jnp.int32)
+        sign = jnp.where(xi == 0, -1.0, 1.0).astype(cdtype)
+        fb_fac = jnp.prod(
+            (0.5 * norm) * jnp.exp(sign * gamma * fb_term).real, axis=-1
+        )
+
+        ga = self.auxf[xi, 0]                              # [w, M]
+        gb = self.auxf[xi, 1]
+        phia = state.phia * ga[:, :, None]
+        phib = state.phib * gb[:, :, None]
+        wfac = jnp.prod(self.aux_wfac[xi], axis=-1)
+
+        sa = jnp.einsum("wmi,mj->wij", phia, trial.psia.conj())
+        sb = jnp.einsum("wmi,mj->wij", phib, trial.psib.conj())
+        log_new = (clinalg.slogdet(sa) + clinalg.slogdet(sb)).astype(
+            state.log_ovlp.dtype
+        )
+        ratio = wfac * jnp.exp(log_new - state.log_ovlp)
+        phase_ok = jnp.abs(jnp.angle(ratio)) < 0.5 * jnp.pi
+        weight = jnp.where(
+            phase_ok, state.weight * (fb_fac * ratio).real, 0.0
+        )
+        return (
+            state.replace(phia=phia, phib=phib, weight=weight,
+                          log_ovlp=log_new),
+            xi,
+        )
+
+    # ------------------------------------------------------------------
     def _propagate_constrained(self, trial, state, key, eshift, bp_ix=None):
         """kinetic half, site sweep, kinetic half, eshift factor
         (hubbard.py:276-301)."""
         state = self._kinetic_half_step(trial, state)
-        state, fields = self._site_sweep(trial, state, key)
+        if self.two_body_mode == "direct":
+            state, fields = self._two_body_direct(trial, state, key)
+        else:
+            state, fields = self._site_sweep(trial, state, key)
         state = self._kinetic_half_step(trial, state)
         growth = jnp.exp(self.dt * jnp.real(eshift))
         state = state.replace(weight=state.weight * growth)
@@ -200,7 +286,147 @@ class Hirsch:
             log_ovlp=log_new,
         )
 
+    # ------------------------------------------------------------------
+    # GHF (multi-determinant 2M x ne trial) variants. The walker stays
+    # block-diagonal (models/ghf.py docstring); per-site ratios follow
+    # ``pauxy/propagation/hubbard.py:483-510`` and the inverse-overlap
+    # algebra ``pauxy/walkers/multi_ghf.py:85-117``.
+    # ------------------------------------------------------------------
+    def _kinetic_half_step_ghf(self, trial, state):
+        from pauxy_tpu.models.ghf import ghf_log_overlap
+
+        phia = jnp.einsum("pm,wmn->wpn", self.BT2[0], state.phia, optimize=True)
+        phib = jnp.einsum("pm,wmn->wpn", self.BT2[1], state.phib, optimize=True)
+        log_new = ghf_log_overlap(trial, phia, phib).astype(state.log_ovlp.dtype)
+        ratio = jnp.exp(log_new - state.log_ovlp)
+        phase_ok = jnp.abs(jnp.angle(ratio)) < 0.5 * jnp.pi
+        weight = jnp.where(phase_ok, state.weight * ratio.real, 0.0)
+        return state.replace(phia=phia, phib=phib, weight=weight,
+                             log_ovlp=log_new)
+
+    def _site_sweep_ghf(self, trial, state, key):
+        """Sequential single-site updates against a multi-det GHF trial,
+        batched over walkers AND determinants."""
+        from pauxy_tpu.models.ghf import ghf_overlap_matrices
+        from pauxy_tpu.ops import clinalg as _cl
+
+        m = state.nbasis
+        nw = state.nwalkers
+        na = trial.nup
+        cdtype = state.phia.dtype
+        rdtype = state.weight.dtype
+        delta = self.delta
+        cconj = trial.coeffs.conj()                       # [D]
+        tpsi = trial.psi.conj()                           # [D, 2M, ne]
+
+        s = ghf_overlap_matrices(trial, state.phia, state.phib)
+        ne = s.shape[-1]
+        eye = jnp.broadcast_to(jnp.eye(ne, dtype=cdtype), s.shape)
+        binv = _cl.solve(s, eye)                          # [w, D, ne, ne]
+        logdets = _cl.slogdet(s)                          # [w, D]
+        ref = jnp.max(logdets.real, axis=-1, keepdims=True)
+        ots = jnp.exp(logdets - ref)                      # scale-free dets
+        ot = jnp.einsum("d,wd->w", cconj, ots)
+
+        rs = jax.random.uniform(key, (m, nw), dtype=rdtype)
+
+        def body(carry, inputs):
+            phia, phib, binv, ots, ot, weight, dlog = carry
+            i, r = inputs
+            row_a = jnp.take(phia, i, axis=1)             # [w, na]
+            row_b = jnp.take(phib, i, axis=1)             # [w, nb]
+            tup = jnp.take(tpsi, i, axis=1)               # [D, ne] conj'd
+            tdn = jnp.take(tpsi, i + m, axis=1)
+            u_a = jnp.einsum("we,wdek->wdk", row_a, binv[:, :, :na, :])
+            u_b = jnp.einsum("we,wdek->wdk", row_b, binv[:, :, na:, :])
+            guu = jnp.einsum("wdk,dk->wd", u_a, tup)
+            gdu = jnp.einsum("wdk,dk->wd", u_a, tdn)
+            gud = jnp.einsum("wdk,dk->wd", u_b, tup)
+            gdd = jnp.einsum("wdk,dk->wd", u_b, tdn)
+            # Joint two-row det ratio per det per field (hubbard.py:498-508).
+            r_d = (
+                (1 + delta[:, 0][None, None] * guu[..., None])
+                * (1 + delta[:, 1][None, None] * gdd[..., None])
+                - delta[:, 0][None, None] * delta[:, 1][None, None]
+                * (gud * gdu)[..., None]
+            )                                             # [w, D, 2]
+            rtot = jnp.einsum("d,wdx,wd->wx", cconj, r_d, ots) / ot[:, None]
+            probs = 0.5 * rtot * self.aux_wfac[None, :]
+            pr = jnp.maximum(probs.real, 0.0)
+            norm = pr.sum(-1)
+            alive = (norm > 0) & (jnp.abs(weight) > 0)
+            safe_norm = jnp.where(alive, norm, 1.0)
+            xi = (r >= pr[:, 0] / safe_norm).astype(jnp.int32)
+            weight = jnp.where(alive, weight * norm, 0.0)
+            chosen_rtot = jnp.take_along_axis(rtot, xi[:, None], axis=1)[:, 0]
+            dlog = dlog + jnp.where(
+                alive, jnp.log(chosen_rtot.astype(cdtype)), 0.0
+            )
+            da = jnp.where(alive, delta[xi, 0], 0.0)      # [w]
+            db = jnp.where(alive, delta[xi, 1], 0.0)
+            chosen_rd = jnp.take_along_axis(
+                r_d, xi[:, None, None], axis=2
+            )[:, :, 0]                                    # [w, D]
+            ots = jnp.where(alive[:, None], ots * chosen_rd, ots)
+            ot = jnp.einsum("d,wd->w", cconj, ots)
+            # Rank-1 row updates of phi.
+            vta = row_a * da[:, None]
+            vtb = row_b * db[:, None]
+            phia = phia.at[:, i, :].add(vta)
+            phib = phib.at[:, i, :].add(vtb)
+            # Sequential Sherman-Morrison: S += tup (x) [vta, 0], then
+            # S += tdn (x) [0, vtb] — the second uses the updated inverse.
+            bu = jnp.einsum("wdek,dk->wde", binv, tup)
+            denom1 = 1.0 + da[:, None] * guu
+            binv = binv - (
+                bu[..., None] * (da[:, None, None] * u_a)[:, :, None, :]
+                / denom1[:, :, None, None]
+            )
+            u_b2 = jnp.einsum("we,wdek->wdk", row_b, binv[:, :, na:, :])
+            gdd2 = jnp.einsum("wdk,dk->wd", u_b2, tdn)
+            bu2 = jnp.einsum("wdek,dk->wde", binv, tdn)
+            denom2 = 1.0 + db[:, None] * gdd2
+            binv = binv - (
+                bu2[..., None] * (db[:, None, None] * u_b2)[:, :, None, :]
+                / denom2[:, :, None, None]
+            )
+            return (phia, phib, binv, ots, ot, weight, dlog), xi
+
+        dlog0 = jnp.zeros((nw,), cdtype)
+        from pauxy_tpu.utils import jaxops
+
+        (phia, phib, _, _, _, weight, dlog), fields = jaxops.scan(
+            body,
+            (state.phia, state.phib, binv, ots, ot, state.weight, dlog0),
+            (jnp.arange(m), rs),
+        )
+        return (
+            state.replace(
+                phia=phia, phib=phib, weight=weight,
+                log_ovlp=state.log_ovlp + dlog,
+            ),
+            fields.T,
+        )
+
+    def _propagate_ghf(self, trial, state, key, eshift, bp_ix=None):
+        state = self._kinetic_half_step_ghf(trial, state)
+        state, fields = self._site_sweep_ghf(trial, state, key)
+        state = self._kinetic_half_step_ghf(trial, state)
+        growth = jnp.exp(self.dt * jnp.real(eshift))
+        state = state.replace(weight=state.weight * growth)
+        if state.configs is not None and bp_ix is not None:
+            state = state.replace(
+                configs=state.configs.at[:, bp_ix, :].set(
+                    fields.astype(state.configs.dtype)
+                )
+            )
+        return state
+
     def propagate(self, trial, state, key, eshift, bp_ix=None, ham=None):
+        from pauxy_tpu.models.ghf import GHFTrial
+
+        if isinstance(trial, GHFTrial):
+            return self._propagate_ghf(trial, state, key, eshift, bp_ix)
         if self.free_projection:
             return self._propagate_free(trial, state, key, eshift)
         return self._propagate_constrained(trial, state, key, eshift, bp_ix)
@@ -213,13 +439,40 @@ def make_hirsch(
     charge_decomposition: bool = False,
     free_projection: bool = False,
     precision=None,
+    two_body_mode: str = "single_site",
+    kinetic_kspace: bool = False,
 ) -> Hirsch:
-    """Build the discrete propagator tables (hubbard.py:30-103)."""
+    """Build the discrete propagator tables (hubbard.py:30-103).
+
+    ``two_body_mode='direct'`` selects the whole-lattice dynamic-force-bias
+    update (hubbard.py:222); ``kinetic_kspace`` applies B_{T/2} as a
+    diagonal in momentum space (hubbard.py:800-833) — valid only for a
+    clean PBC lattice (no twist/pinning; T must be circulant)."""
     prec = config.get_precision(precision)
     t = np.asarray(ham.T)
     bt2 = np.stack(
         [scipy.linalg.expm(-0.5 * dt * t[0]), scipy.linalg.expm(-0.5 * dt * t[1])]
     )
+    btk = None
+    nx = ny = 0
+    if kinetic_kspace:
+        nx, ny = int(ham.nx), int(ham.ny)
+        # T circulant on the (ny, nx) torus: its DFT eigenvalues are the
+        # FFT2 of the stencil column centred at site 0, eps_k = FFT2(T[:,0]).
+        c = t[0][:, 0].reshape(ny, nx)
+        ek = np.fft.fft2(c)
+        if np.abs(ek.imag).max() > 1e-10:
+            raise ValueError(
+                "kinetic_kspace requires a circulant hopping matrix "
+                "(PBC, no twist/pinning)"
+            )
+        btk_mat = np.exp(-0.5 * dt * ek.real)
+        # Validate the diagonalization against the dense exponential.
+        f = np.fft.fft2(np.eye(nx * ny).reshape(nx * ny, ny, nx),
+                        axes=(1, 2)).reshape(nx * ny, nx * ny)
+        recon = (f.conj().T @ (btk_mat.reshape(-1)[:, None] * f) / (nx * ny))
+        assert np.abs(recon - bt2[0]).max() < 1e-8
+        btk = btk_mat
     if charge_decomposition:
         gamma = np.arccosh(np.exp(-0.5 * dt * ham.U + 0j))
         auxf = np.array(
@@ -250,4 +503,9 @@ def make_hirsch(
         dt=float(dt),
         free_projection=bool(free_projection),
         charge=bool(charge_decomposition),
+        gamma=complex(gamma),
+        two_body_mode=str(two_body_mode),
+        btk=(to_device(btk.astype(prec.cplx)) if btk is not None else None),
+        nx=nx,
+        ny=ny,
     )

@@ -94,12 +94,189 @@ class HirschDMC:
             log_ovlp=state.log_ovlp + log_ratio.astype(state.log_ovlp.dtype),
         )
 
+    # ------------------------------------------------------------------
+    # Multi-coherent-state paths (pauxy/walkers/multi_coherent.py +
+    # coherent_state.py:530-600 mixture value/gradient).
+    # ------------------------------------------------------------------
+    def _electron_half_step_mc(self, trial, state, dt_half):
+        from pauxy_tpu.models import multi_coherent as mc
+
+        gauge = jnp.exp(0.5 * dt_half * self.cpl * state.X)
+        phia = state.phia * gauge[:, :, None]
+        phib = state.phib * gauge[:, :, None]
+        phia = jnp.einsum("pm,wmn->wpn", self.BT_half[0], phia, optimize=True)
+        phib = jnp.einsum("pm,wmn->wpn", self.BT_half[1], phib, optimize=True)
+        phia = phia * gauge[:, :, None]
+        phib = phib * gauge[:, :, None]
+        log_new = mc.mc_log_overlap(trial, phia, phib, state.X).astype(
+            state.log_ovlp.dtype
+        )
+        ratio = jnp.exp(log_new - state.log_ovlp)
+        phase = jnp.angle(ratio)
+        ok = jnp.abs(phase) < 0.5 * jnp.pi
+        cosine = jnp.maximum(0.0, jnp.cos(phase))
+        weight = jnp.where(ok, state.weight * jnp.abs(ratio) * cosine, 0.0)
+        return state.replace(phia=phia, phib=phib, weight=weight,
+                             log_ovlp=log_new)
+
+    def _site_sweep_mc(self, trial, state, key):
+        """Hirsch site sweep against the multi-component mixture: per-site
+        heat-bath ratio R(x) = sum_p u_p R_p(x) / sum_p u_p
+        (``hubbard_holstein.py:546-575`` calculate_overlap_ratio_multi_det),
+        with per-component spin inverses maintained by Sherman-Morrison."""
+        from pauxy_tpu.models import multi_coherent as mc
+
+        hirsch = self.hirsch
+        m = state.nbasis
+        nw = state.nwalkers
+        na = trial.nup
+        cdtype = state.phia.dtype
+        rdtype = state.weight.dtype
+        delta = hirsch.delta
+        ta = trial.psi[:, :, :na].conj()                  # [P, M, na]
+        tb = trial.psi[:, :, na:].conj()
+
+        logw, sa, sb = mc.component_log_weights(
+            trial, state.phia, state.phib, state.X
+        )
+        eye_a = jnp.broadcast_to(jnp.eye(sa.shape[-1], dtype=cdtype), sa.shape)
+        eye_b = jnp.broadcast_to(jnp.eye(sb.shape[-1], dtype=cdtype), sb.shape)
+        inva = clinalg.solve(sa, eye_a)                   # [w, P, na, na]
+        invb = clinalg.solve(sb, eye_b)
+        ref = jnp.max(logw.real, axis=-1, keepdims=True)
+        ots = jnp.exp(logw - ref)                         # scale-free u_p
+        ot = jnp.sum(ots, axis=-1)
+
+        rs = jax.random.uniform(key, (m, nw), dtype=rdtype)
+
+        def body(carry, inputs):
+            phia, phib, inva, invb, ots, ot, weight, dlog = carry
+            i, r = inputs
+            row_a = jnp.take(phia, i, axis=1)             # [w, na]
+            row_b = jnp.take(phib, i, axis=1)
+            tai = jnp.take(ta, i, axis=1)                 # [P, na] conj'd
+            tbi = jnp.take(tb, i, axis=1)
+            # G_ss^p(i,i) = t_s*[i] . (S_p^-T phi_s[i]).
+            qa = jnp.einsum("wpba,wb->wpa", inva, row_a)
+            qb = jnp.einsum("wpba,wb->wpa", invb, row_b)
+            ga = jnp.einsum("pa,wpa->wp", tai, qa)
+            gb = jnp.einsum("pa,wpa->wp", tbi, qb)
+            r_p = (
+                (1 + delta[:, 0][None, None] * ga[..., None])
+                * (1 + delta[:, 1][None, None] * gb[..., None])
+            )                                             # [w, P, 2]
+            rtot = jnp.einsum("wpx,wp->wx", r_p, ots) / ot[:, None]
+            probs = 0.5 * rtot * hirsch.aux_wfac[None, :]
+            pr = jnp.maximum(probs.real, 0.0)
+            norm = pr.sum(-1)
+            alive = (norm > 0) & (jnp.abs(weight) > 0)
+            safe_norm = jnp.where(alive, norm, 1.0)
+            xi = (r >= pr[:, 0] / safe_norm).astype(jnp.int32)
+            weight = jnp.where(alive, weight * norm, 0.0)
+            chosen = jnp.take_along_axis(rtot, xi[:, None], axis=1)[:, 0]
+            dlog = dlog + jnp.where(
+                alive, jnp.log(chosen.astype(cdtype)), 0.0
+            )
+            da = jnp.where(alive, delta[xi, 0], 0.0)
+            db = jnp.where(alive, delta[xi, 1], 0.0)
+            chosen_rp = jnp.take_along_axis(
+                r_p, xi[:, None, None], axis=2
+            )[:, :, 0]
+            ots = jnp.where(alive[:, None], ots * chosen_rp, ots)
+            ot = jnp.sum(ots, axis=-1)
+            vta = row_a * da[:, None]
+            vtb = row_b * db[:, None]
+            phia = phia.at[:, i, :].add(vta)
+            phib = phib.at[:, i, :].add(vtb)
+
+            def sm(inv, u, vt, gii, dlt):
+                # (S_p + u_p vt)^-1 per component (u [P, n], vt [w, n]).
+                t1 = jnp.einsum("wpab,pb->wpa", inv, u)
+                t2 = jnp.einsum("wa,wpab->wpb", vt, inv)
+                denom = 1.0 + dlt[:, None] * gii
+                return inv - (
+                    t1[..., None] * t2[:, :, None, :]
+                    / denom[:, :, None, None]
+                )
+
+            inva = sm(inva, tai, vta, ga, da)
+            invb = sm(invb, tbi, vtb, gb, db)
+            return (phia, phib, inva, invb, ots, ot, weight, dlog), xi
+
+        dlog0 = jnp.zeros((nw,), cdtype)
+        from pauxy_tpu.utils import jaxops
+
+        (phia, phib, _, _, _, _, weight, dlog), fields = jaxops.scan(
+            body,
+            (state.phia, state.phib, inva, invb, ots, ot, state.weight,
+             dlog0),
+            (jnp.arange(m), rs),
+        )
+        return (
+            state.replace(phia=phia, phib=phib, weight=weight,
+                          log_ovlp=state.log_ovlp + dlog),
+            fields.T,
+        )
+
+    def _boson_move_mc(self, trial, state, key, dt):
+        """Drift-diffusion phonon move with the MIXTURE drift and bosonic
+        local energy (``hubbard_holstein.py:314-356`` with the symmetrized
+        trial's value/gradient, coherent_state.py:549-600)."""
+        from pauxy_tpu.models import multi_coherent as mc
+
+        x = state.X
+        grad_old, lap_old, _ = mc.mc_boson_mixture(
+            trial, state.phia, state.phib, x
+        )
+        pot = lambda z: 0.5 * self.m * self.w0 ** 2 * jnp.sum(z * z, -1)
+        eloc_old = (
+            -0.5 * jnp.sum(lap_old, -1).real / self.m + pot(x)
+            - 0.5 * self.w0 * x.shape[-1]
+        )
+        drift = (dt / self.m) * grad_old.real
+        dx = jax.random.normal(key, x.shape, dtype=x.dtype) * jnp.sqrt(
+            dt / self.m
+        )
+        x_new = x + dx + drift
+        _, lap_new, _ = mc.mc_boson_mixture(
+            trial, state.phia, state.phib, x_new
+        )
+        eloc_new = (
+            -0.5 * jnp.sum(lap_new, -1).real / self.m + pot(x_new)
+            - 0.5 * self.w0 * x.shape[-1]
+        )
+        log_new = mc.mc_log_overlap(trial, state.phia, state.phib, x_new)
+        weight = state.weight * jnp.exp(
+            -0.5 * dt * (eloc_new + eloc_old - 2 * self.eshift_boson)
+        )
+        # Reference scheme: walker.ot *= value_new/value_old at the boson
+        # move (hubbard_holstein.py:355), so the NEXT electron overlap ratio
+        # divides this move's trial-value ratio out of the weight. Storing
+        # 2 log_new - log_old reproduces that deferred division exactly (the
+        # following electron half-step resets log_ovlp to the absolute
+        # mixture); a one-component mixture then matches the
+        # single-coherent path trajectory-for-trajectory.
+        log_carry = 2.0 * log_new - state.log_ovlp
+        return state.replace(
+            X=x_new,
+            weight=weight,
+            log_ovlp=log_carry.astype(state.log_ovlp.dtype),
+        )
+
     def propagate(self, trial, state, key, eshift, bp_ix=None, ham=None):
+        from pauxy_tpu.models.multi_coherent import MultiCoherentTrial
+
         k1, k2 = jax.random.split(key)
-        state = self._electron_half_step(trial, state, 0.5 * self.dt)
-        state, _fields = self.hirsch._site_sweep(trial, state, k1)
-        state = self._electron_half_step(trial, state, 0.5 * self.dt)
-        state = self._boson_move(trial, state, k2, self.dt)
+        if isinstance(trial, MultiCoherentTrial):
+            state = self._electron_half_step_mc(trial, state, 0.5 * self.dt)
+            state, _fields = self._site_sweep_mc(trial, state, k1)
+            state = self._electron_half_step_mc(trial, state, 0.5 * self.dt)
+            state = self._boson_move_mc(trial, state, k2, self.dt)
+        else:
+            state = self._electron_half_step(trial, state, 0.5 * self.dt)
+            state, _fields = self.hirsch._site_sweep(trial, state, k1)
+            state = self._electron_half_step(trial, state, 0.5 * self.dt)
+            state = self._boson_move(trial, state, k2, self.dt)
         growth = jnp.exp(self.dt * jnp.real(eshift))
         return state.replace(weight=state.weight * growth)
 

@@ -84,11 +84,11 @@ def make_planewave(ham, trial, dt: float, precision=None, exp_order=6) -> PlaneW
             np.diag(np.exp(-0.5 * dt * np.diagonal(h1[1]))),
         ]
     )
-    from pauxy_tpu.utils.transfer import to_device
+    from pauxy_tpu.utils.transfer import to_device, device_zeros
 
     return PlaneWave(
         BH1=to_device(bh1.astype(prec.cplx)),
-        mf_shift=jnp.zeros((2 * ham.nq,), prec.cplx),
+        mf_shift=device_zeros((2 * ham.nq,), prec.cplx),
         sp=ueg_sparse.make_sparse_rho(ham, prec.real),
         dt=float(dt),
         exp_order=int(exp_order),

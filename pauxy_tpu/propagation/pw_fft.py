@@ -136,7 +136,7 @@ def make_pw_fft_inner(ham, trial, dt: float, exp_order: int = 6,
                       precision=None) -> PWFFTInner:
     """Build the FFT inner propagator (pw.py:13-74)."""
     prec = config.get_precision(precision)
-    from pauxy_tpu.utils.transfer import to_device, to_host
+    from pauxy_tpu.utils.transfer import to_device, to_host, device_zeros
 
     bh1 = np.exp(-0.5 * dt * np.asarray(ham.h1e_mod))      # diagonal
     vqfac = np.sqrt(np.asarray(ham.vqvec) / (4.0 * ham.vol))
@@ -163,7 +163,7 @@ def make_pw_fft_inner(ham, trial, dt: float, exp_order: int = 6,
 
     return PWFFTInner(
         BH1=to_device(np.stack([bh1, bh1]).astype(prec.cplx)),
-        mf_shift=jnp.zeros((2 * ham.nq,), prec.cplx),
+        mf_shift=device_zeros((2 * ham.nq,), prec.cplx),
         vqfac=to_device(vqfac.astype(prec.real)),
         vq_sqrtdt=to_device((dt ** 0.5 * vqfac).astype(prec.real)),
         gmap=to_device(np.asarray(ham.gmap)),

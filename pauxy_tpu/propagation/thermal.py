@@ -177,6 +177,10 @@ class ThermalContinuous:
         cosine_fac = jnp.maximum(0.0, jnp.cos(dtheta))
         weight = state.weight * magn * cosine_fac
         weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
+        if state.hybrid_energy is not None:
+            # Per-slice hybrid energy -(log oratio + cfb + cmf)/dt; computed
+            # but never stored by the reference (continuous.py:241).
+            extra = dict(extra, hybrid_energy=-hybrid / self.dt)
         return state.replace(weight=weight, **extra)
 
     def propagate_low_rank(self, trial, state, key, ts):
@@ -217,7 +221,7 @@ def make_thermal_propagator(
     """Build the thermal propagator for any supported Hamiltonian."""
     prec = config.get_precision(precision)
     opts = dict(options or {})
-    from pauxy_tpu.utils.transfer import to_device
+    from pauxy_tpu.utils.transfer import to_device, device_zeros
 
     p_trial = np.asarray(trial.P_host.arr)
     # The sampled slices B(x) carry the SYSTEM chemical potential (the grand-
@@ -280,7 +284,7 @@ def make_thermal_propagator(
 
         inner = ThermalUEGInner(
             BH1=to_device(bh1.astype(prec.cplx)),
-            mf_shift=jnp.zeros((2 * ham.nq,), prec.cplx),
+            mf_shift=device_zeros((2 * ham.nq,), prec.cplx),
             sp=ueg_sparse.make_sparse_rho(ham, prec.real),
             dt=float(dt),
         )

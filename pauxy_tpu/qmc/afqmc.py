@@ -28,6 +28,7 @@ from pauxy_tpu import config
 from pauxy_tpu.estimators import mixed
 from pauxy_tpu.propagation import continuous
 from pauxy_tpu.utils.io import H5EstimatorHelper, create_estimates_file
+from pauxy_tpu.utils.transfer import device_scalar
 from pauxy_tpu.qmc.options import QMCOpts
 from pauxy_tpu.walkers import pop_control as pc
 from pauxy_tpu.walkers import state as walker_state
@@ -43,7 +44,10 @@ from pauxy_tpu.walkers import state as walker_state
         "target_weight",
         "energy_eval_freq",
         "free_projection",
+        "calc_one_rdm",
+        "calc_two_rdm",
         "nbp",
+        "bp_nsplit",
         "bp_restore",
         "bp_eval_energy",
         "bp_eval_ekt",
@@ -69,7 +73,10 @@ def run_block(
     target_weight: float,
     energy_eval_freq: int,
     free_projection: bool,
+    calc_one_rdm: bool = False,
+    calc_two_rdm: str | None = None,
     nbp: int = 0,
+    bp_nsplit: int = 1,
     bp_restore: str | None = None,
     bp_eval_energy: bool = False,
     bp_eval_ekt: bool = False,
@@ -93,19 +100,19 @@ def run_block(
     m = state.nbasis
     nhist = nprop_tot if nprop_tot else nbp
 
-    def bp_measure(state):
+    def bp_measure(state, nbp_len):
         e_fn = None
         if bp_eval_energy:
             e_fn = lambda ga, gb: mixed.energy_estimator_G(ham, trial)(ga, gb)
         return back_prop.update(
             ham, trial, prop, state, e_fn,
             nstblz=nstblz, restore_weights=bp_restore, discrete=discrete,
-            eval_ekt=bp_eval_ekt,
+            eval_ekt=bp_eval_ekt, nbp_len=nbp_len,
         )
 
     def one_step(state, inp):
         step, key = inp
-        kprop, kpop = jax.random.split(key)
+        kprop, kpop, kest = jax.random.split(key, 3)
 
         state = jax.lax.cond(
             step % nstblz == 0,
@@ -139,20 +146,36 @@ def run_block(
             state,
             eval_energy=(step % energy_eval_freq == 0),
             free_projection=free_projection,
+            calc_one_rdm=calc_one_rdm,
+            calc_two_rdm=calc_two_rdm,
+            est_key=kest,
         )
 
         if nbp:
             nacc_bp = 4 + 2 * m * m + (2 * m * m if bp_eval_ekt else 0)
-            bp_acc = jax.lax.cond(
-                step % nbp == 0,
-                bp_measure,
-                lambda s: jnp.zeros((nacc_bp,), state.log_ovlp.dtype),
-                state,
-            )
-            # After a measurement: new historic wavefunction + fresh factors
-            # (handler.py:200-214 copy_historic_wfn + stack.py:121-127 reset).
+            # Multi-split schedule (back_propagation.py:70-72,144-147): the
+            # buffer count after this step is (step-1) % nhist + 1; measure
+            # whenever it hits a split point, back-propagating through the
+            # first `s` stored configs.
+            splits = tuple((i + 1) * (nbp // bp_nsplit)
+                           for i in range(bp_nsplit))
+            buffcount = (step - 1) % nhist + 1
+            accs = []
+            for s in splits:
+                accs.append(
+                    jax.lax.cond(
+                        buffcount == s,
+                        lambda st, s=s: bp_measure(st, s),
+                        lambda st: jnp.zeros((nacc_bp,), state.log_ovlp.dtype),
+                        state,
+                    )
+                )
+            bp_acc = jnp.concatenate(accs)
+            # After the LAST split: new historic wavefunction + fresh factors
+            # (handler.py:200-214 copy_historic_wfn + stack.py:121-127 reset;
+            # back_propagation.py:220-223).
             state = jax.lax.cond(
-                step % nbp == 0,
+                buffcount == splits[-1],
                 lambda s: s.replace(
                     phia_old=s.phia,
                     phib_old=s.phib,
@@ -224,9 +247,68 @@ def _step_ortho(state, free_projection: bool):
     return walker_state.orthogonalise(state, free_projection)
 
 
+@functools.partial(jax.jit, static_argnames=("with_bp",))
+def _step_propagate(prop, trial, state, key, eshift, ham=None,
+                    bp_ix=None, with_bp: bool = False):
+    return prop.propagate(trial, state, key, eshift, ham=ham,
+                          bp_ix=bp_ix if with_bp else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nstblz", "restore_weights", "discrete", "eval_ekt",
+                     "eval_energy", "nbp_len"),
+)
+def _step_bp(ham, trial, prop, state, *, nstblz: int,
+             restore_weights: str | None, discrete: bool, eval_ekt: bool,
+             eval_energy: bool, nbp_len: int):
+    from pauxy_tpu.estimators import back_prop
+
+    e_fn = None
+    if eval_energy:
+        e_fn = lambda ga, gb: mixed.energy_estimator_G(ham, trial)(ga, gb)
+    acc = back_prop.update(
+        ham, trial, prop, state, e_fn, nstblz=nstblz,
+        restore_weights=restore_weights, discrete=discrete,
+        eval_ekt=eval_ekt, nbp_len=nbp_len,
+    )
+    return jnp.stack([acc.real, acc.imag])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nmax", "nstblz", "stable", "restore_weights",
+                     "discrete"),
+)
+def _step_itcf(prop, trial, state, *, nmax: int, nstblz: int, stable: bool,
+               restore_weights: bool, discrete: bool):
+    from pauxy_tpu.estimators import itcf as itcf_mod
+
+    acc = itcf_mod.measure(
+        prop, trial, state, nmax=nmax, nstblz=nstblz, stable=stable,
+        restore_weights=restore_weights, discrete=discrete,
+    )
+    return jnp.stack([acc.real, acc.imag])
+
+
 @jax.jit
-def _step_propagate(prop, trial, state, key, eshift, ham=None):
-    return prop.propagate(trial, state, key, eshift, ham=ham)
+def _reset_history_bp(state):
+    return state.replace(
+        phia_old=state.phia,
+        phib_old=state.phib,
+        cos_fac=jnp.ones_like(state.cos_fac),
+        weight_fac=jnp.ones_like(state.weight_fac),
+    )
+
+
+@jax.jit
+def _reset_history_itcf(state):
+    return state.replace(
+        phia_right=state.phia,
+        phib_right=state.phib,
+        cos_fac=jnp.ones_like(state.cos_fac),
+        weight_fac=jnp.ones_like(state.weight_fac),
+    )
 
 
 @jax.jit
@@ -243,10 +325,16 @@ def _step_pop(state, key, target_weight: float, pop_method: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eval_energy", "free_projection")
+    jax.jit,
+    static_argnames=("eval_energy", "free_projection", "calc_one_rdm",
+                     "calc_two_rdm"),
 )
-def _step_mixed(ham, trial, state, eval_energy: bool, free_projection: bool):
-    acc = mixed.update(ham, trial, state, eval_energy, free_projection)
+def _step_mixed(ham, trial, state, eval_energy: bool, free_projection: bool,
+                calc_one_rdm: bool = False, calc_two_rdm: str | None = None,
+                est_key=None):
+    acc = mixed.update(ham, trial, state, eval_energy, free_projection,
+                       calc_one_rdm=calc_one_rdm, calc_two_rdm=calc_two_rdm,
+                       est_key=est_key)
     return jnp.stack([acc.real, acc.imag])
 
 
@@ -303,12 +391,16 @@ class AFQMC:
         bp_opts = eopts.get("back_propagation", eopts.get("back_propagated"))
         if bp_opts is not None:
             self.nbp = int(round(bp_opts.get("tau_bp", 0) / qmc.dt))
+            self.bp_nsplit = int(bp_opts.get("nsplit", 1))
+            if self.nbp % self.bp_nsplit:
+                raise ValueError("nsplit must divide tau_bp/dt")
             self.bp_restore = bp_opts.get("restore_weights", None)
             self.bp_eval_energy = bp_opts.get("evaluate_energy", True)
             self.bp_eval_ekt = bp_opts.get("evaluate_ekt", False)
             nprop_tot = self.nbp
         else:
             self.nbp = 0
+            self.bp_nsplit = 1
             self.bp_restore = None
             self.bp_eval_energy = False
             self.bp_eval_ekt = False
@@ -352,6 +444,16 @@ class AFQMC:
 
         mixed_opts = eopts.get("mixed", {})
         self.energy_eval_freq = mixed_opts.get("energy_eval_freq", qmc.nsteps)
+        # Per-step density-matrix accumulation (mixed.py:76-77 one_rdm /
+        # two_rdm options; two_rdm='structure_factor' is UEG S(k)).
+        self.calc_one_rdm = bool(mixed_opts.get("one_rdm", False))
+        self.calc_two_rdm = mixed_opts.get("two_rdm", None)
+        dms_shapes = []
+        if self.calc_one_rdm:
+            dms_shapes.append(("one_rdm", (2, ham.nbasis, ham.nbasis)))
+        if self.calc_two_rdm is not None:
+            mixed.dms_size(ham, False, self.calc_two_rdm)  # validate
+            dms_shapes.append(("two_rdm", (2, 2, ham.nq)))
         if filename is None:
             filename = eopts.get("filename", "estimates.0.h5")
         self.filename = filename
@@ -364,6 +466,7 @@ class AFQMC:
             qmc.nsteps,
             output=H5EstimatorHelper(filename, "basic"),
             verbose=verbose,
+            dms_shapes=dms_shapes,
         )
         if self.nbp:
             from pauxy_tpu.estimators.back_prop import BPReporter
@@ -372,6 +475,7 @@ class AFQMC:
                 H5EstimatorHelper(filename, "back_propagated"),
                 self.nbp,
                 self.bp_eval_energy,
+                nsplit=self.bp_nsplit,
             )
         if self.nitcf:
             from pauxy_tpu.estimators.itcf import ITCFReporter
@@ -381,7 +485,8 @@ class AFQMC:
                 nx = getattr(ham, "nx", None)
                 kdims = (nx, ham.ny) if nx else None
             self.itcf_reporter = ITCFReporter(
-                H5EstimatorHelper(filename, "itcf"), kspace_dims=kdims
+                H5EstimatorHelper(filename, "itcf"), kspace_dims=kdims,
+                mode=itcf_opts.get("mode", "full"),
             )
 
         seed = qmc.rng_seed if qmc.rng_seed is not None else 7
@@ -410,6 +515,14 @@ class AFQMC:
     def _build_propagator(self, popts: dict):
         name = self.ham.name
         hs = popts.get("hubbard_stratonovich", "continuous")
+        from pauxy_tpu.models.ghf import GHFTrial
+
+        if isinstance(self.trial, GHFTrial) and "discrete" not in hs:
+            # The reference only pairs GHF trials with the discrete Hirsch
+            # propagator (pauxy/propagation/hubbard.py:87-90).
+            raise NotImplementedError(
+                "GHF trials require hubbard_stratonovich='discrete'"
+            )
         if name == "HubbardHolstein":
             from pauxy_tpu.propagation.hirsch_dmc import make_hirsch_dmc
 
@@ -433,6 +546,8 @@ class AFQMC:
                 charge_decomposition=popts.get("charge_decomposition", False),
                 free_projection=self.free_projection,
                 precision=self.prec,
+                two_body_mode=popts.get("two_body_update", "single_site"),
+                kinetic_kspace=popts.get("kinetic_kspace", False),
             )
         if name == "Hubbard":
             from pauxy_tpu.propagation.hubbard import make_hubbard_continuous
@@ -505,31 +620,46 @@ class AFQMC:
                 # Nested like the reference's serialized handler so
                 # extraction.get_param finds the BP splits
                 # (analysis/extraction.py:40-42).
-                "estimators": {"back_prop": {"splits": [[self.nbp]]}},
+                "estimators": {"back_prop": {"splits": [[
+                    (i + 1) * (self.nbp // self.bp_nsplit)
+                    for i in range(self.bp_nsplit)
+                ]]}},
             },
         }
 
     # ------------------------------------------------------------------
     def _run_block_split(self, block_key, eshift):
-        """Python-loop block with small per-piece jits (no BP/ITCF)."""
-        assert not self.nbp and not self.nitcf, (
-            "split block mode does not support BP/ITCF"
-        )
+        """Python-loop block with small per-piece jits, incl. BP/ITCF —
+        same schedule as the fused program (one_step above), so fused and
+        split blocks are interchangeable on backends that reject the large
+        fused program."""
+        from pauxy_tpu.propagation.hirsch import Hirsch
+
         state = self.state
         qmc = self.qmc
+        discrete = isinstance(self.prop, Hirsch)
+        nhist = self.nprop_tot or self.nbp
+        splits = ()
+        if self.nbp:
+            splits = tuple((i + 1) * (self.nbp // self.bp_nsplit)
+                           for i in range(self.bp_nsplit))
         acc = None
+        bp_acc = None
+        itcf_acc = None
         for i in range(qmc.nsteps):
             step = self.step + 1 + i
             key = jax.random.fold_in(block_key, i)
-            kprop, kpop = jax.random.split(key)
+            kprop, kpop, kest = jax.random.split(key, 3)
             if step % qmc.nstblz == 0:
                 t0 = time.time()
                 state = _step_ortho(state, self.free_projection)
                 jax.block_until_ready(state.weight)
                 self.timing["ortho"] += time.time() - t0
             t0 = time.time()
+            bp_ix = ((step - 1) % nhist) if nhist else None
             state = _step_propagate(self.prop, self.trial, state, kprop,
-                                    eshift, ham=self.ham)
+                                    eshift, ham=self.ham, bp_ix=bp_ix,
+                                    with_bp=bool(nhist))
             if step > 1:
                 state = _step_cap(state)
             jax.block_until_ready(state.weight)
@@ -545,19 +675,64 @@ class AFQMC:
             a = _step_mixed(
                 self.ham, self.trial, state,
                 step % self.energy_eval_freq == 0, self.free_projection,
+                self.calc_one_rdm, self.calc_two_rdm, est_key=kest,
             )
             acc = a if acc is None else acc + a
+
+            if self.nbp:
+                buffcount = (step - 1) % nhist + 1
+                measured = {
+                    k: _step_bp(
+                        self.ham, self.trial, self.prop, state,
+                        nstblz=qmc.nstblz, restore_weights=self.bp_restore,
+                        discrete=discrete, eval_ekt=self.bp_eval_ekt,
+                        eval_energy=self.bp_eval_energy, nbp_len=s,
+                    )
+                    for k, s in enumerate(splits)
+                    if buffcount == s
+                }
+                if measured:
+                    template = next(iter(measured.values()))
+                    parts = [measured.get(k, jnp.zeros_like(template))
+                             for k in range(len(splits))]
+                    cat = jnp.concatenate(parts, axis=-1)
+                    bp_acc = cat if bp_acc is None else bp_acc + cat
+                if buffcount == splits[-1]:
+                    state = _reset_history_bp(state)
+
+            if self.nitcf and step % nhist == 0:
+                a_itcf = _step_itcf(
+                    self.prop, self.trial, state,
+                    nmax=self.nitcf, nstblz=qmc.nstblz,
+                    stable=self.itcf_stable,
+                    restore_weights=self.itcf_restore, discrete=discrete,
+                )
+                itcf_acc = a_itcf if itcf_acc is None else itcf_acc + a_itcf
+                state = _reset_history_itcf(state)
+
             jax.block_until_ready(acc)
             self.timing["estim"] += time.time() - t0
         self.state = state
         z = jnp.zeros((2, 0), acc.dtype)
-        return acc, z, z
+        if self.nbp and bp_acc is None:
+            nacc_bp = 4 + 2 * self.ham.nbasis ** 2 * (
+                2 if self.bp_eval_ekt else 1
+            )
+            bp_acc = jnp.zeros((2, nacc_bp * self.bp_nsplit), acc.dtype)
+        if self.nitcf and itcf_acc is None:
+            m = self.ham.nbasis
+            itcf_acc = jnp.zeros(
+                (2, 1 + (self.nitcf + 1) * 4 * m * m), acc.dtype
+            )
+        return acc, bp_acc if bp_acc is not None else z, (
+            itcf_acc if itcf_acc is not None else z
+        )
 
     def run_block(self):
         """Advance one block (nsteps) and report."""
         self.key, sub = jax.random.split(self.key)
         if self.block_mode == "split":
-            eshift_dev = jnp.asarray(self.eshift, self.state.log_ovlp.dtype)
+            eshift_dev = device_scalar(self.eshift, self.state.log_ovlp.dtype)
             acc, bp_acc, itcf_acc = self._run_block_split(sub, eshift_dev)
             self.step += self.qmc.nsteps
 
@@ -566,6 +741,12 @@ class AFQMC:
                 return ri[0] + 1j * ri[1]
 
             row = self.reporter.block_row(self.step, fetch(acc))
+            if self.nbp:
+                self.bp_reporter.block_row(fetch(bp_acc), self.ham.nbasis)
+            if self.nitcf:
+                self.itcf_reporter.block_row(
+                    fetch(itcf_acc), self.ham.nbasis, self.nitcf
+                )
             if self.step < self.qmc.neqlb:
                 self.eshift = self.reporter.get_shift(self.hybrid)
             else:
@@ -579,7 +760,7 @@ class AFQMC:
             self.prop,
             self.state,
             sub,
-            jnp.asarray(self.eshift, self.state.log_ovlp.dtype),
+            device_scalar(self.eshift, self.state.log_ovlp.dtype),
             jnp.asarray(self.step, jnp.int32),
             nsteps=self.qmc.nsteps,
             nstblz=self.qmc.nstblz,
@@ -588,7 +769,10 @@ class AFQMC:
             target_weight=float(self.qmc.nwalkers),
             energy_eval_freq=self.energy_eval_freq,
             free_projection=self.free_projection,
+            calc_one_rdm=self.calc_one_rdm,
+            calc_two_rdm=self.calc_two_rdm,
             nbp=self.nbp,
+            bp_nsplit=self.bp_nsplit,
             bp_restore=self.bp_restore,
             bp_eval_energy=self.bp_eval_energy,
             bp_eval_ekt=self.bp_eval_ekt,

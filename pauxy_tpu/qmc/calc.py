@@ -81,7 +81,19 @@ def get_system(model_opts: dict, precision=None):
         nelec = None
         if "nup" in model_opts:
             nelec = (model_opts["nup"], model_opts["ndown"])
-        return from_qmcpack_file(integrals, nelec=nelec, precision=precision)
+        ham = from_qmcpack_file(integrals, nelec=nelec, precision=precision)
+        # Local-energy variant flags (systems/generic.py:74-123).
+        flags = dict(
+            exact_eri=bool(model_opts.get("exact_eri", False)),
+            stochastic_ri=bool(model_opts.get("stochastic_ri", False)),
+            nsamples=int(model_opts.get("nsamples", 0)),
+            control_variate=bool(model_opts.get("control_variate", False)),
+            pno=bool(model_opts.get("pno", False)),
+            thresh_pno=float(model_opts.get("thresh_pno", 0.0) or 0.0),
+        )
+        if any(flags.values()):
+            ham = ham.replace(**flags)
+        return ham
     raise NotImplementedError(f"unknown system {name!r}")
 
 
@@ -103,6 +115,12 @@ def get_trial_wavefunction(ham, trial_opts: dict, precision=None, seed=None):
             precision=precision,
         )
     if name in ("coherent_state",):
+        if trial_opts.get("symmetrize", False):
+            # Translation-symmetrized multi-coherent expansion
+            # (coherent_state.py:464-472 + walkers/multi_coherent.py).
+            from pauxy_tpu.models.multi_coherent import multi_coherent_trial
+
+            return multi_coherent_trial(ham, precision=precision)
         from pauxy_tpu.models.hubbard_holstein import coherent_state_trial
 
         return coherent_state_trial(ham, precision=precision)
@@ -133,6 +151,18 @@ def get_trial_wavefunction(ham, trial_opts: dict, precision=None, seed=None):
 
             return wio.read_wavefunction(ham, filename, precision=precision)
         return tr.rhf_identity_trial(ham, precision=precision)
+    if name in ("multi_determinant",):
+        # GHF multi-determinant expansion from the reference ascii format
+        # (trial_wavefunction/multi_determinant.py:27-34 options).
+        from pauxy_tpu.models.ghf import ghf_trial_from_files
+
+        return ghf_trial_from_files(
+            ham,
+            orbital_file=trial_opts["orbitals"],
+            coeffs_file=trial_opts["coefficients"],
+            ndets=int(trial_opts["ndets"]),
+            precision=precision,
+        )
     raise NotImplementedError(f"unknown trial {name!r}")
 
 

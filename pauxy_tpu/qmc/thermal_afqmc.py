@@ -38,6 +38,7 @@ THERMAL_HEADER = [
     jax.jit,
     static_argnames=(
         "ntime_slices", "npop_control", "pop_method", "target_weight",
+        "calc_one_rdm",
     ),
 )
 def run_path(
@@ -51,6 +52,7 @@ def run_path(
     npop_control: int,
     pop_method: str,
     target_weight: float,
+    calc_one_rdm: bool = False,
 ):
     """Propagate one full beta path and measure (thermal_afqmc.py:212-235)."""
 
@@ -76,20 +78,33 @@ def run_path(
     from pauxy_tpu.utils import jaxops
 
     state, _ = jaxops.scan(one_slice, state, (jnp.arange(ntime_slices), keys))
-    return state, measure_state(ham, trial, state)
+    return state, measure_state(ham, trial, state, calc_one_rdm)
 
 
-@jax.jit
-def measure_state(ham, trial, state):
+@functools.partial(jax.jit, static_argnames=("calc_one_rdm",))
+def measure_state(ham, trial, state, calc_one_rdm: bool = False):
     """Mixed thermal measurement from the current Green's function
     (estimators/mixed.py:183-208, thermal branch); works for both the
-    full-rank and low-rank walker states (both carry G)."""
+    full-rank and low-rank walker states (both carry G).
+
+    The EHybrid column reports the tracked per-slice hybrid energy (the
+    reference computes but never stores it, so its column reads 0); the
+    Overlap column is Sum w |ot| with thermal ot = 1 (mixed.py:224). With
+    ``calc_one_rdm``, the weighted 1-RDM P = 1 - G^T is appended flat —
+    note the reference pushes the *Green's function* G there
+    (mixed.py:226-229); P is the physical density matrix.
+    """
     p = one_rdm_from_G(state.G)
     e_fn = mixed.energy_estimator_G(ham, trial)
     etot, e1b, e2b = e_fn(p[:, 0], p[:, 1])
     nav = particle_number(p)
     w = state.weight
     cdtype = state.G.dtype
+    ehyb = (
+        jnp.sum(w * state.hybrid_energy)
+        if state.hybrid_energy is not None
+        else jnp.zeros((), cdtype)
+    )
     acc = jnp.stack(
         [
             jnp.sum(state.unscaled_weight).astype(cdtype),
@@ -98,9 +113,14 @@ def measure_state(ham, trial, state):
             jnp.sum(w).astype(cdtype),
             jnp.sum(w * e1b.real).astype(cdtype),
             jnp.sum(w * e2b.real).astype(cdtype),
+            ehyb.astype(cdtype),
+            jnp.sum(w).astype(cdtype),           # Overlap: ot = 1 at T > 0
             jnp.sum(w * nav).astype(cdtype),
         ]
     )
+    if calc_one_rdm:
+        rdm = jnp.einsum("w,wsmn->smn", w.astype(cdtype), p)
+        acc = jnp.concatenate([acc, rdm.reshape(-1)])
     return jnp.stack([acc.real, acc.imag])
 
 
@@ -165,6 +185,9 @@ class ThermalAFQMC:
         )
         self.state = self._init_walkers(trial, qmc.nwalkers)
         eopts = dict(estimator_options or {})
+        self.calc_one_rdm = bool(
+            eopts.get("mixed", {}).get("one_rdm", False)
+        )
         if filename is None:
             filename = eopts.get("filename", "estimates.0.h5")
         self.filename = filename
@@ -191,20 +214,25 @@ class ThermalAFQMC:
     def _emit_row(self, acc, iteration):
         ri = np.asarray(acc)
         acc = ri[0] + 1j * ri[1]
-        uweight, weight, enum, edenom, e1b, e2b, navw = acc
+        uweight, weight, enum, edenom, e1b, e2b, ehyb, ovlp = acc[:8]
+        navw = acc[8]
         now = time.time()
         elapsed, self._t0 = now - self._t0, now
         row = np.array(
             [
                 iteration, uweight, weight, enum, edenom,
                 enum / edenom, e1b / edenom, e2b / edenom,
-                0.0, 0.0, navw / edenom, elapsed,
+                ehyb / weight, ovlp / weight, navw / edenom, elapsed,
             ],
             dtype=np.complex128,
         )
         if self.verbose:
             print("".join(f"{v.real: 16.8e} " for v in row))
         self.output.push(row, "energies")
+        if self.calc_one_rdm:
+            m = self.ham.nbasis
+            rdm = acc[9 : 9 + 2 * m * m].reshape(2, m, m) / edenom
+            self.output.push(rdm, "one_rdm")
         self.output.increment()
         return row
 
@@ -220,6 +248,7 @@ class ThermalAFQMC:
             npop_control=self.qmc.npop_control,
             pop_method=self.qmc.pop_control_method,
             target_weight=float(self.qmc.nwalkers),
+            calc_one_rdm=self.calc_one_rdm,
         )
         self.block += 1
         row = self._emit_row(acc, self.block)
@@ -232,7 +261,8 @@ class ThermalAFQMC:
         if self.verbose:
             print("".join(f"{h:>17s}" for h in THERMAL_HEADER))
         rows = [self._emit_row(
-            measure_state(self.ham, self.trial, self.state), 0
+            measure_state(self.ham, self.trial, self.state,
+                          self.calc_one_rdm), 0
         )]
         rows += [self.run_block() for _ in range(self.qmc.nblocks)]
         return np.array(rows)

@@ -55,6 +55,34 @@ def to_device(tree):
     return jax.tree_util.tree_map(_upload, tree)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _fill_scalar(re, im, dtype):
+    return (re + 1j * im).astype(dtype)
+
+
+def device_scalar(value, dtype):
+    """Complex-safe scalar upload (see device_zeros): ships the real/imag
+    parts as real scalars and combines under jit."""
+    value = complex(value)
+    return _fill_scalar(
+        jnp.asarray(value.real, jnp.float32),
+        jnp.asarray(value.imag, jnp.float32),
+        dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+def device_zeros(shape, dtype):
+    """Complex-safe zeros: an *eager* ``jnp.zeros(..., complex)`` poisons its
+    buffer on the axon backend (eager complex fill is UNIMPLEMENTED and the
+    error only surfaces when the buffer is consumed). Jitting the fill makes
+    it a compiled XLA program, which the backend handles."""
+    return jnp.zeros(shape, dtype)
+
+
 class HostArray:
     """Identity-hashable wrapper letting host-only numpy data ride a flax
     struct as a STATIC (non-pytree) field — it is never uploaded to device.

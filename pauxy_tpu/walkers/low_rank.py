@@ -49,6 +49,7 @@ class LowRankWalkerState:
     unscaled_weight: jax.Array
     phase: jax.Array        # [w] complex
     total_weight: jax.Array  # []
+    hybrid_energy: jax.Array | None = None  # [w] see ThermalWalkerState
 
     @property
     def nwalkers(self) -> int:
@@ -212,4 +213,5 @@ def init_low_rank_walkers(trial, nwalkers: int) -> LowRankWalkerState:
         unscaled_weight=jnp.ones((nwalkers,), rdtype),
         phase=jnp.ones((nwalkers,), cdtype),
         total_weight=jnp.asarray(float(nwalkers), rdtype),
+        hybrid_energy=jnp.zeros((nwalkers,), cdtype),
     )

@@ -86,6 +86,11 @@ def init_walkers(
     Jitted: the target backend mis-handles *eager* complex primitives (see
     utils/transfer.py), so even setup-time device math runs compiled.
     """
+    from pauxy_tpu.models.ghf import GHFTrial, ghf_log_overlap
+    from pauxy_tpu.models.multi_coherent import (
+        MultiCoherentTrial,
+        mc_log_overlap,
+    )
     from pauxy_tpu.models.multi_slater import (
         MultiSlaterTrial,
         log_overlap_multi_det,
@@ -95,7 +100,22 @@ def init_walkers(
     phib = jnp.broadcast_to(trial.initb[None], (nwalkers,) + trial.initb.shape)
     cdtype = trial.inita.dtype
     rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
-    if isinstance(trial, MultiSlaterTrial):
+    x0 = None
+    if getattr(trial, "shift", None) is not None and phonon_mw is not None:
+        # Sample X from |phi_B(X)|^2 = Normal(shift, 1/(2 m w0)) — the exact
+        # distribution the reference approximates with a 250-step VMC walk
+        # (single_det.py:39-61).
+        sigma = (2.0 * phonon_mw) ** -0.5
+        x0 = trial.shift[None, :] + sigma * jax.random.normal(
+            phonon_key, (nwalkers, trial.shift.shape[0]), rdtype
+        )
+    if isinstance(trial, MultiCoherentTrial):
+        log_oa = mc_log_overlap(trial, phia, phib, x0)
+        log_ob = jnp.zeros_like(log_oa)
+    elif isinstance(trial, GHFTrial):
+        log_oa = ghf_log_overlap(trial, phia, phib)
+        log_ob = jnp.zeros_like(log_oa)
+    elif isinstance(trial, MultiSlaterTrial):
         log_oa = log_overlap_multi_det(trial, phia, phib)
         log_ob = jnp.zeros_like(log_oa)
     else:
@@ -116,14 +136,8 @@ def init_walkers(
         )
         if itcf:
             extras.update(phia_right=phia, phib_right=phib)
-    if getattr(trial, "shift", None) is not None and phonon_mw is not None:
-        # Sample X from |phi_B(X)|^2 = Normal(shift, 1/(2 m w0)) — the exact
-        # distribution the reference approximates with a 250-step VMC walk
-        # (single_det.py:39-61).
-        sigma = (2.0 * phonon_mw) ** -0.5
-        extras["X"] = trial.shift[None, :] + sigma * jax.random.normal(
-            phonon_key, (nwalkers, trial.shift.shape[0]), rdtype
-        )
+    if x0 is not None:
+        extras["X"] = x0
     return WalkerState(
         phia=phia,
         phib=phib,

@@ -30,6 +30,11 @@ class ThermalWalkerState:
     unscaled_weight: jax.Array
     phase: jax.Array        # [w] complex
     total_weight: jax.Array  # []
+    # Per-walker hybrid energy of the previous slice, -(log oratio+cfb+cmf)/dt.
+    # The reference computes this quantity but never stores it
+    # (thermal_propagation/continuous.py:241), leaving its EHybrid column 0;
+    # here it is reported.
+    hybrid_energy: jax.Array | None = None
 
     @property
     def nwalkers(self) -> int:
@@ -84,6 +89,7 @@ def init_thermal_walkers(trial, nwalkers: int) -> ThermalWalkerState:
         unscaled_weight=jnp.ones((nwalkers,), rdtype),
         phase=jnp.ones((nwalkers,), cdtype),
         total_weight=jnp.asarray(float(nwalkers), rdtype),
+        hybrid_energy=jnp.zeros((nwalkers,), cdtype),
     )
 
 

@@ -369,3 +369,52 @@ def test_timing_breakdown_and_phmsd_input(tmp_path, monkeypatch, capsys):
     assert driver.trial.ndets == 2
     rows = driver.run()
     assert np.isfinite(np.asarray(rows)[:, 5].real).all()
+
+
+@pytest.mark.driver
+def test_analyse_estimates_and_ekt_ipea(tmp_path, monkeypatch):
+    """One-shot analyse_estimates writer + EKT IP/EA eigenproblem
+    (``pauxy/analysis/blocking.py:292-362``)."""
+    import h5py
+
+    from pauxy_tpu.analysis import blocking
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.trial import rhf_identity_trial
+
+    # Generic run with BP + EKT Fock output.
+    rng = np.random.default_rng(3)
+    nmo, na = 6, 2
+    chol = rng.normal(scale=0.05, size=(nmo, nmo, 11))
+    chol = 0.5 * (chol + chol.transpose(1, 0, 2))
+    h1 = rng.normal(scale=0.2, size=(nmo, nmo))
+    h1 = 0.5 * (h1 + h1.T)
+    ham = make_generic((na, na), np.stack([h1, h1]), chol, ecore=0.0)
+    trial = rhf_identity_trial(ham)
+    qmc = QMCOpts(nwalkers=12, dt=0.01, nsteps=10, nblocks=6, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    fn = str(tmp_path / "ekt.h5")
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={
+                   "mixed": {"energy_eval_freq": 1},
+                   "back_propagation": {"tau_bp": 0.1,
+                                        "evaluate_energy": True,
+                                        "evaluate_ekt": True},
+               },
+               filename=fn)
+    af.run()
+
+    monkeypatch.chdir(tmp_path)
+    out = blocking.analyse_estimates(fn, start_time=0.2)
+    assert "ETotal" in out.index
+    assert np.isfinite(out.loc["ETotal", "mean"])
+    assert os.path.exists(str(tmp_path / "analysed_ekt.h5"))
+    with h5py.File(str(tmp_path / "analysed_ekt.h5")) as fh5:
+        assert "basic/estimates" in fh5
+        assert fh5["basic/estimates"].shape[0] == len(out)
+
+    (eip, _), (eea, _) = blocking.analyse_ekt_ipea(fn, ix=10,
+                                                   screen_factor=0.0)
+    assert np.isfinite(eip).all() and np.isfinite(eea).all()
+    assert eip.size > 0 and eea.size > 0

@@ -117,3 +117,47 @@ def test_bp_driver_discrete(tmp_path):
     )
     rows = af.run()
     assert np.isfinite(rows.real).all()
+
+
+@pytest.mark.driver
+def test_bp_nsplit_schedule(tmp_path):
+    """nsplit=2 must produce BP datasets at BOTH split times, and the final
+    split must be IDENTICAL to an nsplit=1 run (same RNG stream — the extra
+    mid-buffer measurement does not mutate walker state).
+    Reference: ``pauxy/estimators/back_propagation.py:70-72,144-147``."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.01, nsteps=10, nblocks=4, nstblz=5,
+                  npop_control=5, rng_seed=8)
+
+    outs = {}
+    for nsplit in (1, 2):
+        fn = str(tmp_path / f"bp{nsplit}.h5")
+        af = AFQMC(
+            ham, trial, qmc,
+            estimator_options={
+                "mixed": {"energy_eval_freq": 1},
+                "back_propagation": {"tau_bp": 0.1, "evaluate_energy": True,
+                                     "nsplit": nsplit},
+            },
+            filename=fn,
+        )
+        af.run()
+        outs[nsplit] = fn
+
+    if not os.path.isdir("/root/reference/pauxy"):
+        return
+    sys.path.insert(0, "/root/reference")
+    from pauxy.analysis.extraction import extract_data, extract_rdm
+
+    e10_a = extract_data(outs[1], "back_propagated", "energies_10", raw=True)
+    e10_b = extract_data(outs[2], "back_propagated", "energies_10", raw=True)
+    np.testing.assert_allclose(e10_b, e10_a, rtol=1e-6)
+    e5 = extract_data(outs[2], "back_propagated", "energies_5", raw=True)
+    assert np.isfinite(e5).all()
+    assert e5.shape == e10_b.shape
+    # Shorter BP time -> closer to the mixed estimate, still bounded.
+    assert -12.0 < e5[-1][0].real < -5.0
+    rdm5 = extract_rdm(outs[2], ix=5)
+    np.testing.assert_allclose(np.einsum("bsii->bs", rdm5).real, 3.0,
+                               atol=1e-6)

@@ -92,3 +92,21 @@ def test_free_projection_converges_to_fci(tmp_path):
     # Projected energy Re(<psi_T|H|phi>/<psi_T|phi>) at late tau.
     e_fp = rows[-1, 5].real
     assert abs(e_fp - e_fci[0]) < 0.05, (e_fp, e_fci[0])
+
+
+@pytest.mark.unit
+def test_bose_fermi_fci_vs_reference_pinned():
+    """Hubbard-Holstein bose-fermi FCI against the reference's pinned
+    ground-state energies (``pauxy/estimators/tests/test_ci.py:19-52``)."""
+    from pauxy_tpu.estimators.ci import simple_fci_bose_fermi
+    from pauxy_tpu.models.hubbard_holstein import make_hubbard_holstein
+
+    ham = make_hubbard_holstein(nup=1, ndown=1, U=0.0, nx=2, ny=1,
+                                w0=0.8, lmbda=0.5)
+    e, _, _ = simple_fci_bose_fermi(ham, nboson_max=20)
+    assert e[0] == pytest.approx(-6.232530237466693, abs=1e-8)
+
+    ham = make_hubbard_holstein(nup=1, ndown=1, U=4.0, nx=3, ny=1,
+                                w0=0.8, lmbda=0.5)
+    e, _, _ = simple_fci_bose_fermi(ham, nboson_max=12)
+    assert e[0] == pytest.approx(-4.642361166625703, abs=1e-5)

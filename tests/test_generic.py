@@ -182,3 +182,103 @@ def test_generic_afqmc_runs(tmp_path):
     # Variational bound-ish: projected energy should not wander far above the
     # trial energy on a stable short run.
     assert rows[-1, 5].real < trial.etrial + 1.0
+
+
+@pytest.mark.unit
+def test_generic_energy_variants():
+    """exact-ERI / PNO / stochastic-RI local-energy variants vs the exact
+    Cholesky fast path (``pauxy/estimators/generic.py:34,130,293``)."""
+    import jax
+
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.trial import rhf_identity_trial
+    from pauxy_tpu.ops import greens as gops
+
+    rng = np.random.default_rng(7)
+    nmo, na = 8, 3
+    chol = rng.normal(scale=0.1, size=(nmo, nmo, 17))
+    chol = 0.5 * (chol + chol.transpose(1, 0, 2))
+    h1 = rng.normal(scale=0.2, size=(nmo, nmo))
+    h1 = 0.5 * (h1 + h1.T)
+
+    def build(**flags):
+        ham = make_generic((na, na), np.stack([h1, h1]), chol, ecore=0.3,
+                           **flags)
+        return ham, rhf_identity_trial(ham)
+
+    ham0, trial0 = build()
+    nw = 4
+    phi = rng.standard_normal((nw, nmo, 2 * na)) + 1j * rng.standard_normal(
+        (nw, nmo, 2 * na)
+    )
+    ga = gops.greens_function(jnp.asarray(phi[:, :, :na]), trial0.psia)
+    gb = gops.greens_function(jnp.asarray(phi[:, :, na:]), trial0.psib)
+    exact = np.asarray(le.local_energy_generic_opt(
+        trial0, ga.Ghalf, gb.Ghalf, ham0.ecore)[0])
+
+    # exact_eri must agree to roundoff.
+    ham1, trial1 = build(exact_eri=True)
+    e_eri = np.asarray(le.local_energy_generic_exact_eri(
+        trial1, ga.Ghalf, gb.Ghalf, ham1.ecore)[0])
+    np.testing.assert_allclose(e_eri, exact, rtol=1e-9)
+
+    # PNO with a negligible threshold keeps every singular direction.
+    ham2, trial2 = build(pno=True, thresh_pno=1e-13)
+    e_pno = np.asarray(le.local_energy_generic_pno(
+        trial2, ga.Ghalf, gb.Ghalf, ham2.ecore)[0])
+    np.testing.assert_allclose(e_pno, exact, rtol=1e-8)
+
+    # Stochastic RI with the control variate is EXACT at phi = trial
+    # (correction term cancels sample-by-sample) ...
+    ham3, trial3 = build(stochastic_ri=True, nsamples=10,
+                         control_variate=True)
+    phi0a = jnp.broadcast_to(trial3.psia[None], (1,) + trial3.psia.shape)
+    phi0b = jnp.broadcast_to(trial3.psib[None], (1,) + trial3.psib.shape)
+    g0a = gops.greens_function(phi0a, trial3.psia)
+    g0b = gops.greens_function(phi0b, trial3.psib)
+    e_exact0 = np.asarray(le.local_energy_generic_opt(
+        trial3, g0a.Ghalf, g0b.Ghalf, ham3.ecore)[0])
+    e_sri0 = np.asarray(le.local_energy_generic_stochastic_ri(
+        trial3, g0a.Ghalf, g0b.Ghalf, ham3.ecore, jax.random.key(3),
+        10, True)[0])
+    np.testing.assert_allclose(e_sri0, e_exact0, rtol=1e-6)
+
+    # ... and an unbiased estimator elsewhere: averaging over many probe
+    # sets converges to the exact energy, with the control variate tighter.
+    est_cv, est_raw = [], []
+    for k in range(60):
+        key = jax.random.key(100 + k)
+        est_cv.append(np.asarray(le.local_energy_generic_stochastic_ri(
+            trial3, ga.Ghalf, gb.Ghalf, ham3.ecore, key, 24, True)[0]))
+        est_raw.append(np.asarray(le.local_energy_generic_stochastic_ri(
+            trial3, ga.Ghalf, gb.Ghalf, ham3.ecore, key, 24, False)[0]))
+    mean_cv = np.mean(est_cv, axis=0)
+    mean_raw = np.mean(est_raw, axis=0)
+    scale = np.abs(exact).max()
+    assert np.abs(mean_cv - exact).max() < 0.05 * scale
+    assert np.abs(mean_raw - exact).max() < 0.2 * scale
+
+
+@pytest.mark.driver
+def test_generic_stochastic_ri_driver(tmp_path):
+    """Driver smoke: stochastic-RI energy path inside the fused block."""
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.trial import rhf_identity_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    rng = np.random.default_rng(11)
+    nmo, na = 8, 3
+    chol = rng.normal(scale=0.05, size=(nmo, nmo, 17))
+    chol = 0.5 * (chol + chol.transpose(1, 0, 2))
+    h1 = rng.normal(scale=0.1, size=(nmo, nmo))
+    h1 = 0.5 * (h1 + h1.T)
+    ham = make_generic((na, na), np.stack([h1, h1]), chol, ecore=0.0,
+                       stochastic_ri=True, nsamples=16, control_variate=True)
+    trial = rhf_identity_trial(ham)
+    qmc = QMCOpts(nwalkers=10, dt=0.01, nsteps=5, nblocks=3, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 1}},
+               filename=str(tmp_path / "sri.h5"))
+    rows = af.run()
+    assert np.isfinite(rows.real).all()

@@ -130,3 +130,65 @@ def test_hubbard_4x4_discrete_vs_reference_golden(tmp_path):
     )
     diff = abs(mine.mean() - theirs.mean())
     assert diff < max(4 * se, 0.05), (mine.mean(), theirs.mean(), se)
+
+
+@pytest.mark.unit
+def test_kinetic_kspace_matches_dense():
+    """FFT kinetic application must equal the dense BT2 matmul on a clean
+    PBC lattice (``pauxy/propagation/hubbard.py:800-833``)."""
+    import jax.numpy as jnp
+    from pauxy_tpu.propagation.hirsch import make_hirsch
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=4, ny=4)
+    trial = free_electron_trial(ham)
+    dense = make_hirsch(ham, trial, dt=0.05)
+    kspace = make_hirsch(ham, trial, dt=0.05, kinetic_kspace=True)
+    rng = np.random.default_rng(2)
+    phi = jnp.asarray(
+        rng.standard_normal((3, ham.nbasis, 3))
+        + 1j * rng.standard_normal((3, ham.nbasis, 3))
+    )
+    want = np.einsum("pm,wmn->wpn", np.asarray(dense.BT2[0]), np.asarray(phi))
+    got = np.asarray(kspace._apply_bt2(phi))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.unit
+def test_kinetic_kspace_rejects_twist():
+    from pauxy_tpu.propagation.hirsch import make_hirsch
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3,
+                       ktwist=[0.1, 0.2])
+    trial = free_electron_trial(ham)
+    with pytest.raises(ValueError):
+        make_hirsch(ham, trial, dt=0.05, kinetic_kspace=True)
+
+
+@pytest.mark.driver
+def test_two_body_direct_driver(tmp_path):
+    """Whole-lattice dynamic-force-bias update: same physics as the
+    single-site sweep statistically (both are exact discrete HS samplers of
+    the same propagator; only the importance function differs)."""
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=40, dt=0.01, nsteps=10, nblocks=40, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    means = {}
+    for mode in ("single_site", "direct"):
+        af = AFQMC(ham, trial, qmc,
+                   propagator_options={"hubbard_stratonovich": "discrete",
+                                       "two_body_update": mode,
+                                       "kinetic_kspace": mode == "direct"},
+                   estimator_options={"mixed": {"energy_eval_freq": 1}},
+                   filename=str(tmp_path / f"{mode}.h5"))
+        rows = af.run()
+        et = rows[:, 5].real
+        assert np.isfinite(et).all()
+        means[mode] = et[len(et) // 3:]
+    a, b = means["single_site"], means["direct"]
+    se = np.hypot(a.std(ddof=1) / np.sqrt(len(a)),
+                  b.std(ddof=1) / np.sqrt(len(b)))
+    assert abs(a.mean() - b.mean()) < max(5 * se, 0.1), (
+        a.mean(), b.mean(), se)

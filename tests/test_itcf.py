@@ -131,3 +131,43 @@ def test_itcf_kspace_free_fermions(tmp_path):
     for n in range(ntau + 1):
         expect = np.exp(-n * dt * ek) * (1.0 - nk)
         np.testing.assert_allclose(gk[n, 0, 0], expect, atol=1e-7)
+
+
+@pytest.mark.driver
+def test_itcf_output_modes(tmp_path):
+    """'diagonal' and element-list output modes slice the stored ITCF the
+    way the reference does (``pauxy/estimators/itcf.py:570-575``)."""
+    import os, sys
+    if not os.path.isdir("/root/reference/pauxy"):
+        pytest.skip("no reference")
+    sys.path.insert(0, "/root/reference")
+    from pauxy.analysis.extraction import extract_data
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=10, dt=0.01, nsteps=10, nblocks=2, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    full = {}
+    for mode in ("full", "diagonal", [[0, 0], [0, 1]]):
+        fn = str(tmp_path / f"itcf_{'el' if isinstance(mode, list) else mode}.h5")
+        af = AFQMC(
+            ham, trial, qmc,
+            estimator_options={
+                "mixed": {"energy_eval_freq": 1},
+                "itcf": {"tau_max": 0.1, "mode": mode},
+            },
+            filename=fn,
+        )
+        af.run()
+        full[str(mode)] = extract_data(fn, "itcf",
+                                       "real_space_greens_function", raw=True)
+    g_full = full["full"]
+    assert g_full.shape[1:] == (11, 2, 2, 9, 9)
+    g_diag = full["diagonal"]
+    assert g_diag.shape[1:] == (11, 2, 2, 9)
+    np.testing.assert_allclose(g_diag, np.einsum("btsoii->btsoi", g_full),
+                               atol=1e-12)
+    g_el = full[str([[0, 0], [0, 1]])]
+    assert g_el.shape[1:] == (11, 2, 2, 2)
+    np.testing.assert_allclose(g_el[..., 0], g_full[..., 0, 0], atol=1e-12)
+    np.testing.assert_allclose(g_el[..., 1], g_full[..., 0, 1], atol=1e-12)

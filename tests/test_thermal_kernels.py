@@ -104,3 +104,61 @@ def test_device_matches_host_stratification():
     p_host = thermal.one_rdm_stable_host(np.array([bt, bt]), nbins)
     g_host = np.eye(m) - p_host[0].T
     np.testing.assert_allclose(g_dev, g_host, atol=1e-9)
+
+
+@pytest.mark.unit
+def test_entropy_vs_reference():
+    """Mean-field entropy vs pauxy.estimators.thermal.entropy."""
+    import os, sys
+    if not os.path.isdir("/root/reference/pauxy"):
+        pytest.skip("no reference")
+    sys.path.insert(0, "/root/reference")
+    from pauxy.estimators.thermal import entropy as ref_entropy
+
+    from pauxy_tpu.estimators.thermal import entropy
+    from pauxy_tpu.models import make_hubbard
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    h1 = np.asarray(ham.T)
+    for beta, mu in [(0.5, 0.1), (1.0, 0.0), (2.0, -0.5)]:
+        assert entropy(beta, mu, h1) == pytest.approx(
+            ref_entropy(beta, mu, h1), rel=1e-10
+        )
+
+
+@pytest.mark.driver
+def test_thermal_ehyb_ovlp_one_rdm(tmp_path):
+    """EHybrid/Overlap columns are live and the thermal 1-RDM output is
+    normalized: tr P = Nav per block."""
+    import os, sys
+
+    from pauxy_tpu.models import make_hubbard
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc import QMCOpts
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    beta, dt = 0.5, 0.05
+    trial = make_one_body_trial(ham, beta, dt)
+    qmc = QMCOpts(nwalkers=8, dt=dt, nsteps=1, nblocks=3, beta=beta,
+                  npop_control=5, rng_seed=3)
+    fn = str(tmp_path / "t.h5")
+    af = ThermalAFQMC(ham, trial, qmc,
+                      estimator_options={"mixed": {"one_rdm": True}},
+                      filename=fn)
+    rows = af.run()
+    # Overlap column = 1 (thermal ot = 1, mixed.py:224); EHybrid is finite
+    # and nonzero after the first block (tracked per-slice hybrid energy).
+    np.testing.assert_allclose(rows[:, 9].real, 1.0, atol=1e-6)
+    assert np.isfinite(rows[:, 8].real).all()
+    assert abs(rows[-1, 8].real) > 1e-8
+
+    if not os.path.isdir("/root/reference/pauxy"):
+        return
+    sys.path.insert(0, "/root/reference")
+    from pauxy.analysis.extraction import extract_data
+
+    rdms = extract_data(fn, "basic", "one_rdm", raw=True)
+    assert rdms.shape[1:] == (2, ham.nbasis, ham.nbasis)
+    traces = np.einsum("bsii->b", rdms).real
+    np.testing.assert_allclose(traces, rows[:, 10].real, atol=1e-5)

@@ -24,6 +24,16 @@ if HAVE_REF:
     sys.path.insert(0, REFERENCE)
 
 
+def _dense_rho_from_sparse(sp, nq, m):
+    """Rebuild dense rho [nq, M, M] from the gather metadata (test oracle)."""
+    qmap = np.asarray(sp.qmap)
+    fac = np.asarray(sp.fac)
+    rho = np.zeros((nq, m, m))
+    a, b = np.nonzero(fac)
+    rho[qmap[a, b], a, b] = fac[a, b]
+    return rho
+
+
 def ref_ueg(nup=7, ndown=7, rs=1.0, ecut=1.0):
     from pauxy.systems.ueg import UEG as RefUEG
 
@@ -56,17 +66,8 @@ def test_system_vs_reference():
     sp = ueg_sparse.make_sparse_rho(ham, np.float64)
     m, nq = ham.nbasis, ham.nq
     rho_ref = np.asarray(ref.chol_vecs.todense()).reshape(m, m, nq)
-    rho_dense = np.zeros((nq, m, m))
-    lin, sel, val = (np.asarray(sp.lin), np.asarray(sp.sel), np.asarray(sp.val))
-    keep = sel < nq                    # rho_q entries (sel >= nq are rho_q^T)
-    rho_dense[sel[keep], lin[keep] // m, lin[keep] % m] = val[keep]
+    rho_dense = _dense_rho_from_sparse(sp, nq, m)
     np.testing.assert_allclose(rho_dense, np.moveaxis(rho_ref, -1, 0),
-                               atol=1e-12)
-    # The rho^T entries must mirror the rho entries exactly.
-    keep_t = ~keep
-    rho_t = np.zeros((nq, m, m))
-    rho_t[sel[keep_t] - nq, lin[keep_t] // m, lin[keep_t] % m] = val[keep_t]
-    np.testing.assert_allclose(rho_t, np.moveaxis(rho_ref, -1, 0).swapaxes(1, 2),
                                atol=1e-12)
     # Gather maps vs reference index lists (thermal=True -> full-M maps).
     for iq in range(0, ham.nq, 7):
@@ -187,31 +188,25 @@ def test_ueg_afqmc_runs(tmp_path):
 
 
 @pytest.mark.unit
-def test_sparse_vhs_chunking_and_expectations():
-    """assemble_vhs must be exact regardless of the nonzero chunk size, and
-    rho_expectations must match a dense einsum built from the same metadata."""
+def test_sparse_vhs_gather_and_expectations():
+    """assemble_vhs (q-map gather) and rho_expectations must match dense
+    einsums against rho rebuilt from the same metadata."""
     from pauxy_tpu.ops import ueg_sparse
 
     ham = make_ueg(nup=2, ndown=2, rs=1.0, ecut=0.5)
     sp = ueg_sparse.make_sparse_rho(ham, np.float64)
     m, nq = ham.nbasis, ham.nq
-    # Dense rho rebuilt from the scatter metadata (rho_q part only).
-    lin, sel, val = (np.asarray(sp.lin), np.asarray(sp.sel), np.asarray(sp.val))
-    keep = sel < nq
-    rho = np.zeros((nq, m, m))
-    rho[sel[keep], lin[keep] // m, lin[keep] % m] = val[keep]
+    rho = _dense_rho_from_sparse(sp, nq, m)
 
     rng = np.random.default_rng(11)
     nw = 3
     c1 = rng.standard_normal((nw, nq)) + 1j * rng.standard_normal((nw, nq))
     c2 = rng.standard_normal((nw, nq)) + 1j * rng.standard_normal((nw, nq))
     want = np.einsum("qpm,wq->wpm", rho, c1) + np.einsum("qmp,wq->wpm", rho, c2)
-    for max_elems in (10, 1000, 2**26):
-        got = np.asarray(
-            ueg_sparse.assemble_vhs(sp, jnp.asarray(c1), jnp.asarray(c2),
-                                    max_elems=max_elems)
-        )
-        np.testing.assert_allclose(got, want, atol=1e-10)
+    got = np.asarray(
+        ueg_sparse.assemble_vhs(sp, jnp.asarray(c1), jnp.asarray(c2))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-10)
 
     g = rng.standard_normal((nw, m, m)) + 1j * rng.standard_normal((nw, m, m))
     t1, t2 = ueg_sparse.rho_expectations(sp, jnp.asarray(g))
