@@ -138,12 +138,14 @@ class BPReporter:
     ``one_rdm_{nbp}`` so ``pauxy.analysis.extraction.extract_rdm`` works.
     """
 
-    def __init__(self, output, nbp: int, eval_energy: bool, nsplit: int = 1):
+    def __init__(self, output, nbp: int, eval_energy: bool, nsplit: int = 1,
+                 two_rdm_shape=None):
         self.output = output
         self.nbp = nbp
         self.eval_energy = eval_energy
         self.nsplit = nsplit
         self.splits = [(i + 1) * (nbp // nsplit) for i in range(nsplit)]
+        self.two_rdm_shape = two_rdm_shape
 
     def block_row(self, acc, nbasis: int):
         import numpy as np
@@ -161,6 +163,11 @@ class BPReporter:
             g = a[4 : 4 + ng].reshape(2, nbasis, nbasis)
             self.output.push(g, f"one_rdm_{s}")
             rest = a[4 + ng :]
+            if self.two_rdm_shape is not None:
+                n2 = int(np.prod(self.two_rdm_shape))
+                self.output.push(rest[:n2].reshape(self.two_rdm_shape),
+                                 f"two_rdm_{s}")
+                rest = rest[n2:]
             if rest.size == ng:
                 nmm = nbasis * nbasis
                 self.output.push(rest[:nmm].reshape(nbasis, nbasis),
@@ -173,12 +180,63 @@ class BPReporter:
         return out
 
 
+def bp_two_rdm_size(ham, calc_two_rdm: str | None) -> int:
+    """Flat length of the optional BP 2-RDM tail
+    (back_propagation.py:87-94): 'structure_factor' -> [2, 2, nq] (UEG),
+    'full' -> [M, M, M, M] spin-summed."""
+    if calc_two_rdm is None:
+        return 0
+    if calc_two_rdm == "structure_factor":
+        if ham.name != "UEG":
+            raise NotImplementedError("structure_factor 2-RDM is UEG-only")
+        return 4 * ham.nq
+    if calc_two_rdm == "full":
+        return ham.nbasis ** 4
+    raise NotImplementedError(f"unknown two_rdm mode {calc_two_rdm!r}")
+
+
+def _two_rdm_flat(ham, calc_two_rdm: str, ga, gb, w):
+    """Weighted 2-RDM tail summed over walkers.
+
+    'full' (back_propagation.py:168-175): spin-summed
+    <p+ q+ s r> = G(p,r,q,s) with same-spin exchange; accumulated directly
+    as weighted einsums so the [M^4] tensor is never held per walker.
+    'structure_factor' (estimators/ueg.py:71-82): S(k) blocks.
+    """
+    if calc_two_rdm == "full":
+        def pair(x, y, exchange):
+            t = jnp.einsum("w,wpr,wqs->prqs", w, x, y, optimize=True)
+            if exchange:
+                t = t - jnp.einsum("w,wps,wqr->prqs", w, x, y, optimize=True)
+            return t
+        rdm = (
+            pair(ga, ga, True) + pair(gb, gb, True)
+            + pair(ga, gb, False) + pair(gb, ga, False)
+        )
+        return rdm.reshape(-1)
+    from pauxy_tpu.estimators import local_energy as le
+
+    gkpq_a, gpmq_a = le.coulomb_greens_function_ueg(ham, ga)
+    gkpq_b, gpmq_b = le.coulomb_greens_function_ueg(ham, gb)
+    gprod_a = le.exchange_greens_function_ueg(ham, ga)
+    gprod_b = le.exchange_greens_function_ueg(ham, gb)
+    sk = jnp.stack(
+        [
+            jnp.stack([gkpq_a * gpmq_a - gprod_a, gkpq_a * gpmq_b], 1),
+            jnp.stack([gkpq_b * gpmq_a, gkpq_b * gpmq_b - gprod_b], 1),
+        ],
+        axis=1,
+    )
+    return jnp.einsum("w,wabq->abq", w, sk).reshape(-1)
+
+
 def update(ham, trial, prop, state, energy_fn, *, nstblz: int,
            restore_weights: str | None, discrete: bool,
-           eval_ekt: bool = False, nbp_len: int | None = None):
+           eval_ekt: bool = False, nbp_len: int | None = None,
+           calc_two_rdm: str | None = None):
     """One BP measurement: returns the flat accumulator
-    [e, e1b, e2b, denom, G.flatten() (, EKT 1p/1h Focks)] summed over
-    walkers. ``nbp_len`` restricts to the first n stored configs — the
+    [e, e1b, e2b, denom, G.flatten() (, 2-RDM) (, EKT 1p/1h Focks)] summed
+    over walkers. ``nbp_len`` restricts to the first n stored configs — the
     multi-split schedule measures at several BP times through the same
     buffer (back_propagation.py:70-72,144-147)."""
     configs = state.configs
@@ -207,6 +265,8 @@ def update(ham, trial, prop, state, energy_fn, *, nstblz: int,
         ),
         jnp.einsum("w,wsmn->smn", w, g).reshape(-1),
     ]
+    if calc_two_rdm is not None:
+        parts.append(_two_rdm_flat(ham, calc_two_rdm, ga, gb, w))
     if eval_ekt:
         # RDMs P = 1 - G^T per spin (back_propagation.py:199-218 + ekt.py).
         from pauxy_tpu.estimators import ekt as ekt_mod

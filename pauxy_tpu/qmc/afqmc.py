@@ -49,6 +49,7 @@ from pauxy_tpu.walkers import state as walker_state
         "nbp",
         "bp_nsplit",
         "bp_restore",
+        "bp_two_rdm",
         "bp_eval_energy",
         "bp_eval_ekt",
         "nprop_tot",
@@ -78,6 +79,7 @@ def run_block(
     nbp: int = 0,
     bp_nsplit: int = 1,
     bp_restore: str | None = None,
+    bp_two_rdm: str | None = None,
     bp_eval_energy: bool = False,
     bp_eval_ekt: bool = False,
     nprop_tot: int = 0,
@@ -107,7 +109,7 @@ def run_block(
         return back_prop.update(
             ham, trial, prop, state, e_fn,
             nstblz=nstblz, restore_weights=bp_restore, discrete=discrete,
-            eval_ekt=bp_eval_ekt, nbp_len=nbp_len,
+            eval_ekt=bp_eval_ekt, nbp_len=nbp_len, calc_two_rdm=bp_two_rdm,
         )
 
     def one_step(state, inp):
@@ -152,7 +154,9 @@ def run_block(
         )
 
         if nbp:
-            nacc_bp = 4 + 2 * m * m + (2 * m * m if bp_eval_ekt else 0)
+            nacc_bp = (4 + 2 * m * m
+                       + back_prop.bp_two_rdm_size(ham, bp_two_rdm)
+                       + (2 * m * m if bp_eval_ekt else 0))
             # Multi-split schedule (back_propagation.py:70-72,144-147): the
             # buffer count after this step is (step-1) % nhist + 1; measure
             # whenever it hits a split point, back-propagating through the
@@ -257,11 +261,11 @@ def _step_propagate(prop, trial, state, key, eshift, ham=None,
 @functools.partial(
     jax.jit,
     static_argnames=("nstblz", "restore_weights", "discrete", "eval_ekt",
-                     "eval_energy", "nbp_len"),
+                     "eval_energy", "nbp_len", "calc_two_rdm"),
 )
 def _step_bp(ham, trial, prop, state, *, nstblz: int,
              restore_weights: str | None, discrete: bool, eval_ekt: bool,
-             eval_energy: bool, nbp_len: int):
+             eval_energy: bool, nbp_len: int, calc_two_rdm: str | None = None):
     from pauxy_tpu.estimators import back_prop
 
     e_fn = None
@@ -270,7 +274,7 @@ def _step_bp(ham, trial, prop, state, *, nstblz: int,
     acc = back_prop.update(
         ham, trial, prop, state, e_fn, nstblz=nstblz,
         restore_weights=restore_weights, discrete=discrete,
-        eval_ekt=eval_ekt, nbp_len=nbp_len,
+        eval_ekt=eval_ekt, nbp_len=nbp_len, calc_two_rdm=calc_two_rdm,
     )
     return jnp.stack([acc.real, acc.imag])
 
@@ -395,6 +399,7 @@ class AFQMC:
             if self.nbp % self.bp_nsplit:
                 raise ValueError("nsplit must divide tau_bp/dt")
             self.bp_restore = bp_opts.get("restore_weights", None)
+            self.bp_two_rdm = bp_opts.get("two_rdm", None)
             self.bp_eval_energy = bp_opts.get("evaluate_energy", True)
             self.bp_eval_ekt = bp_opts.get("evaluate_ekt", False)
             nprop_tot = self.nbp
@@ -402,6 +407,7 @@ class AFQMC:
             self.nbp = 0
             self.bp_nsplit = 1
             self.bp_restore = None
+            self.bp_two_rdm = None
             self.bp_eval_energy = False
             self.bp_eval_ekt = False
             nprop_tot = None
@@ -471,11 +477,20 @@ class AFQMC:
         if self.nbp:
             from pauxy_tpu.estimators.back_prop import BPReporter
 
+            from pauxy_tpu.estimators.back_prop import bp_two_rdm_size
+
+            two_rdm_shape = None
+            if self.bp_two_rdm == "structure_factor":
+                two_rdm_shape = (2, 2, ham.nq)
+            elif self.bp_two_rdm == "full":
+                two_rdm_shape = (ham.nbasis,) * 4
+            bp_two_rdm_size(ham, self.bp_two_rdm)  # validate
             self.bp_reporter = BPReporter(
                 H5EstimatorHelper(filename, "back_propagated"),
                 self.nbp,
                 self.bp_eval_energy,
                 nsplit=self.bp_nsplit,
+                two_rdm_shape=two_rdm_shape,
             )
         if self.nitcf:
             from pauxy_tpu.estimators.itcf import ITCFReporter
@@ -687,6 +702,7 @@ class AFQMC:
                         nstblz=qmc.nstblz, restore_weights=self.bp_restore,
                         discrete=discrete, eval_ekt=self.bp_eval_ekt,
                         eval_energy=self.bp_eval_energy, nbp_len=s,
+                        calc_two_rdm=self.bp_two_rdm,
                     )
                     for k, s in enumerate(splits)
                     if buffcount == s
@@ -774,6 +790,7 @@ class AFQMC:
             nbp=self.nbp,
             bp_nsplit=self.bp_nsplit,
             bp_restore=self.bp_restore,
+            bp_two_rdm=self.bp_two_rdm,
             bp_eval_energy=self.bp_eval_energy,
             bp_eval_ekt=self.bp_eval_ekt,
             nprop_tot=self.nprop_tot,

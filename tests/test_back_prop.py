@@ -161,3 +161,68 @@ def test_bp_nsplit_schedule(tmp_path):
     rdm5 = extract_rdm(outs[2], ix=5)
     np.testing.assert_allclose(np.einsum("bsii->bs", rdm5).real, 3.0,
                                atol=1e-6)
+
+
+@pytest.mark.driver
+def test_bp_two_rdm_full_and_structure_factor(tmp_path):
+    """BP 2-RDM outputs (``back_propagation.py:87-94,168-175,207-210``):
+    the spin-summed full 2-RDM must contract against the Hubbard ERI to the
+    BP two-body energy, and the UEG structure factor to its E2Body."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=12, dt=0.01, nsteps=10, nblocks=3, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    fn = str(tmp_path / "bp2.h5")
+    af = AFQMC(
+        ham, trial, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "back_propagation": {"tau_bp": 0.1, "evaluate_energy": True,
+                                 "two_rdm": "full"},
+        },
+        filename=fn,
+    )
+    af.run()
+    if not os.path.isdir("/root/reference/pauxy"):
+        return
+    sys.path.insert(0, "/root/reference")
+    from pauxy.analysis.extraction import extract_data
+
+    den = extract_data(fn, "back_propagated", "denominator_10", raw=True)
+    two = extract_data(fn, "back_propagated", "two_rdm_10", raw=True)
+    en = extract_data(fn, "back_propagated", "energies_10", raw=True)
+    m = ham.nbasis
+    assert two.shape[1:] == (m, m, m, m)
+    u = float(ham.U)
+    for b in range(two.shape[0]):
+        rdm = two[b] / den[b][0]
+        # Hubbard: E2 = U/2 sum_i <n_i (n_i - ...)> = 1/2 sum eri*rdm with
+        # eri[p,r,q,s] = U delta_{prqs}.
+        e2 = 0.5 * u * np.einsum("pppp->", rdm)
+        assert abs(e2 - en[b][2]) < 1e-6, (b, e2, en[b][2])
+
+    # UEG structure factor flavor.
+    from pauxy_tpu.models import make_ueg, rhf_identity_trial
+
+    ueg = make_ueg(nup=2, ndown=2, rs=1.0, ecut=0.5)
+    tueg = rhf_identity_trial(ueg)
+    fn2 = str(tmp_path / "bp2u.h5")
+    af = AFQMC(
+        ueg, tueg, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "back_propagation": {"tau_bp": 0.1, "evaluate_energy": True,
+                                 "two_rdm": "structure_factor"},
+        },
+        filename=fn2,
+    )
+    af.run()
+    den = extract_data(fn2, "back_propagated", "denominator_10", raw=True)
+    sk = extract_data(fn2, "back_propagated", "two_rdm_10", raw=True)
+    en = extract_data(fn2, "back_propagated", "energies_10", raw=True)
+    assert sk.shape[1:] == (2, 2, ueg.nq)
+    vq = np.asarray(ueg.vqvec)
+    fac = 1.0 / (2.0 * ueg.vol)
+    for b in range(sk.shape[0]):
+        pe = fac * np.sum(vq * (sk[b] / den[b][0]).sum(axis=(0, 1)))
+        assert abs(pe - en[b][2]) < 1e-6, (b, pe, en[b][2])
