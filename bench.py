@@ -130,10 +130,12 @@ def measure(block_mode="fused", nwalkers=None):
     for b in range(NBLOCKS_MEASURE):
         key, sub = jax.random.split(key)
         state = one_block(state, sub, (b + 1) * NSTEPS)
-    jax.block_until_ready(state.weight)
+    # Time-to-readback: on the axon tunnel block_until_ready can return
+    # before execution finishes (async dispatch), so the only reliable
+    # timing fence is an actual device->host readback of a result buffer.
+    vals = _fetch_weights(state.weight)
     elapsed = time.perf_counter() - t0
-
-    _assert_really_executed(state.weight)
+    _assert_finite(vals)
 
     walker_steps = nwalkers * NSTEPS * NBLOCKS_MEASURE
     rate = walker_steps / elapsed
@@ -153,19 +155,20 @@ def measure(block_mode="fused", nwalkers=None):
     )
 
 
-def _assert_really_executed(arr):
-    """Fail the measurement unless the result buffer can be read back.
-
-    The axon tunnel can accept a program, return instantly from
-    block_until_ready, and only surface the runtime failure (UNIMPLEMENTED,
-    e.g. a libtpu client/terminal version mismatch) when the poisoned buffer
-    is consumed. Timing such a run measures dispatch, not compute — a
-    readback is the only proof the program executed, so a failed or
-    non-finite readback aborts this attempt (the parent retries another
-    program variant)."""
+def _fetch_weights(arr):
+    """Device->host readback of the (real) weight vector. On the axon
+    tunnel this is the ONLY reliable completion fence: block_until_ready
+    can return before execution finishes, so dispatch-only timings look
+    implausibly fast (e.g. >peak-FLOPs). Raises JaxRuntimeError on a
+    poisoned buffer."""
     import numpy as np
 
-    vals = np.asarray(arr)  # raises JaxRuntimeError on a poisoned buffer
+    return np.asarray(arr)
+
+
+def _assert_finite(vals):
+    import numpy as np
+
     if not np.isfinite(vals).all():
         raise RuntimeError("non-finite bench state")
 
@@ -239,10 +242,9 @@ def measure_generic():
     for b in range(GEN_NBLOCKS):
         key, sub = jax.random.split(key)
         state = one_block(state, sub, (b + 1) * GEN_NSTEPS)
-    jax.block_until_ready(state.weight)
+    vals = _fetch_weights(state.weight)   # readback = the timing fence
     elapsed = time.perf_counter() - t0
-
-    _assert_really_executed(state.weight)
+    _assert_finite(vals)
 
     nsteps_tot = GEN_NSTEPS * GEN_NBLOCKS
     rate = nw * nsteps_tot / elapsed
@@ -320,10 +322,9 @@ def measure_ueg():
     for b in range(UEG_NBLOCKS):
         key, sub = jax.random.split(key)
         state = one_block(state, sub, (b + 1) * UEG_NSTEPS)
-    jax.block_until_ready(state.weight)
+    vals = _fetch_weights(state.weight)   # readback = the timing fence
     elapsed = time.perf_counter() - t0
-
-    _assert_really_executed(state.weight)
+    _assert_finite(vals)
 
     rate = nw * UEG_NSTEPS * UEG_NBLOCKS / elapsed
     out = {

@@ -99,3 +99,50 @@ def get_ortho_ao(s: np.ndarray, lindep: float = 0.0) -> np.ndarray:
     sdiag, u = np.linalg.eigh(s)
     keep = sdiag > lindep
     return (u[:, keep] / np.sqrt(sdiag[keep])) @ u[:, keep].conj().T
+
+
+def core_contribution_cholesky(chol, g):
+    """Per-spin core Fock contributions hc_s = J(G_s) - K(G_s)/2 from the
+    Cholesky factors (``pauxy/estimators/generic.py:443-456``).
+
+    chol: [M, M, X]; g: [2, M, M] core density matrices.
+    """
+    out = []
+    for gs in np.asarray(g):
+        x = np.einsum("pqx,pq->x", chol, gs, optimize=True)
+        j = np.einsum("pqx,x->pq", chol, x, optimize=True)
+        t = np.einsum("pqx,pm->qmx", chol, gs, optimize=True)
+        k = np.einsum("qmx,qnx->mn", t, chol, optimize=True)
+        out.append(j - 0.5 * k)
+    return out[0], out[1]
+
+
+def freeze_core(h1e, chol, ecore, nc: int, ncas: int, verbose: bool = False):
+    """Fold ``nc`` doubly-occupied core orbitals into the one-body part and
+    the core energy, keeping an ``ncas``-orbital active space
+    (``pauxy/utils/from_pyscf.py:195-220``).
+
+    h1e [M, M] (spin-restricted), chol [M, M, X].
+    Returns (h1e_active [2, ncas, ncas], chol_active [ncas, ncas, X],
+    ecore_frozen).
+    """
+    h1e = np.asarray(h1e)
+    chol = np.asarray(chol)
+    m = h1e.shape[-1]
+    gcore = np.zeros((m, m))
+    gcore[np.arange(nc), np.arange(nc)] = 1.0
+    hc_a, hc_b = core_contribution_cholesky(chol, [gcore, gcore])
+    # Core energy: 2 sum_c h_cc + sum_cc' [2 (cc|c'c') - (cc'|c'c)].
+    e1 = 2.0 * np.trace(h1e[:nc, :nc])
+    e2 = float(np.sum(gcore * (hc_a + hc_b)))
+    ecore_frozen = ecore + e1 + e2
+    h1_act = np.stack([h1e + 2 * hc_a, h1e + 2 * hc_b])[
+        :, nc : nc + ncas, nc : nc + ncas
+    ]
+    chol_act = chol[nc : nc + ncas, nc : nc + ncas, :]
+    if verbose:
+        print(f" # Number of active orbitals: {ncas}")
+        print(f" # Freezing {2 * nc} core electrons and "
+              f"{m - nc - ncas} virtuals.")
+        print(f" # Frozen core energy : {ecore_frozen:13.8e}")
+    return h1_act, chol_act, float(ecore_frozen)

@@ -282,3 +282,41 @@ def test_generic_stochastic_ri_driver(tmp_path):
                filename=str(tmp_path / "sri.h5"))
     rows = af.run()
     assert np.isfinite(rows.real).all()
+
+
+@pytest.mark.unit
+def test_freeze_core_preserves_ground_state():
+    """Folding doubly-occupied core orbitals into h1/ecore must preserve the
+    FCI ground-state energy when the core is energetically decoupled
+    (block-diagonal Hamiltonian), and the frozen-core energy must equal the
+    core determinant's energy (``pauxy/utils/from_pyscf.py:195-220``)."""
+    from pauxy_tpu.estimators import ci
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.utils.from_pyscf import freeze_core
+
+    rng = np.random.default_rng(9)
+    nc, ncas = 1, 3
+    m = nc + ncas
+    # Block-diagonal: core orbital decoupled from the active space so
+    # freezing is exact.
+    h1 = np.zeros((m, m))
+    h1[0, 0] = -5.0
+    h1a = rng.normal(scale=0.4, size=(ncas, ncas))
+    h1[nc:, nc:] = 0.5 * (h1a + h1a.T)
+    chol = np.zeros((m, m, 6))
+    ca = rng.normal(scale=0.2, size=(ncas, ncas, 5))
+    ca = 0.5 * (ca + ca.transpose(1, 0, 2))
+    chol[nc:, nc:, :5] = ca
+    chol[0, 0, 5] = 0.3   # core-core repulsion only
+
+    # Full-space FCI with (1+na, 1+nb) electrons (core doubly occupied in
+    # the ground state because of the deep core level).
+    na_act = 1
+    full = make_generic((nc + na_act, nc + na_act), np.stack([h1, h1]),
+                        chol, ecore=0.7)
+    e_full, _, _ = ci.simple_fci(full)
+
+    h1_act, chol_act, ecore_f = freeze_core(h1, chol, 0.7, nc, ncas)
+    act = make_generic((na_act, na_act), h1_act, chol_act, ecore=ecore_f)
+    e_act, _, _ = ci.simple_fci(act)
+    assert float(e_act[0]) == pytest.approx(float(e_full[0]), abs=1e-10)
