@@ -21,7 +21,9 @@ def reblock_series(x: np.ndarray) -> pd.DataFrame:
     x = np.asarray(x, dtype=float)
     rows = []
     level = 0
-    while len(x) >= 2:
+    # A single sample still yields a level-0 row (se = 0) so downstream
+    # summaries never see an empty frame.
+    while len(x) >= 1:
         n = len(x)
         mean = x.mean()
         var = x.var(ddof=1) if n > 1 else 0.0

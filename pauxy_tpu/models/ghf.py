@@ -172,12 +172,11 @@ def make_ghf_trial(ham, psi: np.ndarray, coeffs: np.ndarray,
     inita = np.asarray(inita, dtype=prec.cplx)
     initb = np.asarray(initb, dtype=prec.cplx)
 
-    # Trial energy from the det-weighted GHF Green's function at phi = init
-    # (host-side numpy; cf. multi_determinant.py:86-93 which uses G of the
-    # leading determinant pair).
-    etrial = float(
-        np.real(_ghf_energy_host(ham, psi, coeffs, inita, initb))
-    )
+    # True variational energy of the expansion (GAB-full,
+    # estimators/hubbard.py:145-176; the reference's multi_determinant
+    # trial instead reports the mixed energy of the leading pair,
+    # multi_determinant.py:86-93).
+    etrial = ghf_variational_energy(ham, psi, coeffs)
     return GHFTrial(
         psi=to_device(psi),
         coeffs=to_device(coeffs),
@@ -185,6 +184,39 @@ def make_ghf_trial(ham, psi: np.ndarray, coeffs: np.ndarray,
         initb=to_device(initb),
         etrial=etrial,
     )
+
+
+def ghf_variational_energy(ham, psi, coeffs) -> float:
+    """True variational energy of the GHF expansion,
+    <Psi|H|Psi> / <Psi|Psi> with cross-determinant Green's functions
+    GAB_dd' (``pauxy/estimators/hubbard.py:145-176``
+    local_energy_hubbard_ghf_full). Host-side numpy (setup only)."""
+    psi = np.asarray(psi)
+    coeffs = np.asarray(coeffs)
+    d = psi.shape[0]
+    m = psi.shape[1] // 2
+    t = np.asarray(ham.T)
+    text = np.block([[t[0], np.zeros_like(t[0])],
+                     [np.zeros_like(t[1]), t[1]]])
+    num = 0.0 + 0j
+    denom = 0.0 + 0j
+    for a in range(d):
+        for b in range(d):
+            s = psi[a].conj().T @ psi[b]
+            ovlp = np.linalg.det(s)
+            if abs(ovlp) < 1e-14:
+                continue
+            w = coeffs[a].conj() * coeffs[b] * ovlp
+            gab = (psi[b] @ np.linalg.solve(s, psi[a].conj().T)).T
+            ke = np.sum(gab * text)
+            guu = np.diagonal(gab[:m, :m])
+            gdd = np.diagonal(gab[m:, m:])
+            gud = np.diagonal(gab[m:, :m])
+            gdu = np.diagonal(gab[:m, m:])
+            pe = ham.U * np.sum(guu * gdd - gud * gdu)
+            num += w * (ke + pe)
+            denom += w
+    return float(np.real(num / denom))
 
 
 def _ghf_energy_host(ham, psi, coeffs, phia, phib):

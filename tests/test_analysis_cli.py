@@ -418,3 +418,35 @@ def test_analyse_estimates_and_ekt_ipea(tmp_path, monkeypatch):
                                                    screen_factor=0.0)
     assert np.isfinite(eip).all() and np.isfinite(eea).all()
     assert eip.size > 0 and eea.size > 0
+
+
+@pytest.mark.driver
+def test_extract_raw_and_simple_cli(tmp_path, monkeypatch):
+    """tools/extract_raw.py + tools/simple.py counterparts."""
+    import subprocess
+    import sys as _sys
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=10, dt=0.01, nsteps=5, nblocks=4, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    fn = str(tmp_path / "cli.h5")
+    AFQMC(ham, trial, qmc,
+          estimator_options={"mixed": {"energy_eval_freq": 1}},
+          filename=fn).run()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "extract_raw.py"), fn],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "ETotal" in out.stdout
+    monkeypatch.chdir(tmp_path)
+    out = subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "simple.py"),
+         "0.1", fn],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr
+    assert "ETotal" in out.stdout

@@ -229,3 +229,54 @@ def test_ghf_driver_matches_uhf_single_det(tmp_path):
     assert np.isfinite(et_g).all()
     # Same seed, same fields sampled per site: identical trajectories.
     np.testing.assert_allclose(et_g, et_u, rtol=5e-4)
+
+
+@pytest.mark.unit
+def test_ghf_variational_energy_vs_rayleigh_quotient():
+    """GAB-full GHF variational energy vs the Rayleigh quotient from the
+    non-orthogonal (H, S) matrices, for spin-block determinants where both
+    machineries apply (``pauxy/estimators/hubbard.py:145-176``)."""
+    from pauxy_tpu.estimators import local_energy as le
+    from pauxy_tpu.models.ghf import ghf_variational_energy
+    from pauxy_tpu.models.trial import trial_density_matrix
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    m, na = ham.nbasis, 2
+    rng = np.random.default_rng(3)
+    # Two random block-diagonal dets (spin-conserving).
+    dets = []
+    for _ in range(2):
+        pa = np.linalg.qr(rng.standard_normal((m, na)))[0]
+        pb = np.linalg.qr(rng.standard_normal((m, na)))[0]
+        d = np.zeros((2 * m, 2 * na), dtype=complex)
+        d[:m, :na] = pa
+        d[m:, na:] = pb
+        dets.append((d, pa, pb))
+    coeffs = np.array([0.7, 0.3 + 0.2j])
+
+    e_ghf = ghf_variational_energy(ham, np.stack([d for d, _, _ in dets]),
+                                   coeffs)
+
+    # Independent Rayleigh quotient via spin-block transition densities.
+    h = np.zeros((2, 2), dtype=complex)
+    s = np.zeros((2, 2), dtype=complex)
+    for i, (_, pia, pib) in enumerate(dets):
+        for j, (_, pja, pjb) in enumerate(dets):
+            oa = pia.conj().T @ pja
+            ob = pib.conj().T @ pjb
+            ovlp = np.linalg.det(oa) * np.linalg.det(ob)
+            ga = np.conj(pja @ np.linalg.solve(oa, pia.conj().T)).T
+            gb = np.conj(pjb @ np.linalg.solve(ob, pib.conj().T)).T
+            etot = le.local_energy_G_host(ham, np.stack([ga, gb]))[0]
+            h[i, j] = ovlp * etot
+            s[i, j] = ovlp
+    c = coeffs
+    e_rq = float(np.real((c.conj() @ h @ c) / (c.conj() @ s @ c)))
+    assert e_ghf == pytest.approx(e_rq, abs=1e-10)
+
+    # Single-det embedding reduces to the UHF variational energy.
+    d0, pa, pb = dets[0]
+    g = trial_density_matrix(pa.astype(complex), pb.astype(complex))
+    e_uhf = float(np.real(le.local_energy_G_host(ham, g)[0]))
+    assert ghf_variational_energy(ham, d0[None], np.ones(1)) == pytest.approx(
+        e_uhf, abs=1e-10)
