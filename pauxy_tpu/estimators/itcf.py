@@ -103,9 +103,11 @@ def back_propagate_left(prop, trial, configs, nstblz: int, discrete: bool):
 
 
 def measure(prop, trial, state, *, nmax: int, nstblz: int, stable: bool,
-            restore_weights: bool, discrete: bool):
-    """One ITCF measurement. Returns flat [1 + (nmax+1)*2*2*M*M] accumulator
-    (denominator first), summed over walkers."""
+            restore_weights: bool, discrete: bool, stack_size: int = 1):
+    """One ITCF measurement. Returns flat [1 + (nmax//stack_size+1)*2*2*M*M]
+    accumulator (denominator first), summed over walkers. ``stack_size``
+    records G(tau) only at every stack_size-th slice
+    (``pauxy/estimators/itcf.py:85-89`` ntau = nmax/stack_size)."""
     m = state.nbasis
     configs = state.configs
     phia_l, phib_l, la, lb = back_propagate_left(
@@ -209,6 +211,8 @@ def measure(prop, trial, state, *, nmax: int, nstblz: int, stable: bool,
     _, spgf_rest = jaxops.scan(body, carry0, (jnp.arange(nmax), xs))
 
     spgf = jnp.concatenate([spgf0[None], spgf_rest], axis=0)  # [nmax+1,2,2,M,M]
+    if stack_size > 1:
+        spgf = spgf[::stack_size]
     denom = jnp.sum(wfac)
     return jnp.concatenate([denom[None], spgf.reshape(-1)])
 

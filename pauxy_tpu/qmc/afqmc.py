@@ -56,6 +56,7 @@ from pauxy_tpu.walkers import state as walker_state
         "nitcf",
         "itcf_stable",
         "itcf_restore",
+        "itcf_stack_size",
     ),
 )
 def run_block(
@@ -86,6 +87,7 @@ def run_block(
     nitcf: int = 0,
     itcf_stable: bool = True,
     itcf_restore: bool = True,
+    itcf_stack_size: int = 1,
 ):
     """Run ``nsteps`` QMC steps and return (state, mixed accumulator,
     BP accumulator or None).
@@ -193,13 +195,15 @@ def run_block(
             bp_acc = jnp.zeros((0,), state.log_ovlp.dtype)
 
         if nitcf:
-            nacc_itcf = 1 + (nitcf + 1) * 4 * m * m
+            ntau = nitcf // itcf_stack_size
+            nacc_itcf = 1 + (ntau + 1) * 4 * m * m
 
             def itcf_measure(s):
                 return itcf_mod.measure(
                     prop, trial, s,
                     nmax=nitcf, nstblz=nstblz, stable=itcf_stable,
                     restore_weights=itcf_restore, discrete=discrete,
+                    stack_size=itcf_stack_size,
                 )
 
             itcf_acc = jax.lax.cond(
@@ -282,15 +286,16 @@ def _step_bp(ham, trial, prop, state, *, nstblz: int,
 @functools.partial(
     jax.jit,
     static_argnames=("nmax", "nstblz", "stable", "restore_weights",
-                     "discrete"),
+                     "discrete", "stack_size"),
 )
 def _step_itcf(prop, trial, state, *, nmax: int, nstblz: int, stable: bool,
-               restore_weights: bool, discrete: bool):
+               restore_weights: bool, discrete: bool, stack_size: int = 1):
     from pauxy_tpu.estimators import itcf as itcf_mod
 
     acc = itcf_mod.measure(
         prop, trial, state, nmax=nmax, nstblz=nstblz, stable=stable,
         restore_weights=restore_weights, discrete=discrete,
+        stack_size=stack_size,
     )
     return jnp.stack([acc.real, acc.imag])
 
@@ -419,6 +424,9 @@ class AFQMC:
             neqlb = int(round(itcf_opts.get("tau_eqlb", 0) / qmc.dt))
             self.itcf_stable = itcf_opts.get("stable", True)
             self.itcf_restore = itcf_opts.get("restore_weights", True)
+            self.itcf_stack_size = int(itcf_opts.get("stack_size", 1))
+            if self.nitcf % self.itcf_stack_size:
+                raise ValueError("itcf stack_size must divide tau_max/dt")
             itcf_nprop = self.nitcf + neqlb
             if nprop_tot is not None and nprop_tot != itcf_nprop:
                 raise ValueError(
@@ -430,6 +438,7 @@ class AFQMC:
             self.nitcf = 0
             self.itcf_stable = True
             self.itcf_restore = True
+            self.itcf_stack_size = 1
         self.nprop_tot = nprop_tot or 0
 
         seed0 = qmc.rng_seed if qmc.rng_seed is not None else 7
@@ -722,6 +731,7 @@ class AFQMC:
                     nmax=self.nitcf, nstblz=qmc.nstblz,
                     stable=self.itcf_stable,
                     restore_weights=self.itcf_restore, discrete=discrete,
+                    stack_size=self.itcf_stack_size,
                 )
                 itcf_acc = a_itcf if itcf_acc is None else itcf_acc + a_itcf
                 state = _reset_history_itcf(state)
@@ -737,8 +747,9 @@ class AFQMC:
             bp_acc = jnp.zeros((2, nacc_bp * self.bp_nsplit), acc.dtype)
         if self.nitcf and itcf_acc is None:
             m = self.ham.nbasis
+            ntau = self.nitcf // self.itcf_stack_size
             itcf_acc = jnp.zeros(
-                (2, 1 + (self.nitcf + 1) * 4 * m * m), acc.dtype
+                (2, 1 + (ntau + 1) * 4 * m * m), acc.dtype
             )
         return acc, bp_acc if bp_acc is not None else z, (
             itcf_acc if itcf_acc is not None else z
@@ -761,7 +772,8 @@ class AFQMC:
                 self.bp_reporter.block_row(fetch(bp_acc), self.ham.nbasis)
             if self.nitcf:
                 self.itcf_reporter.block_row(
-                    fetch(itcf_acc), self.ham.nbasis, self.nitcf
+                    fetch(itcf_acc), self.ham.nbasis,
+                    self.nitcf // self.itcf_stack_size,
                 )
             if self.step < self.qmc.neqlb:
                 self.eshift = self.reporter.get_shift(self.hybrid)
@@ -797,6 +809,7 @@ class AFQMC:
             nitcf=self.nitcf,
             itcf_stable=self.itcf_stable,
             itcf_restore=self.itcf_restore,
+            itcf_stack_size=self.itcf_stack_size,
         )
         jax.block_until_ready(acc)
         self.timing["block"] += time.time() - t_block
@@ -811,7 +824,8 @@ class AFQMC:
             self.bp_reporter.block_row(fetch(bp_acc), self.ham.nbasis)
         if self.nitcf:
             self.itcf_reporter.block_row(
-                fetch(itcf_acc), self.ham.nbasis, self.nitcf
+                fetch(itcf_acc), self.ham.nbasis,
+                self.nitcf // self.itcf_stack_size,
             )
         # eshift follows the latest block estimate (afqmc.py:251-254).
         if self.step < self.qmc.neqlb:

@@ -171,3 +171,34 @@ def test_itcf_output_modes(tmp_path):
     assert g_el.shape[1:] == (11, 2, 2, 2)
     np.testing.assert_allclose(g_el[..., 0], g_full[..., 0, 0], atol=1e-12)
     np.testing.assert_allclose(g_el[..., 1], g_full[..., 0, 1], atol=1e-12)
+
+
+@pytest.mark.driver
+def test_itcf_stack_size(tmp_path):
+    """stack_size subsamples G(tau) at stack boundaries: the kept slices
+    must equal the corresponding slices of a stack_size=1 run exactly
+    (``pauxy/estimators/itcf.py:85-89``)."""
+    import os, sys
+    if not os.path.isdir("/root/reference/pauxy"):
+        pytest.skip("no reference tooling")
+    sys.path.insert(0, "/root/reference")
+    from pauxy.analysis.extraction import extract_data
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=8, dt=0.01, nsteps=8, nblocks=2, nstblz=4,
+                  npop_control=4, rng_seed=8)
+    gs = {}
+    for ss in (1, 2):
+        fn = str(tmp_path / f"ss{ss}.h5")
+        af = AFQMC(ham, trial, qmc,
+                   estimator_options={
+                       "mixed": {"energy_eval_freq": 1},
+                       "itcf": {"tau_max": 0.08, "stack_size": ss},
+                   },
+                   filename=fn)
+        af.run()
+        gs[ss] = extract_data(fn, "itcf", "real_space_greens_function",
+                              raw=True)
+    assert gs[2].shape[1] == 5      # nmax//2 + 1 = 8//2 + 1
+    np.testing.assert_allclose(gs[2], gs[1][:, ::2], atol=1e-10)
