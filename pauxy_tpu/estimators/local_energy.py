@@ -414,6 +414,72 @@ def exchange_greens_function_ueg(ham, G: jax.Array, q_chunk: int | None = None,
     return gprod.swapaxes(0, 1).reshape(G.shape[0], -1)[:, :nq]
 
 
+def _fft_spin_terms(psi, gh, gmap, qmap, qmesh, pair_chunk: int = 8):
+    """(Gkpq, Gpmq, Gprod)[w, nq] of one spin channel by pseudo-spectral
+    correlations on the FFT cube (``ueg_kernels.pyx:77-133``
+    exchange_greens_function_fft, batched over walkers and occ pairs).
+
+    psi [M, n] trial orbitals; gh [w, n, M] half-rotated Green's function
+    (G = psi* gh). The exchange pair tensor [w, nc, n, ngrid] is chunked
+    over the first occupied index to bound memory.
+    """
+    from pauxy_tpu.propagation.pw_fft import fft3, ifft3
+
+    qmesh = tuple(qmesh)
+    ng = int(np.prod(qmesh))
+    ct = _pw_cubes(jnp.swapaxes(psi.conj(), 0, 1), gmap, ng)   # [n, Ng]
+    th = _pw_cubes(gh, gmap, ng)                               # [w, n, Ng]
+    ct_f, ct_if = fft3(ct, qmesh), ifft3(ct, qmesh)
+    th_f, th_if = fft3(th, qmesh), ifft3(th, qmesh)
+    gkpq = ifft3(
+        jnp.einsum("ig,wig->wg", ct_f, th_if, optimize=True) * ng, qmesh
+    )[..., qmap]
+    gpmq = ifft3(
+        jnp.einsum("wig,ig->wg", th_f, ct_if, optimize=True) * ng, qmesh
+    )[..., qmap]
+    # Exchange: P[i,j](Q) = sum_G CT_i(G+Q) theta_j(G),
+    #           R[i,j](Q) = sum_G CT_j(G-Q) theta_i(G);
+    # Gprod(Q) = sum_ij P[i,j](Q) R[i,j](Q).
+    n = psi.shape[1]
+    gprod = None
+    for i0 in range(0, n, pair_chunk):
+        i1 = min(i0 + pair_chunk, n)
+        p = ifft3(ct_f[None, i0:i1, None] * th_if[:, None] * ng, qmesh)
+        r = ifft3(th_f[:, i0:i1, None] * ct_if[None, None] * ng, qmesh)
+        part = jnp.einsum("wijg,wijg->wg", p, r, optimize=True)
+        gprod = part if gprod is None else gprod + part
+    return gkpq, gpmq, gprod[..., qmap]
+
+
+def local_energy_ueg_half(ham, trial, gha: jax.Array, ghb: jax.Array):
+    """Batched UEG local energy from half-rotated Green's functions via FFT
+    correlations — O(w nocc^2 Ng log Ng) instead of the O(w nq M^2)
+    gather-trace exchange; exact (the (4 nmax + 1)^3 cube holds every k +- q
+    without aliasing). TPU port of the reference's own FFT kernel
+    (``ueg_kernels.pyx:77-133``)."""
+    diag_a = jnp.einsum("mi,wim->wm", trial.psia.conj(), gha, optimize=True)
+    diag_b = jnp.einsum("mi,wim->wm", trial.psib.conj(), ghb, optimize=True)
+    eig = jnp.diagonal(ham.H1[0])
+    ke = jnp.einsum("m,wm->w", eig, diag_a + diag_b)
+
+    gkpq_a, gpmq_a, gprod_a = _fft_spin_terms(
+        trial.psia, gha, ham.gmap, ham.qmap, ham.qmesh
+    )
+    gkpq_b, gpmq_b, gprod_b = _fft_spin_terms(
+        trial.psib, ghb, ham.gmap, ham.qmap, ham.qmesh
+    )
+    fac = 1.0 / (2.0 * ham.vol)
+    vq = jnp.asarray(ham.vqvec)
+    ess = jnp.einsum("q,wq->w", vq, gkpq_a * gpmq_a - gprod_a) + jnp.einsum(
+        "q,wq->w", vq, gkpq_b * gpmq_b - gprod_b
+    )
+    eos = jnp.einsum("q,wq->w", vq, gkpq_a * gpmq_b) + jnp.einsum(
+        "q,wq->w", vq, gkpq_b * gpmq_a
+    )
+    pe = fac * (ess + eos)
+    return ke + pe, ke, pe
+
+
 def local_energy_ueg(ham, Ga: jax.Array, Gb: jax.Array):
     """Batched UEG local energy (``pauxy/estimators/ueg.py:27-90``).
 

@@ -71,6 +71,11 @@ def energy_estimator(ham, trial, key=None):
             trial, ga.Ghalf, gb.Ghalf, ham.ecore
         )
     if name == "UEG":
+        if getattr(ham, "gmap", None) is not None:
+            # FFT fast path from half-rotated G (ueg_kernels.pyx:77-133).
+            return lambda ga, gb: le.local_energy_ueg_half(
+                ham, trial, ga.Ghalf, gb.Ghalf
+            )
         return lambda ga, gb: le.local_energy_ueg(ham, ga.G, gb.G)
     if name == "PW_FFT":
         return lambda ga, gb: le.local_energy_pw_fft(

@@ -46,6 +46,12 @@ class UEG:
     ecore: float = struct.field(pytree_node=False)
     nup: int = struct.field(pytree_node=False)
     ndown: int = struct.field(pytree_node=False)
+    # FFT-cube embeddings for the pseudo-spectral energy fast path
+    # (ueg_kernels.pyx:77-133 exchange_greens_function_fft): basis/q vectors
+    # on a (4 nmax + 1)^3 grid in fft frequency order.
+    gmap: np.ndarray = None    # [M] int32
+    qmap: np.ndarray = None    # [nq] int32
+    qmesh: tuple = struct.field(pytree_node=False, default=None)
     name: str = struct.field(pytree_node=False, default="UEG")
 
     @property
@@ -191,6 +197,17 @@ def make_ueg(
     fock_diag = np.sum(vq_pair, axis=1) / (2.0 * vol)
     h1e_mod = t - np.diag(fock_diag)
 
+    # FFT-cube maps: the (4 nmax + 1)^3 grid holds every k +/- q without
+    # circular aliasing (|k|_inf <= nmax, |q|_inf <= 2 nmax), matching
+    # models/pw_fft.py.
+    ngrid = 4 * nmax + 1
+
+    def fft_index(vecs):
+        w = np.mod(vecs, ngrid)
+        return (
+            (w[:, 0] * ngrid + w[:, 1]) * ngrid + w[:, 2]
+        ).astype(np.int32)
+
     rdtype = prec.real
     return UEG(
         H1=np.stack([t, t]).astype(rdtype),
@@ -209,4 +226,7 @@ def make_ueg(
         ecore=0.5 * ne * madelung(rs, ne),
         nup=int(nup),
         ndown=int(ndown),
+        gmap=fft_index(basis),
+        qmap=fft_index(qvecs),
+        qmesh=(ngrid, ngrid, ngrid),
     )

@@ -230,3 +230,48 @@ def test_exchange_kernel_walker_chunking():
                                         max_elems=2 * m * m)
     )
     np.testing.assert_allclose(tiny, full, atol=1e-10)
+
+
+@pytest.mark.unit
+def test_ueg_fft_energy_matches_gather_kernel():
+    """The FFT half-rotated energy path must equal the gather-trace kernel
+    exactly (both are exact; ``ueg_kernels.pyx:77-133``)."""
+    for nup, ndown, ecut in ((2, 2, 0.5), (7, 7, 1.0), (3, 1, 1.0)):
+        ham = make_ueg(nup=nup, ndown=ndown, rs=1.2, ecut=ecut)
+        trial = rhf_identity_trial(ham)
+        rng = np.random.default_rng(4)
+        nw = 3
+        phi = rng.standard_normal((nw, ham.nbasis, nup + ndown)) + (
+            1j * rng.standard_normal((nw, ham.nbasis, nup + ndown))
+        )
+        ga = greens.greens_function(jnp.asarray(phi[:, :, :nup]), trial.psia)
+        gb = greens.greens_function(jnp.asarray(phi[:, :, nup:]), trial.psib)
+        want = np.asarray(le.local_energy_ueg(ham, ga.G, gb.G))
+        got = np.asarray(le.local_energy_ueg_half(
+            ham, trial, ga.Ghalf, gb.Ghalf))
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.unit
+def test_ueg_fft_energy_nontrivial_trial():
+    """Same check with a random (non-identity) single-det trial — the FFT
+    path uses CT^dagger explicitly, so the half-rotation must not assume
+    identity orbitals."""
+    from pauxy_tpu.models.trial import trial_from_orbitals
+
+    ham = make_ueg(nup=3, ndown=3, rs=1.0, ecut=1.0)
+    rng = np.random.default_rng(8)
+    psi = np.linalg.qr(
+        rng.standard_normal((ham.nbasis, 6))
+        + 1j * rng.standard_normal((ham.nbasis, 6))
+    )[0]
+    trial = trial_from_orbitals(ham, psi)
+    nw = 2
+    phi = rng.standard_normal((nw, ham.nbasis, 6)) + 1j * rng.standard_normal(
+        (nw, ham.nbasis, 6)
+    )
+    ga = greens.greens_function(jnp.asarray(phi[:, :, :3]), trial.psia)
+    gb = greens.greens_function(jnp.asarray(phi[:, :, 3:]), trial.psib)
+    want = np.asarray(le.local_energy_ueg(ham, ga.G, gb.G))
+    got = np.asarray(le.local_energy_ueg_half(ham, trial, ga.Ghalf, gb.Ghalf))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
