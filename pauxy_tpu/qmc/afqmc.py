@@ -366,6 +366,7 @@ class AFQMC:
         filename: str | None = None,
         precision=None,
         block_mode: str | None = None,
+        profile_dir: str | None = None,
     ):
         import os as _os
 
@@ -378,6 +379,7 @@ class AFQMC:
         self.block_mode = block_mode or (
             "split" if _os.environ.get("PAUXY_TPU_SPLIT") == "1" else "fused"
         )
+        self.profile_dir = profile_dir
         self.uuid = str(uuid.uuid1())
         self.ham = ham
         self.trial = trial
@@ -840,10 +842,17 @@ class AFQMC:
         return row
 
     def run(self):
-        """Run all blocks (``afqmc.py:200-255``)."""
+        """Run all blocks (``afqmc.py:200-255``). With ``profile_dir`` the
+        whole run is captured as a JAX profiler trace (viewable in
+        TensorBoard/XProf) — the TPU analogue of the reference's per-phase
+        timer table (``afqmc.py:257-279``), which is also printed."""
         if self.verbose:
             self.reporter.print_header()
-        rows = [self.run_block() for _ in range(self.qmc.nblocks)]
+        if self.profile_dir:
+            with jax.profiler.trace(self.profile_dir):
+                rows = [self.run_block() for _ in range(self.qmc.nblocks)]
+        else:
+            rows = [self.run_block() for _ in range(self.qmc.nblocks)]
         if self.verbose:
             self.finalise()
         return np.array(rows)
