@@ -25,6 +25,7 @@ import numpy as np
 from flax import struct
 
 from pauxy_tpu import config
+from pauxy_tpu.utils.transfer import StaticArray
 from pauxy_tpu.models.ueg import madelung
 
 
@@ -145,8 +146,8 @@ def make_pw_fft(
         vqvec=vqvec.astype(prec.real),
         gmap=gmap,
         qmap=qmap,
-        basis=basis,
-        qvecs=qvecs,
+        basis=StaticArray(basis),
+        qvecs=StaticArray(qvecs),
         qmesh=qmesh,
         rs=float(rs),
         ecut=float(ecut),

@@ -24,6 +24,7 @@ import numpy as np
 from flax import struct
 
 from pauxy_tpu import config
+from pauxy_tpu.utils.transfer import StaticArray
 
 
 @struct.dataclass
@@ -217,8 +218,8 @@ def make_ueg(
         pmq_idx=pmq_idx.astype(np.int32),
         pmq_mask=pmq_mask,
         vqvec=vqvec.astype(rdtype),
-        basis=basis,
-        qvecs=qvecs,
+        basis=StaticArray(basis),
+        qvecs=StaticArray(qvecs),
         rs=float(rs),
         ecut=float(ecut),
         vol=float(vol),

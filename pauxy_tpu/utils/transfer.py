@@ -83,6 +83,47 @@ def device_zeros(shape, dtype):
     return jnp.zeros(shape, dtype)
 
 
+class StaticArray:
+    """Content-hashed numpy wrapper for STATIC (non-pytree) array fields of
+    flax structs. jit caches compare static metadata with ``==`` and
+    ``hash``; a bare ndarray raises ("truth value of an array ...") the
+    moment a second, different instance of the struct reaches the same jit.
+    Supports ``np.asarray(x)`` and ``.shape`` for host consumers."""
+
+    __slots__ = ("arr", "_hash")
+
+    def __init__(self, arr):
+        self.arr = np.ascontiguousarray(arr)
+        self.arr.setflags(write=False)
+        self._hash = hash((self.arr.shape, self.arr.dtype.str,
+                           self.arr.tobytes()))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        if isinstance(other, StaticArray):
+            other = other.arr
+        return (
+            isinstance(other, np.ndarray)
+            and self.arr.shape == other.shape
+            and bool(np.array_equal(self.arr, other))
+        )
+
+    def __array__(self, dtype=None, copy=None):
+        return self.arr if dtype is None else self.arr.astype(dtype)
+
+    def __getitem__(self, ix):
+        return self.arr[ix]
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    def __len__(self):
+        return len(self.arr)
+
+
 class HostArray:
     """Identity-hashable wrapper letting host-only numpy data ride a flax
     struct as a STATIC (non-pytree) field — it is never uploaded to device.
