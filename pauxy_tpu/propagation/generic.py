@@ -89,10 +89,14 @@ class GenericContinuous:
             optimize=True,
         )
         vhs = (1j * self.sqrt_dt) * vhs
-        return (
-            apply_exponential_taylor(vhs, phia, self.exp_order),
-            apply_exponential_taylor(vhs, phib, self.exp_order),
+        # VHS is spin-independent: apply one Taylor series to the
+        # column-concatenated [w, M, na+nb] matrix — halves the number of
+        # (narrow-n) batched matmuls vs per-spin application.
+        na = phia.shape[-1]
+        phi = apply_exponential_taylor(
+            vhs, jnp.concatenate([phia, phib], axis=-1), self.exp_order
         )
+        return phi[..., :na], phi[..., na:]
 
     def bp_dagger_fields(self, x):
         """Fields y with exp(VHS(y)) = exp(VHS(x))^dagger.

@@ -61,10 +61,13 @@ class PlaneWave:
 
     def apply_vhs(self, phia, phib, xshifted):
         vhs = self.build_vhs(xshifted)
-        return (
-            apply_exponential_taylor(vhs, phia, self.exp_order),
-            apply_exponential_taylor(vhs, phib, self.exp_order),
+        # Spin-independent VHS: one Taylor series on the column-concatenated
+        # walker matrix (cf. propagation/generic.py).
+        na = phia.shape[-1]
+        phi = apply_exponential_taylor(
+            vhs, jnp.concatenate([phia, phib], axis=-1), self.exp_order
         )
+        return phi[..., :na], phi[..., na:]
 
     def bp_dagger_fields(self, x):
         """iA is anti-Hermitian (x+ -> -conj), iB is Hermitian (x- -> +conj)."""
