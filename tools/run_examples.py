@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Run every example input end-to-end with tiny overrides (CI smoke;
+counterpart of ``/root/reference/tools/run_examples.sh``).
+
+Usage: python tools/run_examples.py [--cpu]
+"""
+
+import copy
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from pauxy_tpu.qmc.calc import get_driver
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    inputs = sorted(glob.glob(os.path.join(root, "examples", "*", "input.json")))
+    failures = []
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        for path in inputs:
+            name = os.path.basename(os.path.dirname(path))
+            opts = copy.deepcopy(json.load(open(path)))
+            model = opts.get("model", opts.get("system", {}))
+            if model.get("name", "Generic") == "Generic" and not os.path.exists(
+                str(model.get("integrals", ""))
+            ):
+                print(f"SKIP {name} (needs an integrals file)")
+                continue
+            qmc = opts["qmc"]
+            for k in ("blocks", "nblocks"):
+                if k in qmc:
+                    qmc[k] = 2
+            qmc["nwalkers"] = min(int(qmc.get("nwalkers", 8)), 8)
+            for k in ("num_steps", "nsteps"):
+                if k in qmc:
+                    qmc[k] = min(int(qmc[k]), 4)
+            if "beta" in qmc:
+                qmc["beta"] = min(float(qmc["beta"]), 0.25)
+            opts.setdefault("estimates", {})["filename"] = f"{name}.h5"
+            try:
+                af = get_driver(opts)
+                rows = np.asarray(af.run())
+                assert np.isfinite(rows.real).all()
+                print(f"OK {name}")
+            except Exception as e:  # noqa: BLE001 — CI smoke reporter
+                failures.append(name)
+                print(f"FAIL {name}: {type(e).__name__}: {str(e)[:160]}")
+    if failures:
+        sys.exit(f"example failures: {failures}")
+    print("ALL EXAMPLES OK")
+
+
+if __name__ == "__main__":
+    main()
