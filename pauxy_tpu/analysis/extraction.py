@@ -55,11 +55,11 @@ def extract_bp_estimates(filename: str, skip: int = 0) -> pd.DataFrame:
 def extract_rdm(filename: str, est_type: str = "back_propagated",
                 rdm_type: str = "one_rdm", ix: int | None = None):
     """Weighted-averaged RDM series (``extraction.py:36-60``)."""
-    if ix is None:
-        splits = get_param(filename, ["estimators", "estimators",
-                                      "back_prop", "splits"])
-        ix = splits[0][-1]
     if est_type == "back_propagated":
+        if ix is None:
+            splits = get_param(filename, ["estimators", "estimators",
+                                          "back_prop", "splits"])
+            ix = splits[0][-1]
         denom = extract_data(filename, est_type, f"denominator_{ix}", raw=True)
         rdm = extract_data(filename, est_type, f"{rdm_type}_{ix}", raw=True)
         return rdm / denom[:, None, None]

@@ -857,6 +857,40 @@ class AFQMC:
             self.finalise()
         return np.array(rows)
 
+    def get_energy(self, skip: int = 0):
+        """Reblocked mixed-energy estimate from the output file:
+        (mean, standard error), or None if too little data
+        (``pauxy/qmc/afqmc.py:297-313``)."""
+        from pauxy_tpu.analysis import blocking
+        from pauxy_tpu.analysis.extraction import extract_mixed_estimates
+
+        try:
+            frame = extract_mixed_estimates(self.filename, skip)
+            s = blocking.reblock_summary(
+                np.asarray(frame.ETotal.values, dtype=complex).real
+            )
+            return float(s["mean"]), float(s["standard error"])
+        except (IndexError, ValueError, KeyError):
+            return None
+
+    def get_one_rdm(self, skip: int = 0):
+        """Block-averaged back-propagated 1-RDM (av, err), or the mixed
+        1-RDM when BP is off but mixed one_rdm output is on; None otherwise
+        (``pauxy/qmc/afqmc.py:323-339``)."""
+        from pauxy_tpu.analysis import blocking
+
+        try:
+            if self.nbp:
+                return blocking.average_rdm(self.filename, skip=max(skip, 1),
+                                            est_type="back_propagated",
+                                            ix=self.nbp)
+            if self.calc_one_rdm:
+                return blocking.average_rdm(self.filename, skip=max(skip, 1),
+                                            est_type="basic", ix=None)
+        except (IndexError, ValueError, KeyError):
+            return None
+        return None
+
     def finalise(self, verbose: bool = True):
         """Print the timing breakdown (``afqmc.py:260-279``). In fused
         mode the block is one XLA program, so per-phase numbers exist only
