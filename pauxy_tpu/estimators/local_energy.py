@@ -414,6 +414,27 @@ def exchange_greens_function_ueg(ham, G: jax.Array, q_chunk: int | None = None,
     return gprod.swapaxes(0, 1).reshape(G.shape[0], -1)[:, :nq]
 
 
+def fft_coulomb_terms(psi, gh, gmap, qmap, qmesh):
+    """(Gkpq, Gpmq)[w, nq] by FFT correlations (the Coulomb part of
+    ``_fft_spin_terms``); also the propagator's force-bias expectations:
+    <rho_q> = factor * Gkpq, <rho_q^T> = factor * Gpmq."""
+    from pauxy_tpu.propagation.pw_fft import fft3, ifft3
+
+    qmesh = tuple(qmesh)
+    ng = int(np.prod(qmesh))
+    ct = _pw_cubes(jnp.swapaxes(psi.conj(), 0, 1), gmap, ng)
+    th = _pw_cubes(gh, gmap, ng)
+    gkpq = ifft3(
+        jnp.einsum("ig,wig->wg", fft3(ct, qmesh), ifft3(th, qmesh),
+                   optimize=True) * ng, qmesh
+    )[..., qmap]
+    gpmq = ifft3(
+        jnp.einsum("wig,ig->wg", fft3(th, qmesh), ifft3(ct, qmesh),
+                   optimize=True) * ng, qmesh
+    )[..., qmap]
+    return gkpq, gpmq
+
+
 def _fft_spin_terms(psi, gh, gmap, qmap, qmesh, pair_chunk: int = 8):
     """(Gkpq, Gpmq, Gprod)[w, nq] of one spin channel by pseudo-spectral
     correlations on the FFT cube (``ueg_kernels.pyx:77-133``

@@ -37,6 +37,7 @@ class SparseRho:
     fac: jax.Array       # [M, M] real: sqrt(pi/(vol q^2)) at qmap, 0 off-grid
     kpq_idx: jax.Array   # [nq, M] int32 idx(k_i + q) (0 where invalid)
     kpq_fac: jax.Array   # [nq, M] real factor * mask
+    qfac: jax.Array      # [nq] real sqrt(pi/(vol q^2))
     nbasis: int = struct.field(pytree_node=False)
     nq: int = struct.field(pytree_node=False)
 
@@ -75,6 +76,7 @@ def make_sparse_rho(ham, real_dtype) -> SparseRho:
         fac=jnp.asarray(fac),
         kpq_idx=jnp.asarray(kpq_idx.astype(np.int32)),
         kpq_fac=jnp.asarray((factor[:, None] * kpq_mask).astype(real_dtype)),
+        qfac=jnp.asarray(factor.astype(real_dtype)),
         nbasis=int(m),
         nq=int(nq),
     )

@@ -32,7 +32,10 @@ class PlaneWave:
     BH1: jax.Array        # [2, M, M]
     mf_shift: jax.Array   # [2 nq] zeros (planewave.py:25)
     sp: ueg_sparse.SparseRho
-    dt: float = struct.field(pytree_node=False)
+    gmap: jax.Array = None       # FFT-cube embeddings for the pseudo-
+    qmap_fft: jax.Array = None   # spectral force bias (ueg_kernels.pyx:77)
+    dt: float = struct.field(pytree_node=False, default=0.0)
+    qmesh: tuple = struct.field(pytree_node=False, default=None)
     exp_order: int = struct.field(pytree_node=False, default=6)
 
     @property
@@ -44,8 +47,23 @@ class PlaneWave:
         return self.sp.nq
 
     def force_bias(self, trial, ga, gb):
-        """-sqrt(dt) * (Gvec . iA, Gvec . iB)  (planewave.py:57-77)."""
-        t1, t2 = ueg_sparse.rho_expectations(self.sp, ga.G + gb.G)
+        """-sqrt(dt) * (Gvec . iA, Gvec . iB)  (planewave.py:57-77).
+
+        With FFT maps and half-rotated G available, <rho_q>/<rho_q^T> come
+        from pseudo-spectral Coulomb correlations — O(w nocc Ng log Ng)
+        instead of the O(w nq M) gather (which moves ~GBs of G copies per
+        step at production basis sizes)."""
+        if self.qmesh is not None and getattr(ga, "Ghalf", None) is not None:
+            from pauxy_tpu.estimators.local_energy import fft_coulomb_terms
+
+            ka, pa = fft_coulomb_terms(trial.psia, ga.Ghalf, self.gmap,
+                                       self.qmap_fft, self.qmesh)
+            kb, pb = fft_coulomb_terms(trial.psib, gb.Ghalf, self.gmap,
+                                       self.qmap_fft, self.qmesh)
+            t1 = self.sp.qfac * (ka + kb)
+            t2 = self.sp.qfac * (pa + pb)
+        else:
+            t1, t2 = ueg_sparse.rho_expectations(self.sp, ga.G + gb.G)
         vplus = 1j * (t1 + t2)
         vminus = -(t1 - t2)
         return -self.sqrt_dt * jnp.concatenate([vplus, vminus], axis=-1)
@@ -89,10 +107,18 @@ def make_planewave(ham, trial, dt: float, precision=None, exp_order=6) -> PlaneW
     )
     from pauxy_tpu.utils.transfer import to_device, device_zeros
 
+    fft_kw = {}
+    if getattr(ham, "qmesh", None) is not None:
+        fft_kw = dict(
+            gmap=jnp.asarray(np.asarray(ham.gmap)),
+            qmap_fft=jnp.asarray(np.asarray(ham.qmap)),
+            qmesh=tuple(ham.qmesh),
+        )
     return PlaneWave(
         BH1=to_device(bh1.astype(prec.cplx)),
         mf_shift=device_zeros((2 * ham.nq,), prec.cplx),
         sp=ueg_sparse.make_sparse_rho(ham, prec.real),
         dt=float(dt),
         exp_order=int(exp_order),
+        **fft_kw,
     )
