@@ -176,7 +176,9 @@ class ThermalAFQMC:
         # trial density matrix (stack.py:333).
         self.low_rank = bool(wopts.get("low_rank", False))
         if self.low_rank:
-            dmat = np.asarray(trial.dmat)
+            from pauxy_tpu.utils.transfer import to_host
+
+            dmat = np.asarray(to_host(trial.dmat))
             off = dmat - np.stack(
                 [np.diag(np.diagonal(dmat[0])), np.diag(np.diagonal(dmat[1]))]
             )

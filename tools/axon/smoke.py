@@ -116,10 +116,51 @@ def main():
         assert np.isfinite(np.asarray(rows).real).all()
         print(f"OK thermal ({time.time()-t0:.1f}s)", flush=True)
 
+    def ghf():
+        from pauxy_tpu.models import make_hubbard, free_electron_trial
+        from pauxy_tpu.models.ghf import ghf_trial_from_uhf
+        from pauxy_tpu.utils.transfer import to_host
+
+        ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+        fe = free_electron_trial(ham)
+        trial = ghf_trial_from_uhf(ham, np.asarray(to_host(fe.psia)),
+                                   np.asarray(to_host(fe.psib)))
+        drive("ghf", ham, trial,
+              propagator_options={"hubbard_stratonovich": "discrete"})
+
+    def multi_coherent():
+        from pauxy_tpu.models.hubbard_holstein import make_hubbard_holstein
+        from pauxy_tpu.models.multi_coherent import multi_coherent_trial
+
+        ham = make_hubbard_holstein(nup=1, ndown=1, U=4.0, nx=3, ny=1,
+                                    w0=0.8, lmbda=0.5)
+        drive("multi_coherent", ham, multi_coherent_trial(ham))
+
+    def thermal_low_rank():
+        from pauxy_tpu.models import make_ueg
+        from pauxy_tpu.models.thermal_trial import make_one_body_trial
+        from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+        from pauxy_tpu.qmc import QMCOpts
+
+        t0 = time.time()
+        ham = make_ueg(nup=1, ndown=1, rs=1.0, ecut=0.5)
+        beta, dt = 0.25, 0.05
+        trial = make_one_body_trial(ham, beta, dt, mu=0.245)
+        qmc = QMCOpts(nwalkers=4, dt=dt, nsteps=1, nblocks=2,
+                      npop_control=1, rng_seed=8, beta=beta)
+        af = ThermalAFQMC(ham, trial, qmc, verbose=False,
+                          walker_options={"low_rank": True},
+                          filename="/tmp/smoke_tlr.h5")
+        rows = af.run()
+        assert np.isfinite(np.asarray(rows).real).all()
+        print(f"OK thermal_low_rank ({time.time()-t0:.1f}s)", flush=True)
+
     for name, fn in [("hubbard", hubbard),
                      ("hubbard_discrete", hubbard_discrete),
                      ("generic", generic), ("ueg", ueg),
-                     ("pw_fft", pw_fft), ("thermal", thermal)]:
+                     ("pw_fft", pw_fft), ("thermal", thermal),
+                     ("ghf", ghf), ("multi_coherent", multi_coherent),
+                     ("thermal_low_rank", thermal_low_rank)]:
         guard(name, fn)
 
     if failures:
