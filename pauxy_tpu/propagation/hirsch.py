@@ -57,6 +57,10 @@ class Hirsch:
     btk: jax.Array | None = None
     nx: int = struct.field(pytree_node=False, default=0)
     ny: int = struct.field(pytree_node=False, default=0)
+    # Site-sweep implementation: 'scan' (lax.scan over sites) or
+    # 'pallas'/'pallas_interpret' (VMEM-resident kernel, ops/sweep_pallas.py;
+    # only valid when the whole propagation is real — see make_hirsch).
+    sweep_kernel: str = struct.field(pytree_node=False, default="scan")
 
     @property
     def delta(self):
@@ -102,6 +106,8 @@ class Hirsch:
     def _site_sweep(self, trial, state: WalkerState, key) -> WalkerState:
         """Sequential single-site updates, batched over walkers
         (hubbard.py:172-220)."""
+        if self.sweep_kernel != "scan":
+            return self._site_sweep_pallas(trial, state, key)
         m = state.nbasis
         nw = state.nwalkers
         cdtype = state.phia.dtype
@@ -178,6 +184,47 @@ class Hirsch:
                 log_ovlp=state.log_ovlp + dlog,
             ),
             fields.T,  # [w, M] chosen field per site
+        )
+
+    def _site_sweep_pallas(self, trial, state: WalkerState, key):
+        """Same sweep, as one VMEM-resident pallas kernel per 128 walkers
+        (ops/sweep_pallas.py). Valid only for the all-real case (spin
+        decomposition, real trial/lattice) — enforced by make_hirsch."""
+        from pauxy_tpu.ops import sweep_pallas
+
+        m = state.nbasis
+        nw = state.nwalkers
+        cdtype = state.phia.dtype
+        rdtype = state.weight.dtype
+        psia = trial.psia.real.astype(rdtype)
+        psib = trial.psib.real.astype(rdtype)
+        phia = state.phia.real.astype(rdtype)
+        phib = state.phib.real.astype(rdtype)
+        sa = jnp.einsum("mi,wmj->wij", psia, phia)
+        sb = jnp.einsum("mi,wmj->wij", psib, phib)
+        inva = jnp.linalg.solve(
+            sa, jnp.broadcast_to(jnp.eye(sa.shape[-1], dtype=rdtype), sa.shape)
+        )
+        invb = jnp.linalg.solve(
+            sb, jnp.broadcast_to(jnp.eye(sb.shape[-1], dtype=rdtype), sb.shape)
+        )
+        # Identical draw layout to the scan path -> identical trajectories.
+        rs = jax.random.uniform(key, (m, nw), dtype=rdtype)
+        phia, phib, weight, dlog, fields = sweep_pallas.hirsch_sweep_real(
+            psia, psib,
+            self.delta.real.astype(rdtype),
+            self.aux_wfac.real.astype(rdtype),
+            phia, phib, inva, invb, rs, state.weight,
+            interpret=(self.sweep_kernel == "pallas_interpret"),
+        )
+        return (
+            state.replace(
+                phia=phia.astype(cdtype),
+                phib=phib.astype(cdtype),
+                weight=weight,
+                log_ovlp=state.log_ovlp + dlog.astype(cdtype),
+            ),
+            fields,
         )
 
     # ------------------------------------------------------------------
@@ -441,6 +488,7 @@ def make_hirsch(
     precision=None,
     two_body_mode: str = "single_site",
     kinetic_kspace: bool = False,
+    sweep_kernel: str | None = None,
 ) -> Hirsch:
     """Build the discrete propagator tables (hubbard.py:30-103).
 
@@ -496,6 +544,11 @@ def make_hirsch(
     auxf = auxf * np.exp(-0.5 * dt * ham.U)
     from pauxy_tpu.utils.transfer import to_device
 
+    if sweep_kernel is None:
+        sweep_kernel = _auto_sweep_kernel(
+            trial, t, auxf, aux_wfac, free_projection, two_body_mode
+        )
+
     return Hirsch(
         BT2=to_device(bt2.astype(prec.cplx)),
         auxf=to_device(np.asarray(auxf).astype(prec.cplx)),
@@ -508,4 +561,40 @@ def make_hirsch(
         btk=(to_device(btk.astype(prec.cplx)) if btk is not None else None),
         nx=nx,
         ny=ny,
+        sweep_kernel=str(sweep_kernel),
     )
+
+
+def _auto_sweep_kernel(trial, t, auxf, aux_wfac, free_projection,
+                       two_body_mode) -> str:
+    """Pick the site-sweep implementation: the VMEM-resident pallas kernel
+    (ops/sweep_pallas.py) whenever the whole propagation is provably real —
+    spin decomposition (real tables), real hopping, real single-det trial —
+    else the generic lax.scan path.
+
+    Multi-device note: pallas_call has no SPMD partitioning rule, so for
+    walker-sharded multi-chip runs pass ``sweep_kernel='scan'`` explicitly
+    (single-chip and CPU runs are where the kernel applies)."""
+    if free_projection or two_body_mode != "single_site":
+        return "scan"
+    if np.abs(np.asarray(auxf).imag).max() > 0:
+        return "scan"   # attractive-U / charge tables are complex
+    if np.abs(np.asarray(aux_wfac).imag).max() > 0:
+        return "scan"
+    if np.abs(np.asarray(t).imag).max() > 0:
+        return "scan"   # twisted boundary -> complex kinetic propagator
+    from pauxy_tpu.utils.transfer import to_host
+
+    try:
+        mats = [trial.psia, trial.psib, trial.inita, trial.initb]
+        host = [np.asarray(to_host(m)) for m in mats]
+    except (AttributeError, TypeError):
+        return "scan"
+    if any(m.ndim != 2 for m in host):
+        return "scan"   # multi-det trials keep the scan path
+    if any(np.abs(m.imag).max() > 0 for m in host if np.iscomplexobj(m)):
+        return "scan"
+    if max(host[0].shape[1], host[1].shape[1]) > 32:
+        return "scan"   # unrolled-contraction kernel targets small n
+    backend = jax.default_backend()
+    return "pallas_interpret" if backend == "cpu" else "pallas"

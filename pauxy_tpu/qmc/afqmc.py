@@ -574,6 +574,7 @@ class AFQMC:
                 precision=self.prec,
                 two_body_mode=popts.get("two_body_update", "single_site"),
                 kinetic_kspace=popts.get("kinetic_kspace", False),
+                sweep_kernel=popts.get("sweep_kernel"),
             )
         if name == "Hubbard":
             from pauxy_tpu.propagation.hubbard import make_hubbard_continuous

@@ -48,17 +48,23 @@ def numpy_sweep(trial, auxf, aux_wfac, phia, phib, rs_site):
 
 
 @pytest.mark.unit
-@pytest.mark.parametrize("charge", [False, True])
-def test_site_sweep_vs_numpy(charge):
+@pytest.mark.parametrize("charge,kernel", [
+    (False, "scan"), (True, "scan"), (False, "pallas_interpret"),
+])
+def test_site_sweep_vs_numpy(charge, kernel):
     ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
     trial = free_electron_trial(ham)
-    prop = make_hirsch(ham, trial, dt=0.05, charge_decomposition=charge)
+    prop = make_hirsch(ham, trial, dt=0.05, charge_decomposition=charge,
+                       sweep_kernel=kernel)
     nw = 4
     state = init_walkers(trial, nw)
-    # Randomize walker states a bit (still full rank).
+    # Randomize walker states a bit (still full rank). The pallas kernel's
+    # contract is the real subspace (driver-built discrete runs stay real),
+    # so its perturbation is real; the scan path also covers complex states.
     rng = np.random.default_rng(0)
-    pert = 0.1 * (rng.standard_normal(state.phia.shape)
-                  + 1j * rng.standard_normal(state.phia.shape))
+    pert = 0.1 * rng.standard_normal(state.phia.shape)
+    if kernel == "scan":
+        pert = pert + 0.1j * rng.standard_normal(state.phia.shape)
     state = state.replace(phia=state.phia + pert, phib=state.phib + pert)
 
     key = jax.random.key(3)
