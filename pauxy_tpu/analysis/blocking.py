@@ -166,17 +166,24 @@ def analyse_estimates(files, start_time: float = 0.0,
 
     if isinstance(files, str):
         files = [files]
-    mds, frames = [], []
-    fp = False
+    mds, frames, fp_list = [], [], []
     for f in files:
         md = get_metadata(f)
         step = (md.get("qmc", {}) or {}).get("nsteps", 1)
         dt = (md.get("qmc", {}) or {}).get("dt", 1.0)
-        fp = bool((md.get("propagators", {}) or {}).get("free_projection",
-                                                        False))
+        fp_list.append(
+            bool((md.get("propagators", {}) or {}).get("free_projection",
+                                                       False))
+        )
         skip = int(start_time / (step * dt)) + 1
         frames.append(extract_mixed_estimates(f, skip))
         mds.append(md)
+    if len(set(fp_list)) > 1:
+        raise ValueError(
+            "cannot concatenate free-projection and phaseless output files "
+            f"in one analysis: free_projection flags per file = {fp_list}"
+        )
+    fp = any(fp_list)
     frame = pd.concat(frames)
     if fp:
         out = average_fp(frame)

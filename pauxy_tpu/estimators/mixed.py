@@ -141,34 +141,43 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False,
     )
 
     cdtype = state.log_ovlp.dtype
+    # Every e_fn below is a LAZY 0-arg closure: the Green's functions and
+    # energies are traced only inside the with_energy branch of the
+    # lax.cond, so energy_eval_freq gating skips their cost for every
+    # trial family (not just the single-det path). Duplicate sub-graphs
+    # between e_fn and _dms_flat (both run inside the same branch) are
+    # CSE'd by XLA.
     if isinstance(trial, MultiCoherentTrial):
         # Component-weighted electron-phonon energy (mixed.py:450-458
         # local_energy_multi_det_hh).
-        gi, comp_w = mc_greens_function(trial, state.phia, state.phib,
-                                        state.X)
-        _, lap, _ = mc_boson_mixture(trial, state.phia, state.phib, state.X)
-        _e_tuple = le.local_energy_multi_coherent(
-            ham, gi, comp_w, state.X, lap
-        )
-        e_fn = lambda *_: _e_tuple
-        ga = gb = None
+        def e_fn():
+            gi, comp_w = mc_greens_function(trial, state.phia, state.phib,
+                                            state.X)
+            _, lap, _ = mc_boson_mixture(trial, state.phia, state.phib,
+                                         state.X)
+            return le.local_energy_multi_coherent(
+                ham, gi, comp_w, state.X, lap
+            )
     elif isinstance(trial, GHFTrial):
         # Det-weighted GHF energy (multi_ghf.py:206-220 via
         # estimators/hubbard.py:117-143).
-        gi, det_weights = ghf_greens_function(trial, state.phia, state.phib)
-        _e_tuple = le.local_energy_hubbard_ghf(ham, gi, det_weights)
-        e_fn = lambda *_: _e_tuple
-        ga = gb = None
+        def e_fn():
+            gi, det_weights = ghf_greens_function(trial, state.phia,
+                                                  state.phib)
+            return le.local_energy_hubbard_ghf(ham, gi, det_weights)
     elif isinstance(trial, MultiSlaterTrial):
         # Per-determinant mixed energy, det-weighted
         # (mixed.py:439-458 local_energy_multi_det).
-        md = greens_function_multi_det(trial, state.phia, state.phib)
-        if ham.name == "Generic" and trial.rchola is not None:
-            # Per-det half-rotated fast path (multi_slater.py:267-420).
-            _e_tuple = le.local_energy_generic_opt_multi(
-                trial, md.Ghalfa, md.Ghalfb, md.det_weights, ham.ecore
-            )
-        else:
+        def get_md():
+            return greens_function_multi_det(trial, state.phia, state.phib)
+
+        def e_fn():
+            md = get_md()
+            if ham.name == "Generic" and trial.rchola is not None:
+                # Per-det half-rotated fast path (multi_slater.py:267-420).
+                return le.local_energy_generic_opt_multi(
+                    trial, md.Ghalfa, md.Ghalfb, md.det_weights, ham.ecore
+                )
             eg = energy_estimator_G(ham, trial)
             nw, nd = md.det_weights.shape
             m = state.phia.shape[1]
@@ -178,20 +187,20 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False,
             def det_avg(x):
                 return jnp.sum(md.det_weights * x.reshape(nw, nd), axis=-1)
 
-            _e_tuple = (det_avg(etot_d), det_avg(e1_d), det_avg(e2_d))
-        e_fn = lambda *_: _e_tuple
-        ga = gb = None
+            return (det_avg(etot_d), det_avg(e1_d), det_avg(e2_d))
     elif ham.name == "HubbardHolstein":
-        ga = greens.greens_function(state.phia, trial.psia)
-        gb = greens.greens_function(state.phib, trial.psib)
-        _x, _shift = state.X, trial.shift
-
-        def e_fn(ga, gb):
-            return le.local_energy_hubbard_holstein(ham, ga.G, gb.G, _x, _shift)
+        def e_fn():
+            ga = greens.greens_function(state.phia, trial.psia)
+            gb = greens.greens_function(state.phib, trial.psib)
+            return le.local_energy_hubbard_holstein(ham, ga.G, gb.G,
+                                                    state.X, trial.shift)
     else:
-        ga = greens.greens_function(state.phia, trial.psia)
-        gb = greens.greens_function(state.phib, trial.psib)
-        e_fn = energy_estimator(ham, trial, key=est_key)
+        _e_fn_g = energy_estimator(ham, trial, key=est_key)
+
+        def e_fn():
+            ga = greens.greens_function(state.phia, trial.psia)
+            gb = greens.greens_function(state.phib, trial.psib)
+            return _e_fn_g(ga, gb)
 
     if free_projection:
         # wfac = weight * ot * phase (mixed.py:151-175).
@@ -216,9 +225,12 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False,
         """Weighted per-step density-matrix tail (mixed.py:226-233)."""
         parts = []
         if isinstance(trial, MultiSlaterTrial):
+            md = get_md()
             g2 = jnp.einsum("wd,wdsmn->wsmn", md.det_weights, md.Gi,
                             optimize=True)
         else:
+            ga = greens.greens_function(state.phia, trial.psia)
+            gb = greens.greens_function(state.phib, trial.psib)
             g2 = jnp.stack([ga.G, gb.G], axis=1)          # [w, 2, M, M]
         if calc_one_rdm:
             s = jnp.einsum("w,wsmn->smn", wfac, g2.real.astype(cdtype))
@@ -240,7 +252,7 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False,
         return jnp.concatenate(parts)
 
     def with_energy(_):
-        etot, e1b, e2b = e_fn(ga, gb)
+        etot, e1b, e2b = e_fn()
         if free_projection:
             num = jnp.sum(wfac * etot)
             t1 = jnp.sum(wfac * e1b)

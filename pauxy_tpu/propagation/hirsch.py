@@ -61,6 +61,10 @@ class Hirsch:
     # 'pallas'/'pallas_interpret' (VMEM-resident kernel, ops/sweep_pallas.py;
     # only valid when the whole propagation is real — see make_hirsch).
     sweep_kernel: str = struct.field(pytree_node=False, default="scan")
+    # Device mesh for walker-sharded runs: pallas_call has no SPMD
+    # partitioning rule, so with a mesh the kernel is dispatched per shard
+    # via jax.shard_map (walker axis sharded, trial tables replicated).
+    mesh: object = struct.field(pytree_node=False, default=None)
 
     @property
     def delta(self):
@@ -210,13 +214,51 @@ class Hirsch:
         )
         # Identical draw layout to the scan path -> identical trajectories.
         rs = jax.random.uniform(key, (m, nw), dtype=rdtype)
-        phia, phib, weight, dlog, fields = sweep_pallas.hirsch_sweep_real(
-            psia, psib,
-            self.delta.real.astype(rdtype),
-            self.aux_wfac.real.astype(rdtype),
-            phia, phib, inva, invb, rs, state.weight,
-            interpret=(self.sweep_kernel == "pallas_interpret"),
-        )
+        interpret = self.sweep_kernel == "pallas_interpret"
+        delta_r = self.delta.real.astype(rdtype)
+        wfac_r = self.aux_wfac.real.astype(rdtype)
+        if self.mesh is not None:
+            # Per-shard dispatch of the VMEM kernel: each device runs the
+            # kernel on its local walker block; trial rows and HS tables are
+            # replicated. The sweep is per-walker-independent, so no
+            # collectives are needed.
+            from jax.sharding import PartitionSpec as P
+
+            from pauxy_tpu.parallel.mesh import WALKER_AXIS
+
+            wspec = P(WALKER_AXIS)
+            rspec = P()  # replicated (trial rows, HS tables)
+
+            def call(psia, psib, delta, wfac, phia, phib, inva, invb, rs,
+                     weight):
+                return sweep_pallas.hirsch_sweep_real(
+                    psia, psib, delta, wfac,
+                    phia, phib, inva, invb, rs, weight,
+                    interpret=interpret,
+                )
+
+            sharded_call = jax.shard_map(
+                call,
+                mesh=self.mesh,
+                in_specs=(rspec, rspec, rspec, rspec,
+                          wspec, wspec, wspec, wspec,
+                          P(None, WALKER_AXIS), wspec),
+                out_specs=(wspec, wspec, wspec, wspec, wspec),
+                # pallas_call's out_shape carries no varying-mesh-axes
+                # metadata; skip the vma check (the kernel is element-wise
+                # in the walker axis, so the specs above are exact).
+                check_vma=False,
+            )
+            phia, phib, weight, dlog, fields = sharded_call(
+                psia, psib, delta_r, wfac_r,
+                phia, phib, inva, invb, rs, state.weight
+            )
+        else:
+            phia, phib, weight, dlog, fields = sweep_pallas.hirsch_sweep_real(
+                psia, psib, delta_r, wfac_r,
+                phia, phib, inva, invb, rs, state.weight,
+                interpret=interpret,
+            )
         return (
             state.replace(
                 phia=phia.astype(cdtype),
@@ -489,6 +531,7 @@ def make_hirsch(
     two_body_mode: str = "single_site",
     kinetic_kspace: bool = False,
     sweep_kernel: str | None = None,
+    mesh=None,
 ) -> Hirsch:
     """Build the discrete propagator tables (hubbard.py:30-103).
 
@@ -546,7 +589,7 @@ def make_hirsch(
 
     if sweep_kernel is None:
         sweep_kernel = _auto_sweep_kernel(
-            trial, t, auxf, aux_wfac, free_projection, two_body_mode
+            trial, t, auxf, aux_wfac, free_projection, two_body_mode, mesh
         )
 
     return Hirsch(
@@ -562,20 +605,25 @@ def make_hirsch(
         nx=nx,
         ny=ny,
         sweep_kernel=str(sweep_kernel),
+        mesh=mesh,
     )
 
 
 def _auto_sweep_kernel(trial, t, auxf, aux_wfac, free_projection,
-                       two_body_mode) -> str:
+                       two_body_mode, mesh=None) -> str:
     """Pick the site-sweep implementation: the VMEM-resident pallas kernel
     (ops/sweep_pallas.py) whenever the whole propagation is provably real —
     spin decomposition (real tables), real hopping, real single-det trial —
     else the generic lax.scan path.
 
-    Multi-device note: pallas_call has no SPMD partitioning rule, so for
-    walker-sharded multi-chip runs pass ``sweep_kernel='scan'`` explicitly
-    (single-chip and CPU runs are where the kernel applies)."""
+    Multi-device note: pallas_call has no SPMD partitioning rule. With a
+    ``mesh`` the kernel is dispatched per walker shard via ``jax.shard_map``
+    (see ``Hirsch._site_sweep_pallas``); without one, multi-device runs fall
+    back to the scan path automatically (a walker-sharded pallas_call would
+    otherwise fail at compile)."""
     if free_projection or two_body_mode != "single_site":
+        return "scan"
+    if mesh is None and len(jax.devices()) > 1:
         return "scan"
     if np.abs(np.asarray(auxf).imag).max() > 0:
         return "scan"   # attractive-U / charge tables are complex

@@ -575,6 +575,7 @@ class AFQMC:
                 two_body_mode=popts.get("two_body_update", "single_site"),
                 kinetic_kspace=popts.get("kinetic_kspace", False),
                 sweep_kernel=popts.get("sweep_kernel"),
+                mesh=popts.get("mesh"),
             )
         if name == "Hubbard":
             from pauxy_tpu.propagation.hubbard import make_hubbard_continuous
@@ -744,9 +745,11 @@ class AFQMC:
         self.state = state
         z = jnp.zeros((2, 0), acc.dtype)
         if self.nbp and bp_acc is None:
-            nacc_bp = 4 + 2 * self.ham.nbasis ** 2 * (
-                2 if self.bp_eval_ekt else 1
-            )
+            from pauxy_tpu.estimators.back_prop import bp_two_rdm_size
+
+            nacc_bp = (4 + 2 * self.ham.nbasis ** 2
+                       + bp_two_rdm_size(self.ham, self.bp_two_rdm)
+                       + (2 * self.ham.nbasis ** 2 if self.bp_eval_ekt else 0))
             bp_acc = jnp.zeros((2, nacc_bp * self.bp_nsplit), acc.dtype)
         if self.nitcf and itcf_acc is None:
             m = self.ham.nbasis

@@ -65,11 +65,13 @@ def _fill_scalar(re, im, dtype):
 
 def device_scalar(value, dtype):
     """Complex-safe scalar upload (see device_zeros): ships the real/imag
-    parts as real scalars and combines under jit."""
+    parts as real scalars at the target dtype's real precision (so float64
+    targets keep full precision) and combines under jit."""
     value = complex(value)
+    rdtype = np.zeros((), dtype).real.dtype
     return _fill_scalar(
-        jnp.asarray(value.real, jnp.float32),
-        jnp.asarray(value.imag, jnp.float32),
+        jnp.asarray(value.real, rdtype),
+        jnp.asarray(value.imag, rdtype),
         dtype,
     )
 

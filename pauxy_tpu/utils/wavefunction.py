@@ -23,7 +23,10 @@ def read_orbitals(filename: str):
             grp = fh5["Wavefunction/NOMSD"]
             coeffs = grp["ci_coeffs"][:].view(np.complex128).ravel()
             psis = []
-            dets = sorted(k for k in grp.keys() if k.startswith("PsiT_"))
+            dets = sorted(
+                (k for k in grp.keys() if k.startswith("PsiT_")),
+                key=lambda k: int(k.split("_")[1]),
+            )
             for k in dets:
                 sub = grp[k]
                 mats = []
@@ -55,3 +58,32 @@ def write_wavefunction(psi: np.ndarray, filename: str, coeffs=None):
         fh5["psi"] = np.asarray(psi)
         if coeffs is not None:
             fh5["coeffs"] = np.asarray(coeffs)
+
+
+def write_qmcpack_wfn(filename: str, coeffs: np.ndarray, wfn: np.ndarray,
+                      nelec, mode: str = "w"):
+    """Write a NOMSD trial in the QMCPACK HDF5 group layout this module's
+    :func:`read_orbitals` parses (counterpart of the reference's
+    ``write_qmcpack_wfn``, ``pauxy/utils/io.py:407-460``; determinant
+    blocks are stored dense rather than CSR — a deliberate simplification,
+    the reader accepts both shapes).
+
+    coeffs [D] complex; wfn [D, M, na+nb]; nelec (na, nb).
+    """
+    na, nb = nelec
+    coeffs = np.asarray(coeffs, dtype=np.complex128)
+    wfn = np.asarray(wfn, dtype=np.complex128)
+
+    def ri(x):
+        return np.stack([x.real, x.imag], axis=-1)
+
+    with h5py.File(filename, mode) as fh5:
+        if "Wavefunction" in fh5:
+            del fh5["Wavefunction"]
+        grp = fh5.create_group("Wavefunction/NOMSD")
+        grp["ci_coeffs"] = ri(coeffs)
+        grp["dims"] = np.array([wfn.shape[1], na, nb, len(coeffs)])
+        for i, det in enumerate(wfn):
+            sub = grp.create_group(f"PsiT_{i}")
+            sub["alpha"] = ri(det[:, :na])
+            sub["beta"] = ri(det[:, na:])

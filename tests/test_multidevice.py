@@ -134,3 +134,119 @@ def test_msd_generic_chol_sharded(tmp_path):
 
     np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_pair_branch_sharded_matches_single_device(tmp_path):
+    """pair_branch (argsort + gather pairing) under a sharded walker axis:
+    identical physics to the unsharded run (the reference's rank-paired
+    branching, pauxy/walkers/handler.py:258-318, as SPMD gathers)."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3,
+                       ktwist=[0.01, -0.02])
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.01, nsteps=10, nblocks=3, nstblz=5,
+                  npop_control=2, rng_seed=11,
+                  pop_control_method="pair_branch")
+
+    af1 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "p1.h5"))
+    rows1 = af1.run()
+
+    af2 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "p2.h5"))
+    af2.state = pmesh.shard_walkers(af2.state, pmesh.walker_mesh())
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_discrete_hirsch_sharded_matches_single_device(tmp_path):
+    """Discrete Hirsch CPMC (scan sweep) with the walker axis sharded."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.05, nsteps=6, nblocks=3, nstblz=3,
+                  npop_control=2, rng_seed=5)
+    popts = {"hubbard_stratonovich": "discrete", "sweep_kernel": "scan"}
+
+    af1 = AFQMC(ham, trial, qmc, propagator_options=popts,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "d1.h5"))
+    rows1 = af1.run()
+
+    af2 = AFQMC(ham, trial, qmc, propagator_options=popts,
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "d2.h5"))
+    af2.state = pmesh.shard_walkers(af2.state, pmesh.walker_mesh())
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_discrete_pallas_sweep_sharded(tmp_path):
+    """The VMEM pallas sweep dispatched per walker shard via jax.shard_map
+    must be trajectory-equal to the scan sweep on the same sharded state
+    (VERDICT r2 item 7)."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.05, nsteps=6, nblocks=3, nstblz=3,
+                  npop_control=2, rng_seed=5)
+    m = pmesh.walker_mesh()
+
+    af1 = AFQMC(ham, trial, qmc,
+                propagator_options={"hubbard_stratonovich": "discrete",
+                                    "sweep_kernel": "scan"},
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "s1.h5"))
+    af1.state = pmesh.shard_walkers(af1.state, m)
+    rows1 = af1.run()
+
+    af2 = AFQMC(ham, trial, qmc,
+                propagator_options={"hubbard_stratonovich": "discrete",
+                                    "sweep_kernel": "pallas_interpret",
+                                    "mesh": m},
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "s2.h5"))
+    af2.state = pmesh.shard_walkers(af2.state, m)
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_thermal_sharded_matches_single_device(tmp_path):
+    """Thermal AFQMC (per-slice pop control over a sharded stack) gives
+    identical physics sharded vs unsharded (reference per-slice pop control,
+    pauxy/qmc/thermal_afqmc.py:224-226)."""
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    beta, dt = 0.5, 0.05
+    trial = make_one_body_trial(ham, beta, dt)
+    qmc = QMCOpts(nwalkers=16, dt=dt, nsteps=1, nblocks=4, beta=beta,
+                  npop_control=2, rng_seed=7)
+
+    af1 = ThermalAFQMC(ham, trial, qmc, filename=str(tmp_path / "t1.h5"))
+    rows1 = af1.run()
+
+    af2 = ThermalAFQMC(ham, trial, qmc, filename=str(tmp_path / "t2.h5"))
+    m = pmesh.walker_mesh()
+    inner_init = af2._init_walkers
+
+    def sharded_init(trial, nw):
+        return pmesh.shard_walkers(inner_init(trial, nw), m)
+
+    af2._init_walkers = sharded_init
+    af2.state = pmesh.shard_walkers(af2.state, m)
+    rows2 = af2.run()
+
+    # All columns except the wall-clock Time tail.
+    np.testing.assert_allclose(rows1[:, :11].real, rows2[:, :11].real,
+                               rtol=1e-8, atol=1e-10)

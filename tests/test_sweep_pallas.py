@@ -23,8 +23,18 @@ def setup():
 
 def test_auto_selects_pallas_on_real_system(setup):
     ham, trial = setup
-    prop = make_hirsch(ham, trial, 0.05)
-    assert prop.sweep_kernel == "pallas_interpret"  # CPU backend in tests
+    if len(jax.devices()) > 1:
+        # Multi-device with no mesh: pallas_call has no SPMD rule, so the
+        # auto-pick must fall back to scan...
+        assert make_hirsch(ham, trial, 0.05).sweep_kernel == "scan"
+        # ...but with a mesh the shard_map-dispatched kernel is eligible.
+        from pauxy_tpu.parallel.mesh import walker_mesh
+
+        prop = make_hirsch(ham, trial, 0.05, mesh=walker_mesh())
+        assert prop.sweep_kernel == "pallas_interpret"  # CPU backend in tests
+    else:
+        prop = make_hirsch(ham, trial, 0.05)
+        assert prop.sweep_kernel == "pallas_interpret"
 
 
 def test_auto_falls_back_for_twist():
