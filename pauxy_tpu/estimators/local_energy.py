@@ -440,36 +440,89 @@ def _fft_spin_terms(psi, gh, gmap, qmap, qmesh, pair_chunk: int = 8):
     correlations on the FFT cube (``ueg_kernels.pyx:77-133``
     exchange_greens_function_fft, batched over walkers and occ pairs).
 
-    psi [M, n] trial orbitals; gh [w, n, M] half-rotated Green's function
-    (G = psi* gh). The exchange pair tensor [w, nc, n, ngrid] is chunked
-    over the first occupied index to bound memory.
+    psi [M, n] trial orbitals — or a per-walker bra [w, M, n] (the
+    back-propagated wavefunction differs per walker); gh [w, n, M] is the
+    half-rotated Green's function (G = psi* gh). The exchange pair tensor
+    [w, nc, n, ngrid] is chunked over the first occupied index to bound
+    memory.
     """
     from pauxy_tpu.propagation.pw_fft import fft3, ifft3
 
     qmesh = tuple(qmesh)
     ng = int(np.prod(qmesh))
-    ct = _pw_cubes(jnp.swapaxes(psi.conj(), 0, 1), gmap, ng)   # [n, Ng]
+    wbra = psi.ndim == 3                                       # per-walker bra
+    ct = _pw_cubes(jnp.swapaxes(psi.conj(), -1, -2), gmap, ng)  # [(w,) n, Ng]
     th = _pw_cubes(gh, gmap, ng)                               # [w, n, Ng]
     ct_f, ct_if = fft3(ct, qmesh), ifft3(ct, qmesh)
     th_f, th_if = fft3(th, qmesh), ifft3(th, qmesh)
-    gkpq = ifft3(
-        jnp.einsum("ig,wig->wg", ct_f, th_if, optimize=True) * ng, qmesh
-    )[..., qmap]
+    e_kpq = "wig,wig->wg" if wbra else "ig,wig->wg"
+    e_pmq = "wig,wig->wg" if wbra else "wig,ig->wg"
+    # Conventions match the gather kernels / reference (ueg.py:336-428):
+    # Gkpq(q) = sum_i G[i, k_i + q] is the theta*CT correlation evaluated
+    # at -Q on the cube, i.e. the second expression below (the first is
+    # Gpmq). The q-resolved S(k) depends on the labeling even though the
+    # energy is invariant under q -> -q.
     gpmq = ifft3(
-        jnp.einsum("wig,ig->wg", th_f, ct_if, optimize=True) * ng, qmesh
+        jnp.einsum(e_kpq, ct_f, th_if, optimize=True) * ng, qmesh
+    )[..., qmap]
+    gkpq = ifft3(
+        jnp.einsum(e_pmq, th_f, ct_if, optimize=True) * ng, qmesh
     )[..., qmap]
     # Exchange: P[i,j](Q) = sum_G CT_i(G+Q) theta_j(G),
     #           R[i,j](Q) = sum_G CT_j(G-Q) theta_i(G);
     # Gprod(Q) = sum_ij P[i,j](Q) R[i,j](Q).
-    n = psi.shape[1]
+    n = psi.shape[-1]
     gprod = None
     for i0 in range(0, n, pair_chunk):
         i1 = min(i0 + pair_chunk, n)
-        p = ifft3(ct_f[None, i0:i1, None] * th_if[:, None] * ng, qmesh)
-        r = ifft3(th_f[:, i0:i1, None] * ct_if[None, None] * ng, qmesh)
+        if wbra:
+            p = ifft3(ct_f[:, i0:i1, None] * th_if[:, None] * ng, qmesh)
+            r = ifft3(th_f[:, i0:i1, None] * ct_if[:, None] * ng, qmesh)
+        else:
+            p = ifft3(ct_f[None, i0:i1, None] * th_if[:, None] * ng, qmesh)
+            r = ifft3(th_f[:, i0:i1, None] * ct_if[None, None] * ng, qmesh)
         part = jnp.einsum("wijg,wijg->wg", p, r, optimize=True)
         gprod = part if gprod is None else gprod + part
     return gkpq, gpmq, gprod[..., qmap]
+
+
+def structure_factor_ueg(ham, spin_factors):
+    """S(k) blocks [w, 2, 2, nq] (``pauxy/estimators/ueg.py:71-82``).
+
+    ``spin_factors`` is ((bra_a, gha), (bra_b, ghb)) with G_s = bra_s* gh_s
+    — the FFT pseudo-spectral path (used by the mixed S(k)/two_rdm
+    accumulators and the BP structure factor whenever the Green's function
+    half-factorizes) — or ((Ga, None), (Gb, None)) dense, which falls back
+    to the scan-launch-bound gather kernels (general-G path)."""
+    (bra_a, gha), (bra_b, ghb) = spin_factors
+    use_fft = getattr(ham, "gmap", None) is not None and gha is not None
+    if use_fft:
+        gkpq_a, gpmq_a, gprod_a = _fft_spin_terms(
+            bra_a, gha, ham.gmap, ham.qmap, ham.qmesh
+        )
+        gkpq_b, gpmq_b, gprod_b = _fft_spin_terms(
+            bra_b, ghb, ham.gmap, ham.qmap, ham.qmesh
+        )
+    else:
+        def dense(bra, gh):
+            if gh is None:
+                return bra
+            eq = "wmi,win->wmn" if bra.ndim == 3 else "mi,win->wmn"
+            return jnp.einsum(eq, bra.conj(), gh, optimize=True)
+
+        ga = dense(bra_a, gha)
+        gb = dense(bra_b, ghb)
+        gkpq_a, gpmq_a = coulomb_greens_function_ueg(ham, ga)
+        gkpq_b, gpmq_b = coulomb_greens_function_ueg(ham, gb)
+        gprod_a = exchange_greens_function_ueg(ham, ga)
+        gprod_b = exchange_greens_function_ueg(ham, gb)
+    return jnp.stack(
+        [
+            jnp.stack([gkpq_a * gpmq_a - gprod_a, gkpq_a * gpmq_b], 1),
+            jnp.stack([gkpq_b * gpmq_a, gkpq_b * gpmq_b - gprod_b], 1),
+        ],
+        axis=1,
+    )
 
 
 def local_energy_ueg_half(ham, trial, gha: jax.Array, ghb: jax.Array):

@@ -236,17 +236,17 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False,
             s = jnp.einsum("w,wsmn->smn", wfac, g2.real.astype(cdtype))
             parts.append(s.reshape(-1))
         if calc_two_rdm is not None:
-            gkpq_a, gpmq_a = le.coulomb_greens_function_ueg(ham, g2[:, 0])
-            gkpq_b, gpmq_b = le.coulomb_greens_function_ueg(ham, g2[:, 1])
-            gprod_a = le.exchange_greens_function_ueg(ham, g2[:, 0])
-            gprod_b = le.exchange_greens_function_ueg(ham, g2[:, 1])
-            sk = jnp.stack(
-                [
-                    jnp.stack([gkpq_a * gpmq_a - gprod_a, gkpq_a * gpmq_b], 1),
-                    jnp.stack([gkpq_b * gpmq_a, gkpq_b * gpmq_b - gprod_b], 1),
-                ],
-                axis=1,
-            )                                             # [w, 2, 2, nq]
+            # FFT pseudo-spectral S(k) from the half-rotated G whenever the
+            # trial half-factorizes (single-det; VERDICT r2 item 4); the
+            # gather kernels remain the general-G fallback.
+            if (not isinstance(trial, MultiSlaterTrial)
+                    and getattr(ham, "gmap", None) is not None):
+                ga = greens.greens_function(state.phia, trial.psia)
+                gb = greens.greens_function(state.phib, trial.psib)
+                factors = ((trial.psia, ga.Ghalf), (trial.psib, gb.Ghalf))
+            else:
+                factors = ((g2[:, 0], None), (g2[:, 1], None))
+            sk = le.structure_factor_ueg(ham, factors)    # [w, 2, 2, nq]
             s = jnp.einsum("w,wabq->abq", wfac, sk.real.astype(cdtype))
             parts.append(s.reshape(-1))
         return jnp.concatenate(parts)

@@ -76,3 +76,184 @@ def load_walkers(template, filename: str):
         t = getattr(template, name)
         cast[name] = to_device(np.asarray(arr).astype(t.dtype))
     return template.replace(**cast), info
+
+
+# ---------------------------------------------------------------------------
+# Per-host sharded checkpoint (orbax-style directory): one HDF5 file per
+# walker shard + a metadata file. Counterpart of the reference's collective
+# parallel-HDF5 restart (``pauxy/walkers/handler.py:148-157, 444-500``) —
+# there every MPI rank writes its slab into one file through mpio; here
+# every host writes only the shards it addresses, and restart re-places each
+# shard directly on its device (no host ever holds the global arrays).
+# ---------------------------------------------------------------------------
+
+
+def _walker_fields(state):
+    """(name, value) of array fields, split into per-walker (ndim >= 1,
+    sharded on the leading axis) and replicated scalars — the same
+    predicate as ``parallel.mesh.shard_walkers``."""
+    for field in dataclasses.fields(state):
+        val = getattr(state, field.name)
+        if val is not None:
+            yield field.name, val
+
+
+def save_walkers_sharded(state, dirname: str, *, key=None, step: int = 0,
+                         eshift: float = 0.0):
+    """Write one file per walker shard + meta.h5 into ``dirname``.
+
+    Each process writes only its addressable shards, so on a multi-host
+    mesh the IO is naturally parallel (the DCN story of SURVEY 2.11).
+    Shard files are indexed by the global walker offset of the shard.
+    """
+    import os
+
+    os.makedirs(dirname, exist_ok=True)
+    shard_payload = {}   # start_index -> {field: host array}
+    scalars = {}
+    for name, val in _walker_fields(state):
+        arr = jax.numpy.asarray(val)
+        if arr.ndim == 0:
+            scalars[name] = to_host(arr)
+            continue
+        for shard in arr.addressable_shards:
+            start = shard.index[0].start or 0
+            shard_payload.setdefault(start, {})[name] = to_host(shard.data)
+    for start, fields in shard_payload.items():
+        fname = os.path.join(dirname, f"shard_{start:08d}.h5")
+        with h5py.File(fname, "w") as fh5:
+            for name, arr in fields.items():
+                arr = np.asarray(arr)
+                if np.iscomplexobj(arr):
+                    fh5[name + "__re"] = arr.real
+                    fh5[name + "__im"] = arr.imag
+                else:
+                    fh5[name] = arr
+    # Exactly one process writes the (replicated) metadata.
+    if jax.process_index() == 0:
+        with h5py.File(os.path.join(dirname, "meta.h5"), "w") as fh5:
+            fh5["state_class"] = type(state).__name__
+            fh5["step"] = step
+            fh5["eshift"] = complex(eshift).real
+            fh5["nwalkers"] = state.weight.shape[0]
+            if key is not None:
+                fh5["rng_key"] = np.asarray(jax.random.key_data(key))
+            for name, val in scalars.items():
+                fh5[f"scalars/{name}"] = np.asarray(val)
+
+
+def load_walkers_sharded(template, dirname: str, mesh=None):
+    """Restore a sharded walker state from a checkpoint directory.
+
+    With ``mesh`` given, every per-walker array is rebuilt shard-by-shard
+    with ``jax.make_array_from_single_device_arrays`` — each host touches
+    only the files of the shards it addresses. Without a mesh the shards
+    are concatenated and the state is single-device (template layout).
+
+    Returns (state, info) like :func:`load_walkers`.
+    """
+    import glob
+    import os
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pauxy_tpu.parallel.mesh import WALKER_AXIS
+
+    files = sorted(glob.glob(os.path.join(dirname, "shard_*.h5")))
+    if not files:
+        raise FileNotFoundError(f"no shard files in {dirname!r}")
+    with h5py.File(os.path.join(dirname, "meta.h5"), "r") as fh5:
+        info = {
+            "step": int(fh5["step"][()]),
+            "eshift": float(fh5["eshift"][()]),
+            "rng_key": None,
+        }
+        if "rng_key" in fh5:
+            info["rng_key"] = jax.random.wrap_key_data(
+                np.asarray(fh5["rng_key"])
+            )
+        scalars = {}
+        if "scalars" in fh5:
+            for name in fh5["scalars"]:
+                scalars[name] = np.asarray(fh5[f"scalars/{name}"])
+
+    def read_shard(fname, name):
+        with h5py.File(fname, "r") as fh5:
+            if name in fh5:
+                return np.asarray(fh5[name])
+            if name + "__re" in fh5:
+                return (np.asarray(fh5[name + "__re"])
+                        + 1j * np.asarray(fh5[name + "__im"]))
+        return None
+
+    updates = {}
+    if mesh is not None:
+        devices = list(mesh.devices.flat)
+        assert len(devices) == len(files), (
+            f"{len(files)} shard files vs {len(devices)} mesh devices — "
+            "re-shard via the dense load_walkers path instead"
+        )
+        sharded = NamedSharding(mesh, P(WALKER_AXIS))
+        replicated = NamedSharding(mesh, P())
+
+        def place(name, t):
+            parts_re, parts_im = [], []
+            for f in files:
+                arr = read_shard(f, name)
+                if arr is None:
+                    return None
+                arr = arr.astype(t.dtype)
+                parts_re.append(np.ascontiguousarray(arr.real))
+                parts_im.append(
+                    np.ascontiguousarray(arr.imag)
+                    if np.iscomplexobj(arr) else None
+                )
+            shape = (sum(p.shape[0] for p in parts_re),) + parts_re[0].shape[1:]
+
+            def assemble(parts):
+                bufs = [jax.device_put(p, d)
+                        for p, d in zip(parts, devices)]
+                return jax.make_array_from_single_device_arrays(
+                    shape, sharded, bufs
+                )
+
+            re = assemble(parts_re)
+            if parts_im[0] is None:
+                return re
+            im = assemble(parts_im)
+            return jax.jit(
+                lambda a, b: (a + 1j * b).astype(t.dtype),
+                out_shardings=sharded,
+            )(re, im)
+
+        for field in dataclasses.fields(template):
+            t = getattr(template, field.name)
+            if t is None or not hasattr(t, "ndim"):
+                continue
+            if t.ndim == 0:
+                if field.name in scalars:
+                    updates[field.name] = jax.device_put(
+                        scalars[field.name].astype(t.dtype), replicated
+                    )
+                continue
+            placed = place(field.name, t)
+            if placed is not None:
+                updates[field.name] = placed
+    else:
+        for field in dataclasses.fields(template):
+            t = getattr(template, field.name)
+            if t is None or not hasattr(t, "ndim"):
+                continue
+            if t.ndim == 0:
+                if field.name in scalars:
+                    updates[field.name] = to_device(
+                        scalars[field.name].astype(t.dtype)
+                    )
+                continue
+            parts = [read_shard(f, field.name) for f in files]
+            if parts[0] is None:
+                continue
+            updates[field.name] = to_device(
+                np.concatenate(parts, axis=0).astype(t.dtype)
+            )
+    return template.replace(**updates), info

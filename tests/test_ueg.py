@@ -275,3 +275,58 @@ def test_ueg_fft_energy_nontrivial_trial():
     want = np.asarray(le.local_energy_ueg(ham, ga.G, gb.G))
     got = np.asarray(le.local_energy_ueg_half(ham, trial, ga.Ghalf, gb.Ghalf))
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_structure_factor_fft_matches_gather():
+    """The FFT pseudo-spectral S(k) (shared bra AND per-walker bra) must
+    equal the gather-kernel S(k) on the same Green's functions
+    (ueg_kernels.pyx:77-133 vs :42-75 equivalence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pauxy_tpu.estimators import local_energy as le
+    from pauxy_tpu.models import make_ueg, rhf_identity_trial
+    from pauxy_tpu.ops import greens as gops
+    from pauxy_tpu.walkers import init_walkers
+
+    ham = make_ueg(nup=7, ndown=7, rs=1.0, ecut=1.0)
+    trial = rhf_identity_trial(ham)
+    state = init_walkers(trial, 3)
+    key = jax.random.key(5)
+    phia = state.phia + 0.05 * jax.random.normal(key, state.phia.shape)
+    phib = state.phib + 0.05 * jax.random.normal(
+        jax.random.fold_in(key, 1), state.phib.shape
+    )
+
+    # Shared trial bra.
+    ga = gops.greens_function(phia, trial.psia)
+    gb = gops.greens_function(phib, trial.psib)
+    sk_fft = jax.jit(le.structure_factor_ueg, static_argnums=())(
+        ham, ((trial.psia, ga.Ghalf), (trial.psib, gb.Ghalf))
+    )
+    sk_gather = le.structure_factor_ueg(ham, ((ga.G, None), (gb.G, None)))
+    np.testing.assert_allclose(np.asarray(sk_fft), np.asarray(sk_gather),
+                               atol=1e-10)
+
+    # Per-walker bra (the BP case): bra = phi_bp, ket = phi_old.
+    from pauxy_tpu.estimators.back_prop import (bp_greens_function,
+                                                bp_half_greens_function)
+
+    bra_a = phia + 0.03 * jax.random.normal(jax.random.fold_in(key, 2),
+                                            phia.shape)
+    bra_b = phib + 0.03 * jax.random.normal(jax.random.fold_in(key, 3),
+                                            phib.shape)
+    ga_bp, gb_bp = bp_greens_function(bra_a, bra_b, phia, phib)
+    gha = bp_half_greens_function(bra_a, phia)
+    ghb = bp_half_greens_function(bra_b, phib)
+    # gh really is the half factor of the BP G.
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("wmi,win->wmn", bra_a.conj(), gha)),
+        np.asarray(ga_bp), atol=1e-10,
+    )
+    sk_fft_bp = le.structure_factor_ueg(ham, ((bra_a, gha), (bra_b, ghb)))
+    sk_gather_bp = le.structure_factor_ueg(
+        ham, ((ga_bp, None), (gb_bp, None))
+    )
+    np.testing.assert_allclose(np.asarray(sk_fft_bp),
+                               np.asarray(sk_gather_bp), atol=1e-10)
