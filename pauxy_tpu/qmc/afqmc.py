@@ -519,6 +519,24 @@ class AFQMC:
         self.key = jax.random.key(seed)
         self.step = 0
 
+        # Lanes-layout fast block (qmc/hubbard_fast.py): same physics and
+        # RNG stream as the generic fused block, walker axis on the vector
+        # lanes. Opt out with PAUXY_TPU_FAST=0.
+        from pauxy_tpu.qmc import hubbard_fast
+
+        self.use_fast_block = (
+            _os.environ.get("PAUXY_TPU_FAST", "1") != "0"
+            and self.block_mode == "fused"
+            and hubbard_fast.eligible(
+                ham, trial, self.prop,
+                free_projection=self.free_projection,
+                nbp=self.nbp, nitcf=self.nitcf,
+                calc_one_rdm=self.calc_one_rdm,
+                calc_two_rdm=self.calc_two_rdm,
+                pop_method=qmc.pop_control_method,
+            )
+        )
+
         # Walker restart (handler.py:144-157 write_freq/read_file options).
         wopts = dict(walker_options or {})
         self.write_freq = wopts.get("write_freq", 0)
@@ -785,6 +803,43 @@ class AFQMC:
                 self.eshift = self.reporter.get_shift(self.hybrid)
             else:
                 self.eshift = self.reporter.get_shift()
+            return row
+
+        if self.use_fast_block:
+            from pauxy_tpu.qmc import hubbard_fast
+
+            t_block = time.time()
+            self.state, acc = hubbard_fast.run_block_lanes(
+                self.ham, self.trial, self.prop, self.state, sub,
+                device_scalar(self.eshift, self.state.log_ovlp.dtype),
+                jnp.asarray(self.step, jnp.int32),
+                nsteps=self.qmc.nsteps,
+                nstblz=self.qmc.nstblz,
+                npop_control=self.qmc.npop_control,
+                pop_method=self.qmc.pop_control_method,
+                target_weight=float(self.qmc.nwalkers),
+                energy_eval_freq=self.energy_eval_freq,
+            )
+            jax.block_until_ready(acc)
+            self.timing["block"] += time.time() - t_block
+            self.step += self.qmc.nsteps
+
+            def fetch(x):
+                ri = np.asarray(x)
+                return ri[0] + 1j * ri[1]
+
+            row = self.reporter.block_row(self.step, fetch(acc))
+            if self.step < self.qmc.neqlb:
+                self.eshift = self.reporter.get_shift(self.hybrid)
+            else:
+                self.eshift = self.reporter.get_shift()
+            if self.write_freq and (
+                self.step // self.qmc.nsteps
+            ) % self.write_freq == 0:
+                from pauxy_tpu.utils.checkpoint import save_walkers
+
+                save_walkers(self.state, self.write_file, key=self.key,
+                             step=self.step, eshift=self.eshift)
             return row
 
         t_block = time.time()

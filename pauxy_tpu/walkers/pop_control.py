@@ -45,6 +45,24 @@ def _gather_walkers(state, parents: jax.Array):
     return jax.tree_util.tree_map(g, state)
 
 
+def comb_parents(weight: jax.Array, key: jax.Array, target_weight: float):
+    """Parent slot per walker for systematic (comb) resampling.
+
+    Layout-agnostic core (shared by the [w, ...] state path and the
+    lanes-last fast path): returns (parents [w] int, total weight []).
+    """
+    nw = weight.shape[0]
+    w = jnp.abs(weight)
+    total = jnp.sum(w)
+    # Rescale so the population sums to target_weight (handler.py:236-246).
+    wsc = w * (target_weight / total)
+    cum = jnp.cumsum(wsc)
+    r = jax.random.uniform(key, (), dtype=w.dtype)
+    teeth = (jnp.arange(nw, dtype=w.dtype) + r) * (target_weight / nw)
+    parents = jnp.clip(jnp.searchsorted(cum, teeth, side="right"), 0, nw - 1)
+    return parents, total
+
+
 def comb(state: WalkerState, key: jax.Array, target_weight: float) -> WalkerState:
     """Systematic (comb) resampling of the walker population.
 
@@ -58,15 +76,7 @@ def comb(state: WalkerState, key: jax.Array, target_weight: float) -> WalkerStat
     pre-scaling weight is kept in ``unscaled_weight`` for the WeightFactor
     column (``handler.py:244-246``).
     """
-    nw = state.weight.shape[0]
-    w = jnp.abs(state.weight)
-    total = jnp.sum(w)
-    # Rescale so the population sums to target_weight (handler.py:236-246).
-    wsc = w * (target_weight / total)
-    cum = jnp.cumsum(wsc)
-    r = jax.random.uniform(key, (), dtype=w.dtype)
-    teeth = (jnp.arange(nw, dtype=w.dtype) + r) * (target_weight / nw)
-    parents = jnp.clip(jnp.searchsorted(cum, teeth, side="right"), 0, nw - 1)
+    parents, total = comb_parents(state.weight, key, target_weight)
     new = _gather_walkers(state, parents)
     return new.replace(
         weight=jnp.ones_like(state.weight),
@@ -90,8 +100,24 @@ def pair_branch(
     proportional to its weight, both receiving half the pair weight.
     Reference: ``handler.py:340-412``.
     """
-    nw = state.weight.shape[0]
-    w = jnp.abs(state.weight)
+    parents, new_w, total = pair_branch_parents(
+        state.weight, key, target_weight, min_weight, max_weight
+    )
+    new = _gather_walkers(state, parents)
+    return new.replace(
+        weight=new_w,
+        unscaled_weight=state.weight,
+        total_weight=total,
+    )
+
+
+def pair_branch_parents(weight, key, target_weight: float,
+                        min_weight: float = 0.1, max_weight: float = 4.0):
+    """Layout-agnostic pair-branch core: (parents [w], new weights [w],
+    total [])."""
+    state_weight = weight
+    nw = state_weight.shape[0]
+    w = jnp.abs(state_weight)
     total = jnp.sum(w)
     wsc = w * (target_weight / total)
 
@@ -127,13 +153,7 @@ def pair_branch(
     new_w = jnp.asarray(wsc)
     new_w = new_w.at[small_idx].set(new_small)
     new_w = new_w.at[large_idx].set(new_large)
-
-    new = _gather_walkers(state, parents)
-    return new.replace(
-        weight=new_w,
-        unscaled_weight=state.weight,
-        total_weight=total,
-    )
+    return parents, new_w, total
 
 
 def pop_control(state, key, target_weight: float, method: str = "comb"):
