@@ -57,6 +57,12 @@ UEG_NWALKERS = 512
 UEG_NSTEPS = 10
 UEG_NBLOCKS = 3
 
+# Reference (pauxy, numpy, 1 CPU core) on the DISCRETE Hirsch CPMC flagship
+# (BASELINE configs[0]: 4x4 Hubbard U=4 (7,7), free-electron trial, dt=0.01,
+# energy/pop-control every step, reortho every 10): measured 2026-08-17 via
+# the serial oracle, 100 walkers x 20 steps in 2.25 s.
+REFERENCE_DISCRETE_WALKER_STEPS_PER_SEC = 889.0
+
 
 def measure(block_mode="fused", nwalkers=None, force_cpu=False):
     import jax
@@ -123,7 +129,8 @@ def measure(block_mode="fused", nwalkers=None, force_cpu=False):
             if af.use_fast_block:
                 st, _acc = hubbard_fast.run_block_lanes(
                     ham, trial, af.prop, state, sub, eshift,
-                    jnp.asarray(step, jnp.int32), **statics,
+                    jnp.asarray(step, jnp.int32),
+                    greens_impl=af.fast_greens_impl, **statics,
                 )
                 return st
             st, _acc, _bp, _itcf = afq.run_block(
@@ -449,6 +456,9 @@ def measure_discrete():
         )
     out["value"] = out["rate_pallas"]
     out["pallas_speedup"] = round(out["rate_pallas"] / out["rate_scan"], 2)
+    out["vs_baseline"] = round(
+        out["value"] / REFERENCE_DISCRETE_WALKER_STEPS_PER_SEC, 2
+    )
     print("RESULT " + json.dumps(out), flush=True)
 
 

@@ -38,6 +38,21 @@ SINGLE = Precision(real=jnp.dtype(jnp.float32), cplx=jnp.dtype(jnp.complex64))
 DOUBLE = Precision(real=jnp.dtype(jnp.float64), cplx=jnp.dtype(jnp.complex128))
 
 
+def accel_impl(env_var: str) -> str:
+    """Resolve a kernel-implementation switch: the named environment
+    variable wins; otherwise 'pallas' on a single non-CPU device
+    (pallas_call has no SPMD partitioning rule, so sharded meshes fall
+    back to XLA unless a shard_map wrapper exists) and 'xla' elsewhere."""
+    import os
+
+    v = os.environ.get(env_var)
+    if v:
+        return v
+    single_accel = (jax.default_backend() != "cpu"
+                    and len(jax.devices()) == 1)
+    return "pallas" if single_accel else "xla"
+
+
 def get_precision(name: str | Precision | None = None) -> Precision:
     """Resolve a precision spec.
 

@@ -110,13 +110,15 @@ def local_energy_generic_opt(trial, Ghalfa: jax.Array, Ghalfb: jax.Array,
     [w, X, n, n] intermediate is chunked over the Cholesky axis when it
     would exceed ~2 GB so production (nmo, naux, nwalkers) fit in HBM.
     """
+    from pauxy_tpu.ops.contract import cr_einsum
+
     rca, rcb = trial.rchola, trial.rcholb            # [X, n, M]
     e1b = (
-        jnp.einsum("im,wim->w", trial.rh1a, Ghalfa, optimize=True)
-        + jnp.einsum("im,wim->w", trial.rh1b, Ghalfb, optimize=True)
+        cr_einsum("im,wim->w", trial.rh1a, Ghalfa, optimize=True)
+        + cr_einsum("im,wim->w", trial.rh1b, Ghalfb, optimize=True)
     )
-    xa = jnp.einsum("xim,wim->wx", rca, Ghalfa, optimize=True)
-    xb = jnp.einsum("xim,wim->wx", rcb, Ghalfb, optimize=True)
+    xa = cr_einsum("xim,wim->wx", rca, Ghalfa, optimize=True)
+    xb = cr_einsum("xim,wim->wx", rcb, Ghalfb, optimize=True)
     x = xa + xb
     ecoul = jnp.einsum("wx,wx->w", x, x)
     exx = _exx(rca, Ghalfa) + _exx(rcb, Ghalfb)
@@ -128,15 +130,25 @@ def _exx(rchol: jax.Array, ghalf: jax.Array,
          max_elems: int = 1 << 27) -> jax.Array:
     """exx[w] = sum_x tr(T_x(w) T_x(w)), T_x(w) = rchol_x Ghalf_w^T.
 
-    Single einsum when the [w, X, n, n] intermediate is small; otherwise a
-    ``lax.scan`` over Cholesky-axis chunks (the device-side equivalent of the
-    reference's per-aux python loop at ``generic.py:208-212``, but batched
-    chunk-wise onto the MXU).
+    On a single accelerator with REAL rchol this routes to the fused
+    pallas kernel (ops/exx_pallas.py) that never materializes the
+    [w, X, n, n] intermediate in HBM. XLA fallback: single einsum when the
+    intermediate is small; otherwise a ``lax.scan`` over Cholesky-axis
+    chunks (the device-side equivalent of the reference's per-aux python
+    loop at ``generic.py:208-212``, but batched chunk-wise onto the MXU).
     """
+    from pauxy_tpu import config
+    from pauxy_tpu.ops.contract import cr_einsum
+
     nx, n, _ = rchol.shape
     w = ghalf.shape[0]
+    if (not jnp.iscomplexobj(rchol) and jnp.iscomplexobj(ghalf)
+            and config.accel_impl("PAUXY_TPU_EXX") == "pallas"):
+        from pauxy_tpu.ops.exx_pallas import exx_pallas
+
+        return exx_pallas(rchol, ghalf).astype(ghalf.dtype)
     if w * nx * n * n <= max_elems:
-        t = jnp.einsum("xim,wjm->wxij", rchol, ghalf, optimize=True)
+        t = cr_einsum("xim,wjm->wxij", rchol, ghalf, optimize=True)
         return jnp.einsum("wxij,wxji->w", t, t)
     chunk = max(1, max_elems // (w * n * n))
     nchunks = -(-nx // chunk)
@@ -145,10 +157,10 @@ def _exx(rchol: jax.Array, ghalf: jax.Array,
     rc = rc.reshape(nchunks, chunk, n, rchol.shape[-1])
 
     def body(acc, rck):
-        t = jnp.einsum("xim,wjm->wxij", rck, ghalf, optimize=True)
+        t = cr_einsum("xim,wjm->wxij", rck, ghalf, optimize=True)
         return acc + jnp.einsum("wxij,wxji->w", t, t), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros((w,), rchol.dtype), rc)
+    acc, _ = jax.lax.scan(body, jnp.zeros((w,), ghalf.dtype), rc)
     return acc
 
 
@@ -164,13 +176,15 @@ def local_energy_generic_opt_multi(trial, Ghalfa, Ghalfb, det_weights,
 
     Ghalf: [w, D, n, M]; rchol: [D, X, n, M]; det_weights: [w, D].
     """
+    from pauxy_tpu.ops.contract import cr_einsum
+
     rca, rcb = trial.rchola, trial.rcholb
     e1_d = (
-        jnp.einsum("dim,wdim->wd", trial.rh1a, Ghalfa, optimize=True)
-        + jnp.einsum("dim,wdim->wd", trial.rh1b, Ghalfb, optimize=True)
+        cr_einsum("dim,wdim->wd", trial.rh1a, Ghalfa, optimize=True)
+        + cr_einsum("dim,wdim->wd", trial.rh1b, Ghalfb, optimize=True)
     )
-    xa = jnp.einsum("dxim,wdim->wdx", rca, Ghalfa, optimize=True)
-    xb = jnp.einsum("dxim,wdim->wdx", rcb, Ghalfb, optimize=True)
+    xa = cr_einsum("dxim,wdim->wdx", rca, Ghalfa, optimize=True)
+    xb = cr_einsum("dxim,wdim->wdx", rcb, Ghalfb, optimize=True)
     x = xa + xb
     ecoul_d = jnp.einsum("wdx,wdx->wd", x, x)
     exx_per_det = jax.vmap(_exx, in_axes=(0, 1), out_axes=1)
@@ -332,14 +346,17 @@ def local_energy_generic_cholesky_G(ham, Ga: jax.Array, Gb: jax.Array):
     trial half-rotation) — used for back-propagated G where the bra is not
     the trial. Reference: ``pauxy/estimators/generic.py:400-436``.
     """
+    from pauxy_tpu.ops.contract import cr_einsum, rc_einsum
+
     h1 = ham.H1
     chol = ham.chol                                       # [M, M, X]
-    e1b = jnp.einsum("mn,wmn->w", h1[0], Ga) + jnp.einsum("mn,wmn->w", h1[1], Gb)
-    x = jnp.einsum("ikx,wik->wx", chol, Ga + Gb, optimize=True)
+    e1b = (cr_einsum("mn,wmn->w", h1[0], Ga)
+           + cr_einsum("mn,wmn->w", h1[1], Gb))
+    x = cr_einsum("ikx,wik->wx", chol, Ga + Gb, optimize=True)
     ecoul = jnp.einsum("wx,wx->w", x, x)
     exx = jnp.zeros_like(ecoul)
     for g in (Ga, Gb):
-        t = jnp.einsum("wil,ikx->wlkx", g, chol, optimize=True)
+        t = rc_einsum("wil,ikx->wlkx", g, chol, optimize=True)
         exx = exx + jnp.einsum("wlkx,wklx->w", t, t, optimize=True)
     e2b = 0.5 * (ecoul - exx)
     return e1b + e2b + ham.ecore, e1b + ham.ecore, e2b

@@ -107,11 +107,24 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
         h1 = np.asarray(ham.H1)
         rca = np.einsum("pa,pmx->xam", psia.conj(), chol, optimize=True)
         rcb = np.einsum("pa,pmx->xam", psib.conj(), chol, optimize=True)
+
+        def natural(arr):
+            """Store REAL when the tensor is genuinely real (molecular
+            Hamiltonians) — halves the MXU passes and HBM traffic of every
+            downstream contraction (ops/contract.cr_einsum); complex only
+            for k-point/twisted data."""
+            if np.iscomplexobj(arr) and np.abs(arr.imag).max() == 0.0:
+                arr = arr.real
+            return arr.astype(prec.real if not np.iscomplexobj(arr)
+                              else dtype)
+
+        rh1a = psia.conj().T @ h1[0]
+        rh1b = psib.conj().T @ h1[1]
         extras = dict(
-            rchola=to_device(rca.astype(dtype)),
-            rcholb=to_device(rcb.astype(dtype)),
-            rh1a=to_device((psia.conj().T @ h1[0]).astype(dtype)),
-            rh1b=to_device((psib.conj().T @ h1[1]).astype(dtype)),
+            rchola=to_device(natural(rca)),
+            rcholb=to_device(natural(rcb)),
+            rh1a=to_device(natural(rh1a)),
+            rh1b=to_device(natural(rh1b)),
         )
         extras.update(_generic_variant_precomputes(ham, psia, psib, rca, rcb,
                                                    g, dtype))

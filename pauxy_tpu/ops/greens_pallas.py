@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: walker Green's functions + log-overlaps, VMEM-resident.
+
+Why: the AFQMC step is dominated by per-walker linear algebra on tiny
+matrices — S = phi^T psi* [n, n] (n ~ 8), its log-determinant, and
+Ghalf = S^-1 phi^T. XLA's batched LU/solve on [w, n, n] lowers to serial
+Mosaic loops costing ~2.5us per walker per call on a v5e
+(tools/axon/profile_ops.py), which caps the whole simulation at ~50k
+walker-steps/s. An unrolled elimination in plain XLA does not help: its
+~60 unfused elementwise stages each round-trip HBM.
+
+This kernel runs the ENTIRE chain — overlap build, partial-pivot
+Gauss-Jordan (inverse + complex log-determinant), half-rotated Green's
+function — inside one pallas_call per 128-walker lane block, everything in
+registers/VMEM. Complex arithmetic is explicit re/im pairs (Mosaic has no
+complex dtype). Layout: walker axis LAST (lanes), matching ops/lanelinalg.
+
+Replaces the reference's per-walker numpy calls
+(``pauxy/walkers/single_det.py:170-321``) on the fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WB = 128  # walker lane block
+
+
+def _greens_kernel(m, n, want_gh,
+                   psr_ref, psi_ref,
+                   fr_ref, fi_ref,
+                   *refs):
+    if want_gh:
+        ldr_out, ldi_out, ghr_out, ghi_out = refs
+    else:
+        ldr_out, ldi_out = refs
+
+    w = fr_ref.shape[-1]
+    f32 = fr_ref.dtype
+
+    # ---- S[i, j] = sum_m phi[m, i] conj(psi[m, j]) ----------------------
+    sr = jnp.zeros((n, n, w), f32)
+    si = jnp.zeros((n, n, w), f32)
+    for mm in range(m):
+        fr = fr_ref[mm]                                   # [n, W]
+        fi = fi_ref[mm]
+        wr = jnp.stack([psr_ref[mm, j] for j in range(n)])     # [n]
+        wi = jnp.stack([-psi_ref[mm, j] for j in range(n)])    # conj
+        sr = sr + fr[:, None, :] * wr[None, :, None] \
+            - fi[:, None, :] * wi[None, :, None]
+        si = si + fr[:, None, :] * wi[None, :, None] \
+            + fi[:, None, :] * wr[None, :, None]
+
+    # ---- Gauss-Jordan with partial pivoting on the augmented [S | I] ----
+    eye = jnp.broadcast_to(
+        jnp.eye(n, dtype=f32)[:, :, None], (n, n, w)
+    )
+    ar = jnp.concatenate([sr, eye], axis=1)               # [n, 2n, W]
+    ai = jnp.concatenate([si, jnp.zeros((n, n, w), f32)], axis=1)
+    ldr = jnp.zeros((w,), f32)
+    # Determinant phase tracked as a complex unit product (Mosaic has no
+    # atan2; the caller takes arctan2 of this [W] pair — a 2-pi-branch
+    # choice the weight update is invariant to).
+    phr = jnp.ones((w,), f32)
+    phi2 = jnp.zeros((w,), f32)
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    for k in range(n):
+        mag = ar[:, k] * ar[:, k] + ai[:, k] * ai[:, k]   # [n, W]
+        # Pivot = argmax |S[i, k]|^2 over rows i >= k, as an unrolled
+        # compare chain (Mosaic-safe; no argmax primitive).
+        best = mag[k]
+        piv = jnp.full((w,), k, jnp.int32)
+        for i in range(k + 1, n):
+            better = mag[i] > best
+            best = jnp.where(better, mag[i], best)
+            piv = jnp.where(better, jnp.int32(i), piv)
+        # Swap rows k <-> piv per lane (selects; no scatter).
+        is_piv = rows[:, 0] == piv[None, :]               # [n, W]
+        selr = jnp.sum(jnp.where(is_piv[:, None, :], ar, 0.0), axis=0)
+        seli = jnp.sum(jnp.where(is_piv[:, None, :], ai, 0.0), axis=0)
+        rowk_r = ar[k]
+        rowk_i = ai[k]
+        # Row that was at k goes to the pivot's slot; pivot row to slot k.
+        put_old = is_piv[:, None, :] & (rows != k)
+        ar = jnp.where(put_old, rowk_r[None], ar)
+        ai = jnp.where(put_old, rowk_i[None], ai)
+        at_k = rows == k
+        ar = jnp.where(at_k, selr[None], ar)
+        ai = jnp.where(at_k, seli[None], ai)
+        swapped = piv != k
+        sgn = jnp.where(swapped, -1.0, 1.0)               # det *= -1 on swap
+        # |pivot| to the log-magnitude, pivot/|pivot| to the phase product.
+        pr = ar[k, k]
+        pim = ai[k, k]
+        den = pr * pr + pim * pim
+        ldr = ldr + 0.5 * jnp.log(den)
+        rden = sgn * lax.rsqrt(den)
+        ur = pr * rden
+        ui = pim * rden
+        phr, phi2 = phr * ur - phi2 * ui, phr * ui + phi2 * ur
+        # Normalize row k by the pivot: row_k /= p.
+        invr = pr / den
+        invi = -pim / den
+        nr = ar[k] * invr[None, :] - ai[k] * invi[None, :]
+        ni = ar[k] * invi[None, :] + ai[k] * invr[None, :]
+        ar = jnp.where(at_k, nr[None], ar)
+        ai = jnp.where(at_k, ni[None], ai)
+        # Eliminate column k from every other row (Jordan).
+        fr_k = ar[:, k]                                   # [n, W]
+        fi_k = ai[:, k]
+        mask = (rows != k)
+        er = ar - jnp.where(
+            mask, fr_k[:, None, :] * nr[None] - fi_k[:, None, :] * ni[None],
+            0.0,
+        )
+        ei = ai - jnp.where(
+            mask, fr_k[:, None, :] * ni[None] + fi_k[:, None, :] * nr[None],
+            0.0,
+        )
+        ar, ai = er, ei
+    ldr_out[...] = ldr.reshape(1, w)
+    ldi_out[...] = jnp.stack([phr, phi2])                 # [2, W] phase pair
+    if not want_gh:
+        return
+    invr = ar[:, n:]                                      # [n, n, W]
+    invi = ai[:, n:]
+    # ---- ghT[q] = inv @ phi[q] per site row q ---------------------------
+    for q in range(m):
+        fqr = fr_ref[q]                                   # [n, W]
+        fqi = fi_ref[q]
+        accr = jnp.zeros((n, w), f32)
+        acci = jnp.zeros((n, w), f32)
+        for j in range(n):
+            br = fqr[j : j + 1]                           # [1, W]
+            bi = fqi[j : j + 1]
+            accr = accr + invr[:, j] * br - invi[:, j] * bi
+            acci = acci + invr[:, j] * bi + invi[:, j] * br
+        ghr_out[q] = accr
+        ghi_out[q] = acci
+
+
+@functools.partial(
+    jax.jit, static_argnames=("want_gh", "interpret")
+)
+def greens_lanes_pallas(psi, phi, want_gh: bool = True,
+                        interpret: bool = False):
+    """Green's function of one spin sector, lanes layout.
+
+    psi [M, n] complex trial; phi [M, n, W] complex walkers (walker axis
+    last). Returns (logdet [W] complex, ghT [M, n, W] complex or None)
+    where ghT[q, i, w] = Ghalf[i, q, w] — i.e. Ghalf transposed so every
+    kernel access is a leading-axis row.
+
+    Same math as ops/greens.greens_function: S = phi^T conj(psi),
+    logdet = log det S, Ghalf = S^-1 phi^T.
+    """
+    m, n, w = phi.shape
+    f32 = phi.real.dtype
+    pad = (-w) % WB
+    wp = w + pad
+
+    fr = jnp.pad(phi.real.astype(f32), ((0, 0), (0, 0), (0, pad)))
+    fi = jnp.pad(phi.imag.astype(f32), ((0, 0), (0, 0), (0, pad)))
+    psr = psi.real.astype(f32)
+    psi_im = psi.imag.astype(f32)
+
+    def smem_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.SMEM)
+
+    def blk(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape[:-1] + (WB,),
+                            lambda i, _n=nd: (0,) * (_n - 1) + (i,))
+
+    out_specs = [blk((1, wp)), blk((2, wp))]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, wp), f32),
+        jax.ShapeDtypeStruct((2, wp), f32),
+    ]
+    if want_gh:
+        out_specs += [blk((m, n, wp)), blk((m, n, wp))]
+        out_shape += [
+            jax.ShapeDtypeStruct((m, n, wp), f32),
+            jax.ShapeDtypeStruct((m, n, wp), f32),
+        ]
+
+    outs = pl.pallas_call(
+        functools.partial(_greens_kernel, m, n, want_gh),
+        grid=(wp // WB,),
+        in_specs=[
+            smem_spec((m, n)),
+            smem_spec((m, n)),
+            blk((m, n, wp)),
+            blk((m, n, wp)),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(psr, psi_im, fr, fi)
+
+    ldr, ph = outs[0], outs[1]
+    logdet = ldr[0, :w] + 1j * jnp.arctan2(ph[1, :w], ph[0, :w])
+    if not want_gh:
+        return logdet, None
+    ght = (outs[2] + 1j * outs[3])[:, :, :w]
+    return logdet, ght

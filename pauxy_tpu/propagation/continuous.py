@@ -77,6 +77,12 @@ class Continuous:
     free_projection: bool = struct.field(pytree_node=False, default=False)
     hybrid: bool = struct.field(pytree_node=False, default=True)
     force_bias: bool = struct.field(pytree_node=False, default=True)
+    # Stochastic resolution-of-identity one-body application
+    # (operations.py:54-90 kinetic_real_stochastic; its call sites at
+    # continuous.py:248-256 are commented out in the reference — here the
+    # path is live and tested).
+    stochastic_ri: bool = struct.field(pytree_node=False, default=False)
+    ri_nsamples: int = struct.field(pytree_node=False, default=20)
 
     @property
     def sqrt_dt(self):
@@ -105,6 +111,51 @@ def _apply_bh1(bh1: jax.Array, phia: jax.Array, phib: jax.Array):
     phia = jnp.einsum("pm,wmn->wpn", bh1[0], phia, optimize=True)
     phib = jnp.einsum("pm,wmn->wpn", bh1[1], phib, optimize=True)
     return phia, phib
+
+
+def _apply_bh1_stochastic(bh1, phia, phib, key, nsamples: int):
+    """Stochastic-RI one-body half-step: phi <- (B theta)(theta^T phi)/ns.
+
+    theta is an M x ns Rademacher sketch with E[theta theta^T / ns] = I, so
+    the applied map is B_{T/2} in expectation. Reference:
+    ``pauxy/propagation/operations.py:54-90`` (kinetic_real_stochastic).
+    TPU-native redesign: one sketch shared by the whole walker batch, so
+    B·theta is built ONCE ([M, ns] matmul) and the per-walker cost drops
+    from M^2 n to 2 M ns n — a genuine reduced-scaling path for ns << M
+    (the reference rebuilds B·theta per walker, losing that win; its call
+    sites are also commented out, ``continuous.py:248-256``). A diagonal
+    B (ndim==2) is applied exactly, as in the reference's H1diag branch.
+    """
+    if bh1.ndim == 2:
+        return _apply_bh1(bh1, phia, phib)
+    m = phia.shape[1]
+    rdtype = jnp.abs(jnp.zeros((), phia.dtype)).dtype
+    theta = jax.random.rademacher(key, (m, nsamples), dtype=jnp.int32)
+    theta = theta.astype(rdtype)
+    bta = bh1[0] @ theta.astype(bh1.dtype)               # [M, ns]
+    btb = bh1[1] @ theta.astype(bh1.dtype)
+    inv = 1.0 / nsamples
+    ta = jnp.einsum("ms,wmn->wsn", theta, phia, optimize=True)
+    tb = jnp.einsum("ms,wmn->wsn", theta, phib, optimize=True)
+    phia = inv * jnp.einsum("ps,wsn->wpn", bta, ta, optimize=True)
+    phib = inv * jnp.einsum("ps,wsn->wpn", btb, tb, optimize=True)
+    return phia, phib
+
+
+def _half_steps(prop: "Continuous", key):
+    """Return (apply_first, apply_second) one-body half-step closures,
+    stochastic-RI sketched when enabled (fresh sketch per half-step)."""
+    inner = prop.inner
+    if not prop.stochastic_ri:
+        fn = lambda pa, pb: _apply_bh1(inner.BH1, pa, pb)  # noqa: E731
+        return fn, fn
+    k1, k2 = jax.random.split(key)
+    return (
+        lambda pa, pb: _apply_bh1_stochastic(inner.BH1, pa, pb, k1,
+                                             prop.ri_nsamples),
+        lambda pa, pb: _apply_bh1_stochastic(inner.BH1, pa, pb, k2,
+                                             prop.ri_nsamples),
+    )
 
 
 def two_body_factors(prop: Continuous, trial, ga, gb, key, nwalkers: int):
@@ -162,10 +213,15 @@ def propagate_phaseless(
     inner = prop.inner
     ga, gb, log_o = trial_greens(trial, state.phia, state.phib)
 
-    phia, phib = _apply_bh1(inner.BH1, state.phia, state.phib)
+    if prop.stochastic_ri:
+        key, kbh = jax.random.split(key)
+    else:
+        kbh = key
+    bh1_first, bh1_second = _half_steps(prop, kbh)
+    phia, phib = bh1_first(state.phia, state.phib)
     fac = two_body_factors(prop, trial, ga, gb, key, state.nwalkers)
     phia, phib = inner.apply_vhs(phia, phib, fac.xshifted)
-    phia, phib = _apply_bh1(inner.BH1, phia, phib)
+    phia, phib = bh1_second(phia, phib)
 
     log_o_new = trial_log_overlap(trial, phia, phib)
 
@@ -247,10 +303,15 @@ def propagate_free(
     inner = prop.inner
     ga, gb, _ = trial_greens(trial, state.phia, state.phib)
 
-    phia, phib = _apply_bh1(inner.BH1, state.phia, state.phib)
+    if prop.stochastic_ri:
+        key, kbh = jax.random.split(key)
+    else:
+        kbh = key
+    bh1_first, bh1_second = _half_steps(prop, kbh)
+    phia, phib = bh1_first(state.phia, state.phib)
     fac = two_body_factors(prop, trial, ga, gb, key, state.nwalkers)
     phia, phib = inner.apply_vhs(phia, phib, fac.xshifted)
-    phia, phib = _apply_bh1(inner.BH1, phia, phib)
+    phia, phib = bh1_second(phia, phib)
 
     log_o_new = trial_log_overlap(trial, phia, phib)
     arg = fac.cmf + prop.dt * eshift

@@ -43,6 +43,11 @@ class GenericContinuous:
     chol: jax.Array       # [M, M, X] (alias of ham.chol; same buffer)
     dt: float = struct.field(pytree_node=False)
     exp_order: int = struct.field(pytree_node=False, default=6)
+    # Taylor expm-apply kernel: 'xla' (lax.fori_loop, re-reads VHS from
+    # HBM each order), 'pallas' (fused VMEM kernel, VHS read once —
+    # ops/taylor_pallas.py), 'pallas_bf16' (same with bf16 multiplicands /
+    # f32 accumulation), 'pallas_interpret' (tests).
+    taylor_impl: str = struct.field(pytree_node=False, default="xla")
 
     @property
     def sqrt_dt(self):
@@ -56,24 +61,27 @@ class GenericContinuous:
         reference's O(nfields M^2) full-G contraction at
         ``generic.py:154-157``). Falls back to the full Green's function
         when no half-rotation exists (``generic.py:109-128`` slow path)."""
+        from pauxy_tpu.ops.contract import cr_einsum
+
         rca = getattr(trial, "rchola", None)
         if ga.Ghalf is None or rca is None:
             m = self.BH1.shape[-1]
-            vbias = jnp.einsum(
+            vbias = cr_einsum(
                 "pqx,wpq->wx", self.chol.reshape(m, m, -1), ga.G + gb.G,
                 optimize=True,
             )
         elif ga.Ghalf.ndim == 4:
             wd = ga.det_weights[..., None, None]          # [w, D, 1, 1]
-            vbias = jnp.einsum(
+            vbias = cr_einsum(
                 "dxim,wdim->wx", rca, wd * ga.Ghalf, optimize=True
-            ) + jnp.einsum(
+            ) + cr_einsum(
                 "dxim,wdim->wx", trial.rcholb, wd * gb.Ghalf, optimize=True
             )
         else:
-            vbias = jnp.einsum(
+            vbias = cr_einsum(
                 "xim,wim->wx", rca, ga.Ghalf, optimize=True
-            ) + jnp.einsum("xim,wim->wx", trial.rcholb, gb.Ghalf, optimize=True)
+            ) + cr_einsum("xim,wim->wx", trial.rcholb, gb.Ghalf,
+                          optimize=True)
         return -self.sqrt_dt * (1j * vbias - self.mf_shift)
 
     def apply_vhs(self, phia, phib, xshifted):
@@ -81,8 +89,10 @@ class GenericContinuous:
 
         Reference: ``generic.py:164-179`` + ``continuous.py:82-111``.
         """
+        from pauxy_tpu.ops.contract import cr_einsum
+
         m = phia.shape[1]
-        vhs = jnp.einsum(
+        vhs = cr_einsum(
             "pqx,wx->wpq",
             self.chol.reshape(m, m, -1),
             xshifted,
@@ -93,9 +103,17 @@ class GenericContinuous:
         # column-concatenated [w, M, na+nb] matrix — halves the number of
         # (narrow-n) batched matmuls vs per-spin application.
         na = phia.shape[-1]
-        phi = apply_exponential_taylor(
-            vhs, jnp.concatenate([phia, phib], axis=-1), self.exp_order
-        )
+        phi_in = jnp.concatenate([phia, phib], axis=-1)
+        if self.taylor_impl.startswith("pallas"):
+            from pauxy_tpu.ops.taylor_pallas import apply_taylor_pallas
+
+            phi = apply_taylor_pallas(
+                vhs, phi_in, order=self.exp_order,
+                lowp=self.taylor_impl == "pallas_bf16",
+                interpret=self.taylor_impl == "pallas_interpret",
+            )
+        else:
+            phi = apply_exponential_taylor(vhs, phi_in, self.exp_order)
         return phi[..., :na], phi[..., na:]
 
     def bp_dagger_fields(self, x):
@@ -113,12 +131,15 @@ def construct_mean_field_shift(ham, trial) -> np.ndarray:
     return 1j * np.einsum("ikx,ik->x", chol, g[0] + g[1], optimize=True)
 
 
-def make_generic_continuous(ham, trial, dt: float, precision=None, exp_order=6):
+def make_generic_continuous(ham, trial, dt: float, precision=None, exp_order=6,
+                            taylor_impl: str | None = None):
     """Host-side setup (``generic.py:29-107``):
 
     BH1_s = expm(-dt/2 (h1e_mod_s - i sum_x mf_x L_x)).
     """
     prec = config.get_precision(precision)
+    if taylor_impl is None:
+        taylor_impl = config.accel_impl("PAUXY_TPU_TAYLOR")
     mf_shift = construct_mean_field_shift(ham, trial)
     chol = np.asarray(ham.chol)
     shift = 1j * np.einsum("pqx,x->pq", chol, mf_shift, optimize=True)
@@ -128,12 +149,17 @@ def make_generic_continuous(ham, trial, dt: float, precision=None, exp_order=6):
     )
     from pauxy_tpu.utils.transfer import to_device
 
+    # chol keeps its NATURAL dtype (real for molecular Hamiltonians): the
+    # VHS/force-bias contractions then run as two real MXU passes instead
+    # of four, on half the weight bytes (ops/contract.cr_einsum).
+    chol_dtype = prec.cplx if np.iscomplexobj(chol) else prec.real
     return GenericContinuous(
         BH1=to_device(bh1.astype(prec.cplx)),
         mf_shift=to_device(mf_shift.astype(prec.cplx)),
-        chol=to_device(chol.astype(prec.cplx)),
+        chol=to_device(chol.astype(chol_dtype)),
         dt=float(dt),
         exp_order=int(exp_order),
+        taylor_impl=str(taylor_impl),
     )
 
 

@@ -536,6 +536,14 @@ class AFQMC:
                 pop_method=qmc.pop_control_method,
             )
         )
+        # Green's-function kernel inside the fast block: the VMEM pallas
+        # kernel on a single accelerator (it has no SPMD partitioning
+        # rule), the unrolled-XLA path otherwise/on CPU.
+        self.fast_greens_impl = _os.environ.get("PAUXY_TPU_GREENS") or (
+            "pallas"
+            if (jax.default_backend() != "cpu" and len(jax.devices()) == 1)
+            else "xla"
+        )
 
         # Walker restart (handler.py:144-157 write_freq/read_file options).
         wopts = dict(walker_options or {})
@@ -609,7 +617,8 @@ class AFQMC:
             from pauxy_tpu.propagation.generic import make_generic_continuous
 
             inner = make_generic_continuous(
-                self.ham, self.trial, self.qmc.dt, precision=self.prec
+                self.ham, self.trial, self.qmc.dt, precision=self.prec,
+                taylor_impl=popts.get("taylor_impl"),
             )
         elif name == "UEG":
             from pauxy_tpu.propagation.planewave import make_planewave
@@ -633,6 +642,10 @@ class AFQMC:
             free_projection=self.free_projection,
             hybrid=self.hybrid,
             force_bias=popts.get("force_bias", not self.free_projection),
+            # Reduced-scaling one-body application (reference option at
+            # continuous.py:24-28; live here, dead code there).
+            stochastic_ri=popts.get("stochastic_ri", False),
+            ri_nsamples=int(popts.get("nsamples", 20)),
         )
 
     def _metadata(self, popts: dict) -> dict:
@@ -819,6 +832,7 @@ class AFQMC:
                 pop_method=self.qmc.pop_control_method,
                 target_weight=float(self.qmc.nwalkers),
                 energy_eval_freq=self.energy_eval_freq,
+                greens_impl=self.fast_greens_impl,
             )
             jax.block_until_ready(acc)
             self.timing["block"] += time.time() - t_block

@@ -42,6 +42,7 @@ def eligible(ham, trial, prop, *, free_projection, nbp, nitcf,
         and isinstance(prop, Continuous)
         and isinstance(prop.inner, HubbardContinuous)
         and prop.hybrid
+        and not getattr(prop, "stochastic_ri", False)
         and not free_projection
         and not (nbp or nitcf or calc_one_rdm or calc_two_rdm)
         and getattr(trial, "psia", None) is not None
@@ -50,27 +51,47 @@ def eligible(ham, trial, prop, *, free_projection, nbp, nitcf,
     )
 
 
-def _greens_lanes(psi, phi):
-    """(logdet [W], ghalf [n, M, W], diag [M, W]) of one spin sector.
+def _greens_lanes(psi, phi, impl: str = "xla"):
+    """(logdet [W], ghT [M, n, W], diag [M, W]) of one spin sector.
 
     Same math as ops/greens.greens_function on the [w, M, n] layout:
     S = phi^T conj(psi) (= (psi^dag phi)^T), Ghalf = S^-1 phi^T,
-    diag(G)_q = sum_i psi*[q,i] Ghalf[i,q]."""
-    s = jnp.swapaxes(ll.overlap_lanes(psi, phi), 0, 1)  # [n, n, W]
-    phit = jnp.swapaxes(phi, 0, 1)                    # [n, M, W]
-    logdet, gh = ll.gauss(s, phit)
-    diag = jnp.sum(psi.conj().T[:, :, None] * gh, axis=0)   # [M, W]
-    return logdet, gh, diag
+    diag(G)_q = sum_i psi*[q,i] Ghalf[i,q]. ghT is Ghalf transposed
+    ([site, orbital, walker]) — the layout the pallas kernel emits.
+
+    impl: 'xla' (unrolled lanelinalg Gauss), 'pallas' (VMEM-resident
+    kernel, ops/greens_pallas.py) or 'pallas_interpret'.
+    """
+    if impl.startswith("pallas"):
+        from pauxy_tpu.ops.greens_pallas import greens_lanes_pallas
+
+        logdet, ght = greens_lanes_pallas(
+            psi, phi, want_gh=True, interpret=(impl == "pallas_interpret")
+        )
+    else:
+        s = jnp.swapaxes(ll.overlap_lanes(psi, phi), 0, 1)  # [n, n, W]
+        phit = jnp.swapaxes(phi, 0, 1)                    # [n, M, W]
+        logdet, gh = ll.gauss(s, phit)
+        ght = jnp.swapaxes(gh, 0, 1)                      # [M, n, W]
+    diag = jnp.sum(psi.conj()[:, :, None] * ght, axis=1)  # [M, W]
+    return logdet, ght, diag
 
 
-def _log_overlap_lanes(psi, phi):
+def _log_overlap_lanes(psi, phi, impl: str = "xla"):
+    if impl.startswith("pallas"):
+        from pauxy_tpu.ops.greens_pallas import greens_lanes_pallas
+
+        logdet, _ = greens_lanes_pallas(
+            psi, phi, want_gh=False, interpret=(impl == "pallas_interpret")
+        )
+        return logdet
     return ll.slogdet(ll.overlap_lanes(psi, phi))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nsteps", "nstblz", "npop_control", "pop_method",
-                     "target_weight", "energy_eval_freq"),
+                     "target_weight", "energy_eval_freq", "greens_impl"),
 )
 def run_block_lanes(
     ham,
@@ -87,6 +108,7 @@ def run_block_lanes(
     pop_method: str,
     target_weight: float,
     energy_eval_freq: int,
+    greens_impl: str = "xla",
 ):
     """Drop-in for qmc/afqmc.run_block on the supported subset: returns
     (state, mixed accumulator [2, NACC] real) — BP/ITCF accumulators are
@@ -102,19 +124,19 @@ def run_block_lanes(
     sqrt_dt = prop.sqrt_dt
     ebound = prop.ebound
     sqrt_u = inner.U ** 0.5
-    # Trial-rotated kinetic contraction A_s = psi_s^dag T_s so that
-    # ke = sum_iq A[i, q] Ghalf[i, q, W] without building the full G.
+    # Trial-rotated kinetic contraction A_s = (psi_s^dag T_s)^T so that
+    # ke = sum_qi A[q, i] ghT[q, i, W] without building the full G.
     t = jnp.asarray(ham.T, cdtype)
-    ea = psia.conj().T @ t[0]
-    eb = psib.conj().T @ t[1]
+    ea = (psia.conj().T @ t[0]).T                          # [M, n]
+    eb = (psib.conj().T @ t[1]).T
 
     def sel_mat(alive, new, old):
         return jnp.where(alive[None, None, :], new, old)
 
     def propagate(carry, kprop):
         phia, phib, weight, uw, log_ovlp, ehyb_prev, ldetr, tw = carry
-        log_a, gha, da = _greens_lanes(psia, phia)
-        log_b, ghb, db = _greens_lanes(psib, phib)
+        log_a, gha, da = _greens_lanes(psia, phia, greens_impl)
+        log_b, ghb, db = _greens_lanes(psib, phib, greens_impl)
         log_o = (log_a + log_b).astype(cdtype)
 
         phia1 = ll.matmul_left(inner.BH1[0], phia)
@@ -153,7 +175,8 @@ def run_block_lanes(
         phib1 = ll.matmul_left(inner.BH1[1], phib1)
 
         log_new = (
-            _log_overlap_lanes(psia, phia1) + _log_overlap_lanes(psib, phib1)
+            _log_overlap_lanes(psia, phia1, greens_impl)
+            + _log_overlap_lanes(psib, phib1, greens_impl)
         ).astype(cdtype)
 
         log_ratio = log_new - log_o
@@ -211,8 +234,8 @@ def run_block_lanes(
         wfac = weight.astype(cdtype)
 
         def with_energy(_):
-            _, gha, da = _greens_lanes(psia, phia)
-            _, ghb, db = _greens_lanes(psib, phib)
+            _, gha, da = _greens_lanes(psia, phia, greens_impl)
+            _, ghb, db = _greens_lanes(psib, phib, greens_impl)
             ke = (jnp.sum(ea[:, :, None] * gha, axis=(0, 1))
                   + jnp.sum(eb[:, :, None] * ghb, axis=(0, 1)))
             if ham.symmetric:

@@ -320,3 +320,78 @@ def test_freeze_core_preserves_ground_state():
     act = make_generic((na_act, na_act), h1_act, chol_act, ecore=ecore_f)
     e_act, _, _ = ci.simple_fci(act)
     assert float(e_act[0]) == pytest.approx(float(e_full[0]), abs=1e-10)
+
+
+@pytest.mark.unit
+def test_taylor_pallas_matches_xla():
+    """Fused VMEM Taylor expm-apply (interpret) == the XLA fori_loop path;
+    the bf16 variant is within its documented error bound (SURVEY hard
+    part (f): selective precision lowering, error-controlled)."""
+    import jax.numpy as jnp
+
+    from pauxy_tpu.ops.taylor_pallas import apply_taylor_pallas
+    from pauxy_tpu.propagation.generic import apply_exponential_taylor
+
+    rng = np.random.default_rng(0)
+    w, m, n = 6, 20, 7
+    vhs = 0.1 * (rng.normal(size=(w, m, m))
+                 + 1j * rng.normal(size=(w, m, m))).astype(np.complex64)
+    phi = (rng.normal(size=(w, m, n))
+           + 1j * rng.normal(size=(w, m, n))).astype(np.complex64)
+    ref = np.asarray(apply_exponential_taylor(jnp.asarray(vhs),
+                                              jnp.asarray(phi)))
+    out = np.asarray(apply_taylor_pallas(jnp.asarray(vhs), jnp.asarray(phi),
+                                         interpret=True))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 1e-6
+    outb = np.asarray(apply_taylor_pallas(jnp.asarray(vhs), jnp.asarray(phi),
+                                          lowp=True, interpret=True))
+    # bf16 multiplicands / f32 accumulation: ~8-bit mantissa per product.
+    assert np.abs(outb - ref).max() / scale < 5e-3
+
+
+@pytest.mark.unit
+def test_exx_pallas_matches_einsum():
+    """Fused exchange kernel (interpret) == the dense einsum, including the
+    X-chunked accumulation path and non-divisible walker counts."""
+    import jax.numpy as jnp
+
+    from pauxy_tpu.ops.exx_pallas import exx_pallas
+
+    rng = np.random.default_rng(1)
+    X, n, m, w = 37, 5, 24, 11
+    rc = rng.normal(size=(X, n, m)).astype(np.float32)
+    gh = (rng.normal(size=(w, n, m))
+          + 1j * rng.normal(size=(w, n, m))).astype(np.complex64)
+    t = np.einsum("xim,wjm->wxij", rc, gh)
+    ref = np.einsum("wxij,wxji->w", t, t)
+    out = np.asarray(exx_pallas(jnp.asarray(rc), jnp.asarray(gh), wb=4,
+                                max_chunk_elems=n * m * 16, interpret=True))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+@pytest.mark.driver
+def test_generic_driver_taylor_pallas_trajectory(tmp_path):
+    """A Generic run with taylor_impl='pallas_interpret' is
+    trajectory-close to the XLA path (same RNG stream; f32 kernel vs f64
+    XLA on CPU tests, so agreement is to single precision)."""
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    def run(impl, fname):
+        h1e, chol, enuc, _ = generate_hamiltonian(6, (2, 2), seed=21)
+        ham = make_generic((2, 2), h1e, chol, enuc)
+        trial = rhf_identity_trial(ham)
+        qmc = QMCOpts(nwalkers=6, dt=0.01, nsteps=4, nblocks=2, nstblz=5,
+                      npop_control=5, rng_seed=5)
+        af = AFQMC(ham, trial, qmc,
+                   propagator_options={"taylor_impl": impl},
+                   estimator_options={"mixed": {"energy_eval_freq": 1}},
+                   filename=str(tmp_path / fname))
+        return af.run()
+
+    r_x = run("xla", "tx.h5")
+    r_p = run("pallas_interpret", "tp.h5")
+    # Drop the trailing wall-clock Time column (never reproducible).
+    np.testing.assert_allclose(np.asarray(r_x).real[:, :-1],
+                               np.asarray(r_p).real[:, :-1],
+                               rtol=2e-4, atol=2e-4)

@@ -83,3 +83,39 @@ def test_fast_block_ineligible_paths_fall_back(tmp_path):
     assert not af.use_fast_block
     rows = af.run()
     assert np.isfinite(rows.real).all()
+
+
+def test_fast_block_pallas_greens_matches_xla(tmp_path):
+    """The VMEM greens kernel (interpret mode) inside the fast block is
+    trajectory-equal to the unrolled-XLA lanes path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import hubbard_fast as hf
+    from pauxy_tpu.utils.transfer import device_zeros
+    from pauxy_tpu.walkers import init_walkers
+
+    ham = make_hubbard(nup=7, ndown=7, U=4.0, nx=4, ny=4)
+    trial = free_electron_trial(ham)
+    from pauxy_tpu.propagation import continuous
+    from pauxy_tpu.propagation.hubbard import make_hubbard_continuous
+
+    inner = make_hubbard_continuous(ham, trial, 0.01)
+    prop = continuous.Continuous(inner=inner, dt=0.01)
+    state = init_walkers(trial, 24, total_weight=24.0)
+    eshift = device_zeros((), state.log_ovlp.dtype)
+    kw = dict(nsteps=10, nstblz=5, npop_control=2, pop_method="comb",
+              target_weight=24.0, energy_eval_freq=1)
+    s1, a1 = hf.run_block_lanes(ham, trial, prop, state, jax.random.key(3),
+                                eshift, jnp.asarray(0, jnp.int32),
+                                greens_impl="xla", **kw)
+    s2, a2 = hf.run_block_lanes(ham, trial, prop, state, jax.random.key(3),
+                                eshift, jnp.asarray(0, jnp.int32),
+                                greens_impl="pallas_interpret", **kw)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1.weight), np.asarray(s2.weight),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(jnp.abs(s1.phia)),
+                               np.asarray(jnp.abs(s2.phia)), atol=1e-9)
