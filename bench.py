@@ -218,9 +218,13 @@ def _assert_finite(vals):
 
 
 def _generic_step_flops(w, m, n, x, exp_order=6):
-    """Real-FLOP count of one phaseless step on the Generic fast path
-    (complex MAC = 8 real flops). Dominant contractions only; the true MFU
-    is slightly higher."""
+    """EFFECTIVE real-FLOP count of one phaseless step: the algorithmic
+    FLOPs of the reference formulation (complex MAC = 8 real flops),
+    independent of implementation. The exchange supermatrix path
+    (models/trial._exx_supermatrix) does ~4x fewer arithmetic ops for the
+    energy term than counted here, so 'achieved_tflops' is an
+    effective-throughput number (fast-attention convention), not hardware
+    utilization; 'mfu_vs_bf16_peak' inherits that convention."""
     greens = 2 * (8 * w * m * n * n + 8 * w * m * m * n)   # S + G per spin
     bh1 = 4 * 8 * w * m * m * n                            # two half-steps x 2 spins
     vhs_build = 8 * w * x * m * m
@@ -311,6 +315,8 @@ def measure_generic():
                 ),
                 "achieved_tflops": round(achieved / 1e12, 2),
                 "mfu_vs_bf16_peak": round(achieved / V5E_BF16_PEAK_FLOPS, 4),
+                "flops_convention": "effective (reference-algorithm FLOPs)",
+                "matmul_precision": af.matmul_precision,
                 "nwalkers": nw,
             }
         ),

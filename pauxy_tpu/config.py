@@ -53,6 +53,33 @@ def accel_impl(env_var: str) -> str:
     return "pallas" if single_accel else "xla"
 
 
+def set_matmul_precision(policy: str | None = None) -> str:
+    """Set jax's global default matmul precision for f32 operands.
+
+    On TPU the MXU natively multiplies bf16; XLA's DEFAULT precision runs
+    ONE bf16 pass even for f32 inputs — measured ~5e-3 relative error on
+    the order-6 Taylor propagator on a v5e, silently degrading every
+    "f32" contraction in the program. The driver therefore defaults to
+    'float32' (6-pass, ~1e-7 vs the f64 reference). Lower tiers are the
+    documented speed ladder (SURVEY hard part (f)), opt-in per run:
+
+    * 'float32'     — 6 bf16 MXU passes, full f32 accuracy (default)
+    * 'bfloat16_3x' — 3 passes, ~3e-5 relative
+    * 'bfloat16'    — 1 pass, ~5e-3 relative
+
+    No-op on CPU (CPU f32 matmuls are exact at f32). Returns the policy
+    actually in force.
+    """
+    if policy is None:
+        import os
+
+        policy = os.environ.get("PAUXY_TPU_MATMUL", "float32")
+    if jax.default_backend() == "cpu":
+        return "float32"
+    jax.config.update("jax_default_matmul_precision", policy)
+    return policy
+
+
 def get_precision(name: str | Precision | None = None) -> Precision:
     """Resolve a precision spec.
 

@@ -121,27 +121,36 @@ def local_energy_generic_opt(trial, Ghalfa: jax.Array, Ghalfb: jax.Array,
     xb = cr_einsum("xim,wim->wx", rcb, Ghalfb, optimize=True)
     x = xa + xb
     ecoul = jnp.einsum("wx,wx->w", x, x)
-    exx = _exx(rca, Ghalfa) + _exx(rcb, Ghalfb)
+    exx = (_exx(rca, Ghalfa, getattr(trial, "exx_supera", None))
+           + _exx(rcb, Ghalfb, getattr(trial, "exx_superb", None)))
     e2b = 0.5 * (ecoul - exx)
     return e1b + e2b + ecore, e1b + ecore, e2b
 
 
-def _exx(rchol: jax.Array, ghalf: jax.Array,
+def _exx(rchol: jax.Array, ghalf: jax.Array, exx_super=None,
          max_elems: int = 1 << 27) -> jax.Array:
     """exx[w] = sum_x tr(T_x(w) T_x(w)), T_x(w) = rchol_x Ghalf_w^T.
 
-    On a single accelerator with REAL rchol this routes to the fused
-    pallas kernel (ops/exx_pallas.py) that never materializes the
-    [w, X, n, n] intermediate in HBM. XLA fallback: single einsum when the
-    intermediate is small; otherwise a ``lax.scan`` over Cholesky-axis
-    chunks (the device-side equivalent of the reference's per-aux python
-    loop at ``generic.py:208-212``, but batched chunk-wise onto the MXU).
+    Fastest path: the precomputed exchange supermatrix
+    (models/trial._exx_supermatrix) turns the whole contraction into ONE
+    dense [w, nM] x [nM, nM] MXU matmul plus a row-wise dot:
+    exx_w = vec(Ghalf_w)^T C vec(Ghalf_w) — 4x fewer FLOPs than the
+    T-intermediate route and a perfectly MXU-shaped GEMM. Next: the fused
+    pallas kernel (ops/exx_pallas.py) for REAL rchol over the size cap.
+    XLA fallback: single einsum when the [w, X, n, n] intermediate is
+    small; otherwise a ``lax.scan`` over Cholesky-axis chunks (the
+    device-side equivalent of the reference's per-aux python loop at
+    ``generic.py:208-212``, but batched chunk-wise onto the MXU).
     """
     from pauxy_tpu import config
     from pauxy_tpu.ops.contract import cr_einsum
 
     nx, n, _ = rchol.shape
     w = ghalf.shape[0]
+    if exx_super is not None:
+        gv = ghalf.reshape(w, -1)
+        t = cr_einsum("pq,wq->wp", exx_super, gv, optimize=True)
+        return jnp.einsum("wp,wp->w", gv, t)
     if (not jnp.iscomplexobj(rchol) and jnp.iscomplexobj(ghalf)
             and config.accel_impl("PAUXY_TPU_EXX") == "pallas"):
         from pauxy_tpu.ops.exx_pallas import exx_pallas

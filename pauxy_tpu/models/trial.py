@@ -51,6 +51,12 @@ class SingleDetTrial:
     # and its exact (ecoul0, exxa0, exxb0).
     ghalf0a: Any = None    # [na, M]
     ghalf0b: Any = None    # [nb, M]
+    # Exchange supermatrix C[(j m), (i m')] = sum_x rchol[x,i,m] rchol[x,j,m']
+    # ([n*M, n*M], walker-independent): exx_w = vec(Ghalf_w)^T C vec(Ghalf_w)
+    # as ONE dense MXU matmul — replaces the [w, X, n, n] intermediate /
+    # chunked scan entirely when (n*M)^2 fits (estimators/local_energy._exx).
+    exx_supera: Any = None  # [na*M, na*M]
+    exx_superb: Any = None  # [nb*M, nb*M]
     e0_terms: Any = struct.field(pytree_node=False, default=None)
     # Host-side (numpy) trial Green's function; setup-only, never on device.
     G_host: Any = struct.field(pytree_node=False, default=None)
@@ -126,6 +132,10 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
             rh1a=to_device(natural(rh1a)),
             rh1b=to_device(natural(rh1b)),
         )
+        for spin, rc in (("a", rca), ("b", rcb)):
+            sup = _exx_supermatrix(rc)
+            if sup is not None:
+                extras[f"exx_super{spin}"] = to_device(natural(sup))
         extras.update(_generic_variant_precomputes(ham, psia, psib, rca, rcb,
                                                    g, dtype))
     from pauxy_tpu.utils.transfer import HostArray
@@ -142,6 +152,31 @@ def _finalize(ham, psia, psib, prec, name: str) -> SingleDetTrial:
         name=name,
         **extras,
     )
+
+
+# Elements cap of one exchange supermatrix: (n*M)^2 <= 2^26 (268 MB f32).
+# Beyond this the chunked-scan _exx path takes over.
+EXX_SUPER_MAX_ELEMS = 2 ** 26
+
+
+def _exx_supermatrix(rc: np.ndarray) -> np.ndarray | None:
+    """C[(j m), (i m')] = sum_x rchol[x, i, m] rchol[x, j, m'].
+
+    Walker-independent [n*M, n*M] symmetric matrix such that
+    exx_w = vec(Ghalf_w)^T C vec(Ghalf_w) (no conjugation — exx is the
+    trace of T^2, not T T^dagger). Returns None when over the size cap.
+    """
+    x, n, m = rc.shape
+    if (n * m) ** 2 > EXX_SUPER_MAX_ELEMS or n == 0:
+        return None
+    rcf = rc.reshape(x, n * m).astype(
+        np.complex128 if np.iscomplexobj(rc) else np.float64)
+    # gram4[i, m, j, m'] = sum_x rc[x, i, m] rc[x, j, m']; the target
+    # C4[j, m, i, m'] = gram4[i, m, j, m'] with the ELECTRON indices
+    # swapped but each orbital index staying put -> transpose (2, 1, 0, 3).
+    gram = rcf.T @ rcf                       # [(i m), (j m')]
+    c4 = gram.reshape(n, m, n, m).transpose(2, 1, 0, 3)
+    return np.ascontiguousarray(c4.reshape(n * m, n * m))
 
 
 def _generic_variant_precomputes(ham, psia, psib, rca, rcb, g, dtype) -> dict:

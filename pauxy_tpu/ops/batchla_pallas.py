@@ -1,0 +1,304 @@
+"""Pallas TPU kernels: batched tiny-matrix linear algebra, walkers on lanes.
+
+Why: XLA lowers batched LU/solve/cholesky on [w, n, n] (n = electrons,
+~7-30) to serial Mosaic loops costing ~2.5 us per walker per call on a
+v5e — measured to cap the whole Hubbard simulation at ~50k walker-steps/s
+(fixed by ops/greens_pallas.py, a 16x end-to-end win) and to dominate the
+Generic step the same way (clinalg.solve on the 2n real embedding +
+clinalg.cholesky inside CholeskyQR2). These kernels run the per-walker
+elimination ENTIRELY in VMEM with the walker axis on the 128-wide lane
+dimension: every row operation is one VPU vector op across 128 walkers.
+
+Layout contract: matrices arrive as [w, n, n] complex (the natural batch
+layout of the Generic path); wrappers transpose to [n, n, W] lanes form,
+pad W to a multiple of 128, and transpose back. The O(w n^2) transposes
+are MXU/VPU-trivial next to the O(w n^3) serial alternative.
+
+Provides:
+* :func:`inv_logdet_lanes`  — partial-pivot Gauss-Jordan: complex inverse
+  + complex log-determinant (replaces clinalg.solve + clinalg.slogdet
+  pairs; one kernel pass).
+* :func:`slogdet_lanes`     — log-determinant only.
+* :func:`chol_inv_lanes`    — Cholesky L of a Hermitian PD matrix and
+  L^-1 by forward substitution (replaces clinalg.cholesky +
+  triangular_solve in CholeskyQR: Q = phi @ L^-dagger via one MXU matmul).
+
+Complex arithmetic is explicit re/im pairs (Mosaic has no complex dtype).
+Reference operations: ``pauxy/walkers/single_det.py:215-321`` (per-walker
+scipy inv/det/qr calls).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+WB = 128  # walker lane block
+
+
+def gauss_jordan_lanes(sr, si, n, w):
+    """Partial-pivot Gauss-Jordan on [n, n, W] re/im value pairs.
+
+    Returns (invr, invi, ldr, phr, phi2): the inverse's parts, the
+    log-magnitude of the determinant [W], and the determinant phase as a
+    complex unit pair (Mosaic has no atan2; callers take arctan2).
+    Shared by ops/greens_pallas.py and the kernels below.
+    """
+    f32 = sr.dtype
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=f32)[:, :, None], (n, n, w))
+    ar = jnp.concatenate([sr, eye], axis=1)               # [n, 2n, W]
+    ai = jnp.concatenate([si, jnp.zeros((n, n, w), f32)], axis=1)
+    ldr = jnp.zeros((w,), f32)
+    phr = jnp.ones((w,), f32)
+    phi2 = jnp.zeros((w,), f32)
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    for k in range(n):
+        mag = ar[:, k] * ar[:, k] + ai[:, k] * ai[:, k]   # [n, W]
+        # Pivot = argmax |S[i, k]|^2 over rows i >= k (unrolled compare
+        # chain; no argmax primitive in Mosaic).
+        best = mag[k]
+        piv = jnp.full((w,), k, jnp.int32)
+        for i in range(k + 1, n):
+            better = mag[i] > best
+            best = jnp.where(better, mag[i], best)
+            piv = jnp.where(better, jnp.int32(i), piv)
+        # Swap rows k <-> piv per lane (selects; no scatter).
+        is_piv = rows[:, 0] == piv[None, :]               # [n, W]
+        selr = jnp.sum(jnp.where(is_piv[:, None, :], ar, 0.0), axis=0)
+        seli = jnp.sum(jnp.where(is_piv[:, None, :], ai, 0.0), axis=0)
+        rowk_r = ar[k]
+        rowk_i = ai[k]
+        put_old = is_piv[:, None, :] & (rows != k)
+        ar = jnp.where(put_old, rowk_r[None], ar)
+        ai = jnp.where(put_old, rowk_i[None], ai)
+        at_k = rows == k
+        ar = jnp.where(at_k, selr[None], ar)
+        ai = jnp.where(at_k, seli[None], ai)
+        swapped = piv != k
+        sgn = jnp.where(swapped, -1.0, 1.0)               # det *= -1 on swap
+        pr = ar[k, k]
+        pim = ai[k, k]
+        den = pr * pr + pim * pim
+        ldr = ldr + 0.5 * jnp.log(den)
+        rden = sgn * lax.rsqrt(den)
+        ur = pr * rden
+        ui = pim * rden
+        phr, phi2 = phr * ur - phi2 * ui, phr * ui + phi2 * ur
+        invr_p = pr / den
+        invi_p = -pim / den
+        nr = ar[k] * invr_p[None, :] - ai[k] * invi_p[None, :]
+        ni = ar[k] * invi_p[None, :] + ai[k] * invr_p[None, :]
+        ar = jnp.where(at_k, nr[None], ar)
+        ai = jnp.where(at_k, ni[None], ai)
+        fr_k = ar[:, k]                                   # [n, W]
+        fi_k = ai[:, k]
+        mask = rows != k
+        ar = ar - jnp.where(
+            mask, fr_k[:, None, :] * nr[None] - fi_k[:, None, :] * ni[None],
+            0.0,
+        )
+        ai = ai - jnp.where(
+            mask, fr_k[:, None, :] * ni[None] + fi_k[:, None, :] * nr[None],
+            0.0,
+        )
+    return ar[:, n:], ai[:, n:], ldr, phr, phi2
+
+
+def _inv_logdet_kernel(n, want_inv, sr_ref, si_ref, *out_refs):
+    w = sr_ref.shape[-1]
+    invr, invi, ldr, phr, phi2 = gauss_jordan_lanes(
+        sr_ref[...], si_ref[...], n, w
+    )
+    out_refs[0][...] = ldr.reshape(1, w)
+    out_refs[1][...] = jnp.stack([phr, phi2])
+    if want_inv:
+        out_refs[2][...] = invr
+        out_refs[3][...] = invi
+
+
+def _lanes_call(kernel, n, w, n_extra_outs, sr, si, interpret):
+    """Common pallas_call plumbing: [n, n, W] blocks over the lane grid."""
+    f32 = sr.dtype
+    pad = (-w) % WB
+    wp = w + pad
+    sr = jnp.pad(sr, ((0, 0), (0, 0), (0, pad)))
+    si = jnp.pad(si, ((0, 0), (0, 0), (0, pad)))
+
+    def blk(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape[:-1] + (WB,),
+                            lambda i, _n=nd: (0,) * (_n - 1) + (i,))
+
+    out_specs = [blk((1, wp)), blk((2, wp))]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, wp), f32),
+        jax.ShapeDtypeStruct((2, wp), f32),
+    ]
+    for _ in range(n_extra_outs):
+        out_specs.append(blk((n, n, wp)))
+        out_shape.append(jax.ShapeDtypeStruct((n, n, wp), f32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(wp // WB,),
+        in_specs=[blk((n, n, wp)), blk((n, n, wp))],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(sr, si)
+
+
+@functools.partial(jax.jit, static_argnames=("want_inv", "interpret"))
+def inv_logdet_lanes(s: jax.Array, want_inv: bool = True,
+                     interpret: bool = False):
+    """Batched complex inverse + log-determinant of [w, n, n] matrices.
+
+    Returns (logdet [w] complex, inv [w, n, n] complex or None). Same
+    math as clinalg.slogdet + a solve against I, in one VMEM pass.
+    """
+    w, n, _ = s.shape
+    f32 = jnp.float32
+    sr = jnp.transpose(s.real, (1, 2, 0)).astype(f32)     # [n, n, W]
+    si = jnp.transpose(s.imag, (1, 2, 0)).astype(f32)
+    outs = _lanes_call(
+        functools.partial(_inv_logdet_kernel, n, want_inv),
+        n, w, 2 if want_inv else 0, sr, si, interpret,
+    )
+    ldr, ph = outs[0], outs[1]
+    logdet = (ldr[0, :w] + 1j * jnp.arctan2(ph[1, :w], ph[0, :w])
+              ).astype(jnp.promote_types(s.dtype, jnp.complex64))
+    if not want_inv:
+        return logdet, None
+    inv = (outs[2] + 1j * outs[3])[:, :, :w]
+    return logdet, jnp.transpose(inv, (2, 0, 1)).astype(s.dtype)
+
+
+def slogdet_lanes(s: jax.Array, interpret: bool = False) -> jax.Array:
+    """Batched complex log-determinant of [..., n, n]."""
+    batch = s.shape[:-2]
+    flat = s.reshape((-1,) + s.shape[-2:])
+    ld, _ = inv_logdet_lanes(flat, want_inv=False, interpret=interpret)
+    return ld.reshape(batch)
+
+
+def inv_logdet_lanes_sharded(s: jax.Array, mesh, want_inv: bool = True,
+                             interpret: bool = False):
+    """Per-shard dispatch of :func:`inv_logdet_lanes` over a walker-sharded
+    mesh (pallas_call has no SPMD partitioning rule). The op is
+    elementwise in the batch axis, so no collectives are needed; trial
+    data never enters."""
+    from jax.sharding import PartitionSpec as P
+
+    from pauxy_tpu.parallel.mesh import WALKER_AXIS
+
+    wspec3 = P(WALKER_AXIS, None, None)
+    out_specs = (P(WALKER_AXIS), wspec3) if want_inv else (P(WALKER_AXIS),)
+
+    def call(x):
+        ld, inv = inv_logdet_lanes(x, want_inv=want_inv,
+                                   interpret=interpret)
+        return (ld, inv) if want_inv else (ld,)
+
+    outs = jax.shard_map(call, mesh=mesh, in_specs=(wspec3,),
+                         out_specs=out_specs, check_vma=False)(s)
+    return (outs[0], outs[1]) if want_inv else (outs[0], None)
+
+
+def chol_inv_lanes_sharded(s: jax.Array, mesh, interpret: bool = False):
+    """Per-shard dispatch of :func:`chol_inv_lanes` (see above)."""
+    from jax.sharding import PartitionSpec as P
+
+    from pauxy_tpu.parallel.mesh import WALKER_AXIS
+
+    wspec3 = P(WALKER_AXIS, None, None)
+    return jax.shard_map(
+        lambda x: chol_inv_lanes(x, interpret=interpret),
+        mesh=mesh, in_specs=(wspec3,),
+        out_specs=(P(WALKER_AXIS), wspec3), check_vma=False,
+    )(s)
+
+
+def _chol_inv_kernel(n, sr_ref, si_ref, ld_out, ph_out, lr_out, li_out):
+    w = sr_ref.shape[-1]
+    f32 = sr_ref.dtype
+    ar = sr_ref[...]                                      # [n, n, W]
+    ai = si_ref[...]
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    ld = jnp.zeros((w,), f32)
+    # ---- right-looking Cholesky: A = L L^dagger, diag(L) real > 0 -------
+    for k in range(n):
+        dk = jnp.sqrt(jnp.maximum(ar[k, k], 1e-30))       # [W] real
+        ld = ld + jnp.log(dk)
+        inv_d = 1.0 / dk
+        colr = ar[:, k] * inv_d[None, :]                  # [n, W] L[:, k]
+        coli = ai[:, k] * inv_d[None, :]
+        below = rows[:, 0] > k
+        colr = jnp.where(below, colr, jnp.where(rows[:, 0] == k,
+                                                dk[None, :], 0.0))
+        coli = jnp.where(below, coli, 0.0)
+        # Trailing update A[i, j] -= L[i,k] conj(L[j,k]) for i, j > k.
+        lkr = colr
+        lki = coli
+        upd_r = lkr[:, None, :] * lkr[None, :, :] \
+            + lki[:, None, :] * lki[None, :, :]
+        upd_i = lki[:, None, :] * lkr[None, :, :] \
+            - lkr[:, None, :] * lki[None, :, :]
+        trail = (rows > k) & (cols > k)
+        ar = ar - jnp.where(trail, upd_r, 0.0)
+        ai = ai - jnp.where(trail, upd_i, 0.0)
+        # Write column k of L back into a (reusing ar/ai as storage).
+        at_col = cols == k
+        ar = jnp.where(at_col, colr[:, None, :], ar)
+        ai = jnp.where(at_col, coli[:, None, :], ai)
+    # ---- forward substitution: X = L^-1 ---------------------------------
+    xr = jnp.broadcast_to(jnp.eye(n, dtype=f32)[:, :, None], (n, n, w))
+    xi = jnp.zeros((n, n, w), f32)
+    for k in range(n):
+        dk = ar[k, k]                                     # real > 0
+        inv_d = 1.0 / dk
+        rowr = xr[k] * inv_d[None, :]                     # [n, W]
+        rowi = xi[k] * inv_d[None, :]
+        at_k = rows == k
+        xr = jnp.where(at_k, rowr[None], xr)
+        xi = jnp.where(at_k, rowi[None], xi)
+        fr = ar[:, k]                                     # L[:, k]
+        fi = ai[:, k]
+        below = rows > k
+        xr = xr - jnp.where(
+            below, fr[:, None, :] * rowr[None] - fi[:, None, :] * rowi[None],
+            0.0,
+        )
+        xi = xi - jnp.where(
+            below, fr[:, None, :] * rowi[None] + fi[:, None, :] * rowr[None],
+            0.0,
+        )
+    ld_out[...] = ld.reshape(1, w)
+    ph_out[...] = jnp.stack([jnp.ones((w,), f32), jnp.zeros((w,), f32)])
+    lr_out[...] = xr
+    li_out[...] = xi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_inv_lanes(s: jax.Array, interpret: bool = False):
+    """Batched L^-1 and log det L for Hermitian PD [w, n, n] matrices.
+
+    S = L L^dagger with diag(L) real positive; returns
+    (log_det_L [w] REAL, linv [w, n, n] complex). CholeskyQR then reads
+    Q = phi @ linv^dagger as one MXU matmul
+    (clinalg.cholesky_qr's contract).
+    """
+    w, n, _ = s.shape
+    f32 = jnp.float32
+    sr = jnp.transpose(s.real, (1, 2, 0)).astype(f32)
+    si = jnp.transpose(s.imag, (1, 2, 0)).astype(f32)
+    outs = _lanes_call(
+        functools.partial(_chol_inv_kernel, n), n, w, 2, sr, si, interpret,
+    )
+    ld = outs[0][0, :w].astype(jnp.zeros((), s.dtype).real.dtype)
+    linv = (outs[2] + 1j * outs[3])[:, :, :w]
+    return ld, jnp.transpose(linv, (2, 0, 1)).astype(s.dtype)

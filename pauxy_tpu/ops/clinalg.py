@@ -35,6 +35,58 @@ def _real_dtype(cdtype):
     return jnp.zeros((), cdtype).real.dtype
 
 
+_LANES_MAX_N = 64  # VMEM budget of the [n, 2n, 128] augmented GJ tile
+
+
+def _lanes_mode(s: jax.Array) -> str | None:
+    """How the batched tiny-matrix op should route to the VMEM lanes
+    kernels (ops/batchla_pallas.py): 'single' (direct pallas_call on one
+    accelerator), 'shard' (per-shard jax.shard_map dispatch on the active
+    walker mesh — pallas_call has no SPMD partitioning rule), or None
+    (XLA fallback). XLA lowers batched LU/cholesky on [w, n, n] to
+    ~2.5us/walker serial Mosaic loops — measured to dominate
+    whole-simulation wall time (README round-3 Hubbard 16x)."""
+    import os
+
+    if not (
+        s.dtype == jnp.complex64
+        and s.ndim >= 3
+        and s.shape[-1] == s.shape[-2]
+        and 0 < s.shape[-1] <= _LANES_MAX_N
+    ):
+        return None
+    env = os.environ.get("PAUXY_TPU_BATCHLA")
+    if env in ("xla", "scan"):
+        return None
+    if env == "pallas":
+        return "single"   # forced (tests monkeypatch interpret mode)
+    cpu = jax.default_backend() == "cpu"
+    if len(jax.devices()) == 1:
+        return None if cpu else "single"
+    from pauxy_tpu.parallel import mesh as pmesh
+
+    if pmesh.active_mesh() is None:
+        return None
+    if cpu:
+        # Virtual CPU meshes (tests) opt in explicitly: the kernels then
+        # run in pallas interpret mode, which is slow.
+        return "shard_interpret" if env == "shard_interpret" else None
+    return "shard"
+
+
+def _lanes_inv_logdet(s: jax.Array, mode: str, want_inv: bool = True):
+    from pauxy_tpu.ops import batchla_pallas as bp
+
+    if mode == "single":
+        return bp.inv_logdet_lanes(s, want_inv=want_inv)
+    from pauxy_tpu.parallel import mesh as pmesh
+
+    return bp.inv_logdet_lanes_sharded(
+        s, pmesh.active_mesh(), want_inv=want_inv,
+        interpret=(mode == "shard_interpret"),
+    )
+
+
 # ----------------------------------------------------------------------------
 # Block embeddings
 # ----------------------------------------------------------------------------
@@ -48,10 +100,19 @@ def _embed_block(s: jax.Array) -> jax.Array:
 
 
 def solve(s: jax.Array, y: jax.Array) -> jax.Array:
-    """Batched complex solve S X = Y via the real block embedding.
+    """Batched complex solve S X = Y.
 
-    s: [..., n, n] complex, y: [..., n, m] complex.
+    s: [..., n, n] complex, y: [..., n, m] complex. On a single
+    accelerator with small n this routes to the VMEM Gauss-Jordan lanes
+    kernel (explicit inverse, then one MXU matmul); the fallback is LU on
+    the real 2n block embedding.
     """
+    mode = _lanes_mode(s)
+    if mode:
+        flat = s.reshape((-1,) + s.shape[-2:])
+        _, inv = _lanes_inv_logdet(flat, mode)
+        inv = inv.reshape(s.shape)
+        return jnp.matmul(inv, y).astype(s.dtype)
     se = _embed_block(s)
     ye = jnp.concatenate([y.real, y.imag], axis=-2)       # [..., 2n, m]
     xe = jnp.linalg.solve(se, ye)
@@ -108,9 +169,29 @@ def cholesky_qr(phi: jax.Array) -> tuple[jax.Array, jax.Array]:
     """One CholeskyQR pass: phi = Q R, Q orthonormal, diag(R) real positive.
 
     Returns (Q, log diag(R)) — the full R is never needed by AFQMC, only
-    log det R = sum log diag.
+    log det R = sum log diag (the lanes fast path returns the sum
+    pre-reduced, shaped [..., 1], which downstream ``.sum(-1)`` leaves
+    unchanged).
     """
     s = jnp.einsum("...mi,...mj->...ij", phi.conj(), phi)
+    mode = _lanes_mode(s)
+    if mode:
+        from pauxy_tpu.ops import batchla_pallas as bp
+
+        flat = s.reshape((-1,) + s.shape[-2:])
+        if mode == "single":
+            ld, linv = bp.chol_inv_lanes(flat)
+        else:
+            from pauxy_tpu.parallel import mesh as pmesh
+
+            ld, linv = bp.chol_inv_lanes_sharded(
+                flat, pmesh.active_mesh(),
+                interpret=(mode == "shard_interpret"),
+            )
+        linv = linv.reshape(s.shape)
+        # Q = phi L^-dagger; (L^-dagger)[j, i] = conj(linv[i, j]).
+        q = jnp.einsum("...mj,...ij->...mi", phi, linv.conj())
+        return q, ld.reshape(s.shape[:-2] + (1,))
     l = cholesky(s)
     # Q = phi L^-dagger  <=>  L Q^dagger = phi^dagger.
     qd = triangular_solve_lower(l, jnp.swapaxes(phi.conj(), -1, -2))
@@ -162,6 +243,11 @@ def _slogdet_single(s: jax.Array) -> jax.Array:
 
 def slogdet(s: jax.Array) -> jax.Array:
     """Batched complex log-determinant (log|det| + i arg det), [...]."""
+    mode = _lanes_mode(s)
+    if mode:
+        flat = s.reshape((-1,) + s.shape[-2:])
+        ld, _ = _lanes_inv_logdet(flat, mode, want_inv=False)
+        return ld.reshape(s.shape[:-2])
     flat = s.reshape((-1,) + s.shape[-2:])
     out = jax.vmap(_slogdet_single)(flat)
     return out.reshape(s.shape[:-2])

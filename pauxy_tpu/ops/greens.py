@@ -73,9 +73,17 @@ def greens_function(phi: jax.Array, psi: jax.Array) -> SpinGreens:
     Reference: ``single_det.py:295-321``.
     """
     s = overlap_matrix(phi, psi)                          # [w, n, n]
-    log_det = clinalg.slogdet(s).astype(phi.dtype)
-    # Ghalf = S^{-1} phi^T : solve instead of explicit inverse.
-    ghalf = clinalg.solve(s, jnp.swapaxes(phi, -1, -2))   # [w, n, M]
+    mode = clinalg._lanes_mode(s)
+    if mode:
+        # One VMEM Gauss-Jordan pass yields logdet AND the inverse
+        # (ops/batchla_pallas.py); Ghalf is then one MXU matmul.
+        log_det, inv = clinalg._lanes_inv_logdet(s, mode)
+        log_det = log_det.astype(phi.dtype)
+        ghalf = jnp.matmul(inv, jnp.swapaxes(phi, -1, -2))
+    else:
+        log_det = clinalg.slogdet(s).astype(phi.dtype)
+        # Ghalf = S^{-1} phi^T : solve instead of explicit inverse.
+        ghalf = clinalg.solve(s, jnp.swapaxes(phi, -1, -2))  # [w, n, M]
     g = jnp.einsum("mi,win->wmn", psi.conj(), ghalf, optimize=True)
     return SpinGreens(G=g, Ghalf=ghalf, log_ovlp=log_det)
 

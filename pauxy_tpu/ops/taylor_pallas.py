@@ -4,14 +4,16 @@ Why: the Generic phaseless step builds VHS [w, M, M] complex with one big
 MXU matmul (cheap, compute-bound) but then the XLA Taylor loop
 (propagation/generic.apply_exponential_taylor) re-reads the whole VHS
 tensor from HBM once per order — 6x ~134 MB at the bench config
-(w=1024, M=128, c64), ~1 GB of traffic for ~0.13 ms of MXU work, i.e.
-~9x bandwidth-bound (the round-2 Generic MFU of 1.45% is mostly this).
-Here each program loads one walker's VHS tile into VMEM once and runs the
-entire 6-order recurrence on-chip: traffic drops to a single VHS read.
+(w=1024, M=128, c64), ~1 GB of traffic for ~0.13 ms of MXU work. Here
+each program loads a WB-walker block of VHS tiles into VMEM once and runs
+the entire 6-order recurrence on-chip: traffic drops to a single VHS
+read, and the per-program grid overhead is amortized over WB walkers
+(single-walker programs measured SLOWER than the XLA loop on a v5e).
 
-An optional bf16 path (``lowp=True``) casts the matmul operands to
-bfloat16 with float32 accumulation — halving effective VMEM/HBM pressure
-and doubling MXU rate; SURVEY hard part (f)'s "selective precision
+Dots run at Precision.HIGHEST — Mosaic's DEFAULT is a single bf16 MXU
+pass even for f32 operands (~5e-3 relative error, measured on chip). An
+optional bf16 path (``lowp=True``) casts the multiplicands to bfloat16
+with float32 accumulation — SURVEY hard part (f)'s "selective precision
 lowering with error-controlled tests" (tests/test_generic.py asserts the
 error bound vs the f64 CPU path).
 
@@ -29,68 +31,86 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _dot(a, b):
+def _dot(a, b, highest=True):
+    # bf16 operands MUST pin DEFAULT explicitly: precision=None inherits
+    # the global jax_default_matmul_precision (the driver sets 'float32'),
+    # and Mosaic rejects fp32 contract precision on bf16 inputs.
+    prec = (jax.lax.Precision.HIGHEST if highest
+            else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
 
 
-def _taylor_kernel(order, lowp,
+def _taylor_kernel(order, lowp, wb,
                    vr_ref, vi_ref, pr_ref, pi_ref,
                    or_ref, oi_ref):
-    vr = vr_ref[0]
-    vi = vi_ref[0]
-    tr = pr_ref[0]
-    ti = pi_ref[0]
-    if lowp:
-        vr = vr.astype(jnp.bfloat16)
-        vi = vi.astype(jnp.bfloat16)
-    accr, acci = tr, ti
-    for k in range(1, order + 1):
-        a, b = (tr.astype(jnp.bfloat16), ti.astype(jnp.bfloat16)) \
-            if lowp else (tr, ti)
-        nr = _dot(vr, a) - _dot(vi, b)
-        ni = _dot(vr, b) + _dot(vi, a)
-        inv = 1.0 / k
-        tr = nr * inv
-        ti = ni * inv
-        accr = accr + tr
-        acci = acci + ti
-    or_ref[0] = accr
-    oi_ref[0] = acci
+    for wi in range(wb):
+        vr = vr_ref[wi]
+        vi = vi_ref[wi]
+        tr = pr_ref[wi]
+        ti = pi_ref[wi]
+        if lowp:
+            vr = vr.astype(jnp.bfloat16)
+            vi = vi.astype(jnp.bfloat16)
+        accr, acci = tr, ti
+        for k in range(1, order + 1):
+            a, b = (tr.astype(jnp.bfloat16), ti.astype(jnp.bfloat16)) \
+                if lowp else (tr, ti)
+            hp = not lowp
+            nr = _dot(vr, a, hp) - _dot(vi, b, hp)
+            ni = _dot(vr, b, hp) + _dot(vi, a, hp)
+            inv = 1.0 / k
+            tr = nr * inv
+            ti = ni * inv
+            accr = accr + tr
+            acci = acci + ti
+        or_ref[wi] = accr
+        oi_ref[wi] = acci
 
 
-@functools.partial(jax.jit, static_argnames=("order", "lowp", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("order", "lowp", "wb", "interpret")
+)
 def apply_taylor_pallas(vhs: jax.Array, phi: jax.Array, order: int = 6,
-                        lowp: bool = False, interpret: bool = False):
-    """phi <- exp(vhs) phi, one walker tile per program.
+                        lowp: bool = False, wb: int = 8,
+                        interpret: bool = False):
+    """phi <- exp(vhs) phi, one WB-walker block per program.
 
     vhs: [w, M, M] complex, phi: [w, M, n] complex. Same truncated-series
-    math as propagation/generic.apply_exponential_taylor.
+    math as propagation/generic.apply_exponential_taylor. VMEM per
+    program ~ wb * M^2 * 8 bytes (re+im) — 1 MB at wb=8, M=128.
     """
     w, m, _ = vhs.shape
     n = phi.shape[-1]
     f32 = jnp.float32
+    wb = min(wb, w)
+    pad = (-w) % wb
+    nwb = (w + pad) // wb
+
+    def pad0(a):
+        return jnp.pad(a.astype(f32), ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
     def blk(shape):
         nd = len(shape)
-        return pl.BlockSpec((1,) + shape,
+        return pl.BlockSpec((wb,) + shape,
                             lambda i, _n=nd: (i,) + (0,) * _n)
 
     outs = pl.pallas_call(
-        functools.partial(_taylor_kernel, order, lowp),
-        grid=(w,),
+        functools.partial(_taylor_kernel, order, lowp, wb),
+        grid=(nwb,),
         in_specs=[blk((m, m)), blk((m, m)), blk((m, n)), blk((m, n))],
         out_specs=(blk((m, n)), blk((m, n))),
         out_shape=(
-            jax.ShapeDtypeStruct((w, m, n), f32),
-            jax.ShapeDtypeStruct((w, m, n), f32),
+            jax.ShapeDtypeStruct((nwb * wb, m, n), f32),
+            jax.ShapeDtypeStruct((nwb * wb, m, n), f32),
         ),
         interpret=interpret,
     )(
-        vhs.real.astype(f32), vhs.imag.astype(f32),
-        phi.real.astype(f32), phi.imag.astype(f32),
+        pad0(vhs.real), pad0(vhs.imag),
+        pad0(phi.real), pad0(phi.imag),
     )
-    out = outs[0] + 1j * outs[1]
+    out = (outs[0] + 1j * outs[1])[:w]
     return out.astype(phi.dtype)

@@ -21,6 +21,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 WALKER_AXIS = "walker"
 CHOL_AXIS = "chol"
 
+# Mesh in force for the current run, set by the driver (or tests) so that
+# deep compute kernels (ops/batchla_pallas.py lanes kernels) can dispatch
+# per-shard via jax.shard_map — pallas_call has no SPMD partitioning rule,
+# so without this they must fall back to XLA's serial batched LU.
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh):
+    """Register (or clear, with None) the mesh used by the current run."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh():
+    return _ACTIVE_MESH
+
 
 def walker_mesh(devices=None) -> Mesh:
     """1-D mesh over all (or given) devices, axis name 'walker'."""
@@ -104,6 +120,7 @@ def shard_walkers(state, mesh: Mesh):
     """
     sharded = NamedSharding(mesh, P(WALKER_AXIS))
     replicated = NamedSharding(mesh, P())
+    set_active_mesh(mesh)
 
     def place(x):
         x = jax.numpy.asarray(x)

@@ -139,7 +139,12 @@ def make_generic_continuous(ham, trial, dt: float, precision=None, exp_order=6,
     """
     prec = config.get_precision(precision)
     if taylor_impl is None:
-        taylor_impl = config.accel_impl("PAUXY_TPU_TAYLOR")
+        # 'xla' by default: at f32/HIGHEST the batched XLA GEMM pipelines
+        # better than the fused kernel (measured 10.3 vs 12.1 ms at the
+        # bench config); the pallas kernel is the bf16 experiment path.
+        import os
+
+        taylor_impl = os.environ.get("PAUXY_TPU_TAYLOR", "xla")
     mf_shift = construct_mean_field_shift(ham, trial)
     chol = np.asarray(ham.chol)
     shift = 1j * np.einsum("pqx,x->pq", chol, mf_shift, optimize=True)

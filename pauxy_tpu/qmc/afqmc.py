@@ -388,6 +388,11 @@ class AFQMC:
         self.prec = config.get_precision(precision)
         popts = dict(propagator_options or {})
         eopts = dict(estimator_options or {})
+        # f32 matmuls keep f32 accuracy on the MXU (multi-pass); lower
+        # tiers ('bfloat16_3x', 'bfloat16') are the opt-in speed ladder.
+        self.matmul_precision = config.set_matmul_precision(
+            popts.get("matmul_precision")
+        )
 
         self.free_projection = popts.get("free_projection", False)
         self.hybrid = popts.get("hybrid", True)
@@ -536,17 +541,10 @@ class AFQMC:
                 pop_method=qmc.pop_control_method,
             )
         )
-        # Green's-function kernel inside the fast block: the VMEM pallas
-        # kernel on a single accelerator (it has no SPMD partitioning
-        # rule), the unrolled-XLA path otherwise/on CPU.
-        self.fast_greens_impl = _os.environ.get("PAUXY_TPU_GREENS") or (
-            "pallas"
-            if (jax.default_backend() != "cpu" and len(jax.devices()) == 1)
-            else "xla"
-        )
 
         # Walker restart (handler.py:144-157 write_freq/read_file options).
         wopts = dict(walker_options or {})
+        self._greens_impl_override = _os.environ.get("PAUXY_TPU_GREENS")
         self.write_freq = wopts.get("write_freq", 0)
         self.write_file = wopts.get("write_file", "restart.h5")
         read_file = wopts.get("read_file")
@@ -564,6 +562,25 @@ class AFQMC:
         self.timing["setup"] = time.time() - self._t_init
 
     # ------------------------------------------------------------------
+    @property
+    def fast_greens_impl(self) -> str:
+        """Green's-function kernel inside the fast block: the VMEM pallas
+        kernel on a single accelerator (pallas_call has no SPMD
+        partitioning rule), a per-shard shard_map dispatch of the same
+        kernel when a walker mesh is active on a multi-accelerator
+        backend, the unrolled-XLA lanes path on CPU. Resolved lazily —
+        the mesh may be registered after construction
+        (parallel/mesh.shard_walkers). Override: PAUXY_TPU_GREENS."""
+        if self._greens_impl_override:
+            return self._greens_impl_override
+        if jax.default_backend() == "cpu":
+            return "xla"
+        if len(jax.devices()) == 1:
+            return "pallas"
+        from pauxy_tpu.parallel import mesh as pmesh
+
+        return "shard" if pmesh.active_mesh() is not None else "xla"
+
     def _build_propagator(self, popts: dict):
         name = self.ham.name
         hs = popts.get("hubbard_stratonovich", "continuous")

@@ -51,6 +51,39 @@ def eligible(ham, trial, prop, *, free_projection, nbp, nitcf,
     )
 
 
+def _greens_pallas_call(psi, phi, want_gh: bool, impl: str):
+    """Dispatch ops/greens_pallas.greens_lanes_pallas directly ('pallas'),
+    or per walker shard via jax.shard_map on the active mesh ('shard' —
+    pallas_call has no SPMD partitioning rule; walker axis is LAST in the
+    lanes layout)."""
+    from pauxy_tpu.ops.greens_pallas import greens_lanes_pallas
+
+    interpret = impl.endswith("interpret")
+    if impl.startswith("shard"):
+        from jax.sharding import PartitionSpec as P
+
+        from pauxy_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.active_mesh()
+        wlast = P(None, None, pmesh.WALKER_AXIS)
+
+        def call(ps, ph):
+            ld, ght = greens_lanes_pallas(ps, ph, want_gh=want_gh,
+                                          interpret=interpret)
+            return (ld, ght) if want_gh else (ld,)
+
+        outs = jax.shard_map(
+            call, mesh=mesh, in_specs=(P(), wlast),
+            out_specs=((P(pmesh.WALKER_AXIS), wlast) if want_gh
+                       else (P(pmesh.WALKER_AXIS),)),
+            check_vma=False,
+        )(psi, phi)
+        return outs if want_gh else (outs[0], None)
+    ld, ght = greens_lanes_pallas(psi, phi, want_gh=want_gh,
+                                  interpret=interpret)
+    return ld, ght
+
+
 def _greens_lanes(psi, phi, impl: str = "xla"):
     """(logdet [W], ghT [M, n, W], diag [M, W]) of one spin sector.
 
@@ -60,14 +93,11 @@ def _greens_lanes(psi, phi, impl: str = "xla"):
     ([site, orbital, walker]) — the layout the pallas kernel emits.
 
     impl: 'xla' (unrolled lanelinalg Gauss), 'pallas' (VMEM-resident
-    kernel, ops/greens_pallas.py) or 'pallas_interpret'.
+    kernel, ops/greens_pallas.py), 'shard' (per-shard pallas on the
+    active walker mesh), or either with an '_interpret' suffix.
     """
-    if impl.startswith("pallas"):
-        from pauxy_tpu.ops.greens_pallas import greens_lanes_pallas
-
-        logdet, ght = greens_lanes_pallas(
-            psi, phi, want_gh=True, interpret=(impl == "pallas_interpret")
-        )
+    if impl.startswith(("pallas", "shard")):
+        logdet, ght = _greens_pallas_call(psi, phi, True, impl)
     else:
         s = jnp.swapaxes(ll.overlap_lanes(psi, phi), 0, 1)  # [n, n, W]
         phit = jnp.swapaxes(phi, 0, 1)                    # [n, M, W]
@@ -78,12 +108,8 @@ def _greens_lanes(psi, phi, impl: str = "xla"):
 
 
 def _log_overlap_lanes(psi, phi, impl: str = "xla"):
-    if impl.startswith("pallas"):
-        from pauxy_tpu.ops.greens_pallas import greens_lanes_pallas
-
-        logdet, _ = greens_lanes_pallas(
-            psi, phi, want_gh=False, interpret=(impl == "pallas_interpret")
-        )
+    if impl.startswith(("pallas", "shard")):
+        logdet, _ = _greens_pallas_call(psi, phi, False, impl)
         return logdet
     return ll.slogdet(ll.overlap_lanes(psi, phi))
 

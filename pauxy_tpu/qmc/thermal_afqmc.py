@@ -171,6 +171,9 @@ class ThermalAFQMC:
         self.prec = config.get_precision(precision)
         self.ntime_slices = trial.num_slices
         popts = dict(propagator_options or {})
+        self.matmul_precision = config.set_matmul_precision(
+            popts.get("matmul_precision")
+        )
         wopts = dict(walker_options or {})
         # Low-rank QDT stack (walkers/stack.py:326-489): requires a diagonal
         # trial density matrix (stack.py:333).

@@ -19,6 +19,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Long single-process suites accumulate hundreds of LLVM-JIT'd
+# executables and have produced sporadic segfaults inside XLA:CPU
+# backend_compile_and_load late in the run. Dropping live executables
+# between modules bounds that growth; the on-disk compilation cache makes
+# the re-compiles cheap across modules and across suite runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pauxy_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache_growth():
+    yield
+    jax.clear_caches()
 
 # Make the read-only reference importable as a serial oracle: it hard-imports
 # mpi4py in a few modules; tools/oracle provides a serial stand-in.

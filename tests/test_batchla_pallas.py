@@ -1,0 +1,132 @@
+"""VMEM lanes kernels for batched tiny-matrix linear algebra
+(ops/batchla_pallas.py), validated in pallas interpret mode against numpy,
+plus the exchange-supermatrix identity (models/trial._exx_supermatrix)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pauxy_tpu.ops.batchla_pallas import (
+    chol_inv_lanes,
+    inv_logdet_lanes,
+    slogdet_lanes,
+)
+
+
+def rand_c(rng, *shape):
+    return (rng.normal(size=shape)
+            + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+
+@pytest.mark.unit
+def test_inv_logdet_lanes_matches_numpy():
+    """Gauss-Jordan kernel: inverse, |det| and det phase vs numpy, on a
+    batch that is not a multiple of the 128 lane block."""
+    rng = np.random.default_rng(3)
+    w, n = 37, 9
+    s = rand_c(rng, w, n, n)
+    ld, inv = inv_logdet_lanes(jnp.asarray(s), interpret=True)
+    ld, inv = np.asarray(ld), np.asarray(inv)
+    sign, logabs = np.linalg.slogdet(s)
+    assert np.abs(inv - np.linalg.inv(s)).max() < 1e-3
+    np.testing.assert_allclose(ld.real, logabs, atol=1e-4)
+    np.testing.assert_allclose(np.exp(1j * ld.imag), sign, atol=1e-4)
+
+
+@pytest.mark.unit
+def test_inv_logdet_lanes_needs_pivoting():
+    """Zero leading principal minor: correct only with row pivoting."""
+    s = np.zeros((1, 2, 2), np.complex64)
+    s[0] = [[0.0, 1.0], [1.0, 0.0]]
+    ld, inv = inv_logdet_lanes(jnp.asarray(s), interpret=True)
+    np.testing.assert_allclose(np.exp(complex(ld[0])), -1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inv)[0], s[0], atol=1e-5)
+
+
+@pytest.mark.unit
+def test_slogdet_lanes_batch_shape():
+    rng = np.random.default_rng(5)
+    s = rand_c(rng, 3, 4, 5, 5)
+    out = np.asarray(slogdet_lanes(jnp.asarray(s), interpret=True))
+    assert out.shape == (3, 4)
+    det = np.linalg.det(s)
+    np.testing.assert_allclose(np.exp(out), det, rtol=2e-3)
+
+
+@pytest.mark.unit
+def test_chol_inv_lanes_matches_numpy():
+    rng = np.random.default_rng(4)
+    w, n = 11, 8
+    a = rand_c(rng, w, n, n)
+    spd = (a @ np.conj(np.swapaxes(a, -1, -2))
+           + 3 * np.eye(n, dtype=np.complex64))
+    ld, linv = chol_inv_lanes(jnp.asarray(spd), interpret=True)
+    ld, linv = np.asarray(ld), np.asarray(linv)
+    lo = np.linalg.cholesky(spd)
+    assert np.abs(linv - np.linalg.inv(lo)).max() < 1e-3
+    ref_ld = np.log(np.diagonal(lo, axis1=-2, axis2=-1).real).sum(-1)
+    np.testing.assert_allclose(ld, ref_ld, atol=1e-4)
+
+
+@pytest.mark.unit
+def test_clinalg_lanes_dispatch(monkeypatch):
+    """clinalg.solve / slogdet / cholesky_qr2 route through the lanes
+    kernels (forced via env + interpret monkeypatch) and agree with the
+    XLA paths they replace."""
+    import functools
+
+    from pauxy_tpu.ops import batchla_pallas as bp
+    from pauxy_tpu.ops import clinalg
+
+    monkeypatch.setenv("PAUXY_TPU_BATCHLA", "pallas")
+    monkeypatch.setattr(
+        bp, "inv_logdet_lanes",
+        functools.partial(bp.inv_logdet_lanes.__wrapped__, interpret=True),
+    )
+    monkeypatch.setattr(
+        bp, "chol_inv_lanes",
+        functools.partial(bp.chol_inv_lanes.__wrapped__, interpret=True),
+    )
+    monkeypatch.setattr(
+        bp, "slogdet_lanes", functools.partial(bp.slogdet_lanes,
+                                               interpret=True),
+    )
+    rng = np.random.default_rng(6)
+    w, n, m = 9, 5, 12
+    s = rand_c(rng, w, n, n)
+    y = rand_c(rng, w, n, m)
+    x = np.asarray(clinalg.solve(jnp.asarray(s), jnp.asarray(y)))
+    np.testing.assert_allclose(s @ x, y, atol=2e-4)
+    ld = np.asarray(clinalg.slogdet(jnp.asarray(s)))
+    np.testing.assert_allclose(np.exp(ld), np.linalg.det(s), rtol=2e-3)
+    phi = rand_c(rng, w, m, n)
+    q, logr = clinalg.cholesky_qr2(jnp.asarray(phi))
+    q, logr = np.asarray(q), np.asarray(logr)   # logr: [w], pre-summed
+    for i in range(w):
+        qtq = q[i].conj().T @ q[i]
+        np.testing.assert_allclose(qtq, np.eye(n), atol=1e-3)
+        _, ldref = np.linalg.slogdet(phi[i].conj().T @ phi[i])
+        np.testing.assert_allclose(logr[i], 0.5 * ldref, atol=1e-3)
+
+
+@pytest.mark.unit
+def test_exx_supermatrix_identity():
+    """exx via the precomputed supermatrix == the T-intermediate einsum,
+    for real AND complex rchol."""
+    from pauxy_tpu.estimators.local_energy import _exx
+    from pauxy_tpu.models.trial import _exx_supermatrix
+
+    rng = np.random.default_rng(2)
+    X, n, m, w = 37, 4, 11, 5
+    gh = rand_c(rng, w, n, m).astype(np.complex128)
+    for rc in (rng.normal(size=(X, n, m)),
+               rng.normal(size=(X, n, m))
+               + 1j * rng.normal(size=(X, n, m))):
+        t = np.einsum("xim,wjm->wxij", rc, gh)
+        ref = np.einsum("wxij,wxji->w", t, t)
+        c = _exx_supermatrix(rc)
+        out = np.asarray(_exx(jnp.asarray(rc), jnp.asarray(gh),
+                              jnp.asarray(c)))
+        np.testing.assert_allclose(out, ref, rtol=1e-10)

@@ -250,3 +250,74 @@ def test_thermal_sharded_matches_single_device(tmp_path):
     # All columns except the wall-clock Time tail.
     np.testing.assert_allclose(rows1[:, :11].real, rows2[:, :11].real,
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 devices")
+def test_lanes_kernels_sharded(monkeypatch):
+    """The VMEM lanes kernels (batched GJ inverse/logdet + chol-inverse)
+    dispatch per-shard via jax.shard_map on a walker mesh and agree with
+    the XLA paths (PAUXY_TPU_BATCHLA=shard_interpret opts the virtual CPU
+    mesh in; real multi-chip uses mode='shard' with the compiled kernel)."""
+    from pauxy_tpu.ops import clinalg
+
+    rng = np.random.default_rng(9)
+    w, n, m = 16, 5, 12
+    s = (rng.normal(size=(w, n, n))
+         + 1j * rng.normal(size=(w, n, n))).astype(np.complex64)
+    phi = (rng.normal(size=(w, m, n))
+           + 1j * rng.normal(size=(w, m, n))).astype(np.complex64)
+    mesh = pmesh.walker_mesh()
+    pmesh.set_active_mesh(mesh)
+    monkeypatch.setenv("PAUXY_TPU_BATCHLA", "shard_interpret")
+    try:
+        assert clinalg._lanes_mode(jnp.asarray(s)) == "shard_interpret"
+        sd = pmesh.shard_walkers(jnp.asarray(s), mesh)
+        ld = np.asarray(clinalg.slogdet(sd))
+        np.testing.assert_allclose(np.exp(ld), np.linalg.det(s), rtol=2e-3)
+        y = jnp.asarray(phi).swapaxes(-1, -2)
+        x = np.asarray(clinalg.solve(sd, y))
+        np.testing.assert_allclose(s @ x, np.asarray(y), atol=2e-3)
+        q, logr = clinalg.cholesky_qr2(pmesh.shard_walkers(
+            jnp.asarray(phi), mesh))
+        q = np.asarray(q)
+        for i in range(w):
+            np.testing.assert_allclose(q[i].conj().T @ q[i], np.eye(n),
+                                       atol=1e-3)
+    finally:
+        pmesh.set_active_mesh(None)
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 devices")
+def test_fast_block_shard_greens_matches_xla():
+    """The fast Hubbard block with greens_impl='shard_interpret' (per-shard
+    VMEM greens kernel over the walker mesh) is trajectory-equal to the
+    unrolled-XLA lanes path on the same sharded state."""
+    from pauxy_tpu.propagation import continuous
+    from pauxy_tpu.propagation.hubbard import make_hubbard_continuous
+    from pauxy_tpu.qmc import hubbard_fast as hf
+    from pauxy_tpu.utils.transfer import device_zeros
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    inner = make_hubbard_continuous(ham, trial, 0.01)
+    prop = continuous.Continuous(inner=inner, dt=0.01)
+    state = init_walkers(trial, 16, total_weight=16.0)
+    mesh = pmesh.walker_mesh()
+    state = pmesh.shard_walkers(state, mesh)
+    try:
+        eshift = device_zeros((), state.log_ovlp.dtype)
+        kw = dict(nsteps=6, nstblz=3, npop_control=2, pop_method="comb",
+                  target_weight=16.0, energy_eval_freq=1)
+        outs = {}
+        for impl in ("xla", "shard_interpret"):
+            s, a = hf.run_block_lanes(
+                ham, trial, prop, state, jax.random.key(3), eshift,
+                jnp.asarray(0, jnp.int32), greens_impl=impl, **kw)
+            outs[impl] = (np.asarray(a), np.asarray(s.weight))
+        np.testing.assert_allclose(outs["xla"][0],
+                                   outs["shard_interpret"][0],
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(outs["xla"][1],
+                                   outs["shard_interpret"][1], rtol=1e-9)
+    finally:
+        pmesh.set_active_mesh(None)
