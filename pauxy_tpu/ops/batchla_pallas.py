@@ -157,8 +157,10 @@ def inv_logdet_lanes(s: jax.Array, want_inv: bool = True,
                      interpret: bool = False):
     """Batched complex inverse + log-determinant of [w, n, n] matrices.
 
-    Returns (logdet [w] complex, inv [w, n, n] complex or None). Same
-    math as clinalg.slogdet + a solve against I, in one VMEM pass.
+    Returns (logdet [w] complex, inv [w, n, n] of s.dtype or None). Same
+    math as clinalg.slogdet + a solve against I, in one VMEM pass. REAL
+    input is supported (imag lanes are zero; the GJ keeps them zero and
+    the inverse comes back real).
     """
     w, n, _ = s.shape
     f32 = jnp.float32
@@ -173,7 +175,10 @@ def inv_logdet_lanes(s: jax.Array, want_inv: bool = True,
               ).astype(jnp.promote_types(s.dtype, jnp.complex64))
     if not want_inv:
         return logdet, None
-    inv = (outs[2] + 1j * outs[3])[:, :, :w]
+    if jnp.iscomplexobj(s):
+        inv = (outs[2] + 1j * outs[3])[:, :, :w]
+    else:
+        inv = outs[2][:, :, :w]
     return logdet, jnp.transpose(inv, (2, 0, 1)).astype(s.dtype)
 
 
@@ -300,5 +305,8 @@ def chol_inv_lanes(s: jax.Array, interpret: bool = False):
         functools.partial(_chol_inv_kernel, n), n, w, 2, sr, si, interpret,
     )
     ld = outs[0][0, :w].astype(jnp.zeros((), s.dtype).real.dtype)
-    linv = (outs[2] + 1j * outs[3])[:, :, :w]
+    if jnp.iscomplexobj(s):
+        linv = (outs[2] + 1j * outs[3])[:, :, :w]
+    else:
+        linv = outs[2][:, :, :w]
     return ld, jnp.transpose(linv, (2, 0, 1)).astype(s.dtype)

@@ -49,7 +49,7 @@ def _lanes_mode(s: jax.Array) -> str | None:
     import os
 
     if not (
-        s.dtype == jnp.complex64
+        s.dtype in (jnp.complex64, jnp.float32)
         and s.ndim >= 3
         and s.shape[-1] == s.shape[-2]
         and 0 < s.shape[-1] <= _LANES_MAX_N

@@ -206,10 +206,13 @@ class Hirsch:
         phib = state.phib.real.astype(rdtype)
         sa = jnp.einsum("mi,wmj->wij", psia, phia)
         sb = jnp.einsum("mi,wmj->wij", psib, phib)
-        inva = jnp.linalg.solve(
+        # clinalg.solve routes [w, n, n] f32 batches to the VMEM lanes
+        # Gauss-Jordan (XLA's batched LU lowers to a ~2.5us/walker serial
+        # loop — it made this path SLOWER than the scan sweep).
+        inva = clinalg.solve(
             sa, jnp.broadcast_to(jnp.eye(sa.shape[-1], dtype=rdtype), sa.shape)
         )
-        invb = jnp.linalg.solve(
+        invb = clinalg.solve(
             sb, jnp.broadcast_to(jnp.eye(sb.shape[-1], dtype=rdtype), sb.shape)
         )
         # Identical draw layout to the scan path -> identical trajectories.
