@@ -63,6 +63,14 @@ UEG_NBLOCKS = 3
 # the serial oracle, 100 walkers x 20 steps in 2.25 s.
 REFERENCE_DISCRETE_WALKER_STEPS_PER_SEC = 889.0
 
+# Reference thermal UEG (rs=1, ecut=4 -> M=93, (7,7), mu=0.9, beta=1,
+# dt=0.05, pop control every slice): measured 2026-08-17 via the serial
+# oracle, 16 walkers x 20 slices x 4 blocks in 34.5 s.
+REFERENCE_THERMAL_WALKER_SLICES_PER_SEC = 37.1
+THERMAL_NWALKERS = 64
+THERMAL_BETA = 1.0
+THERMAL_NBLOCKS = 3
+
 
 def measure(block_mode="fused", nwalkers=None, force_cpu=False):
     import jax
@@ -468,6 +476,57 @@ def measure_discrete():
     print("RESULT " + json.dumps(out), flush=True)
 
 
+def measure_thermal():
+    """Finite-temperature UEG bench point (rs=1, ecut=4 -> M=93, (7,7),
+    beta=1): walker-slice-steps/s vs the serial oracle. Exercises the
+    stabilized-product stack + per-slice pop control path."""
+    import numpy as np
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", False)
+
+    from pauxy_tpu.models import make_ueg
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc import QMCOpts
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+    nw, beta, dt = THERMAL_NWALKERS, THERMAL_BETA, 0.05
+    ham = make_ueg(nup=7, ndown=7, rs=1.0, ecut=4.0)
+    trial = make_one_body_trial(ham, beta, dt, mu=0.9)
+    qmc = QMCOpts(nwalkers=nw, dt=dt, nsteps=1, nblocks=THERMAL_NBLOCKS + 1,
+                  beta=beta, npop_control=1, rng_seed=8)
+    af = ThermalAFQMC(ham, trial, qmc, filename="bench_thermal.h5")
+    nslices = af.ntime_slices
+    af.run_block()  # compile + warm-up
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        rows = [af.run_block() for _ in range(THERMAL_NBLOCKS)]
+        vals = np.asarray([r[2] for r in rows]).real  # weight col readback
+        elapsed = time.perf_counter() - t0
+        _assert_finite(vals)
+        best = max(best, nw * nslices * THERMAL_NBLOCKS / elapsed)
+    print(
+        "RESULT "
+        + json.dumps({
+            "metric": "walker_slice_steps_per_sec_thermal_ueg_ecut4",
+            "value": round(best, 1),
+            "unit": "walker-slice-steps/s/chip",
+            "vs_baseline": round(
+                best / REFERENCE_THERMAL_WALKER_SLICES_PER_SEC, 2
+            ),
+            "nwalkers": nw,
+            "nbasis": int(ham.nbasis),
+            "nslices": int(nslices),
+        }),
+        flush=True,
+    )
+
+
 def measure_time_to_error():
     """Time-to-1mHa statistical error on the 4x4 Hubbard headline config —
     the second, never-measured half of the BASELINE metric (VERDICT r2
@@ -545,6 +604,9 @@ def main():
         if "--discrete" in sys.argv:
             measure_discrete()
             return
+        if "--thermal" in sys.argv:
+            measure_thermal()
+            return
         if "--tte" in sys.argv:
             measure_time_to_error()
             return
@@ -612,6 +674,14 @@ def main():
             break
     else:
         result["discrete_error"] = derr[-200:]
+    # Thermal UEG point (stabilized stack + per-slice pop control).
+    for _ in range(2):
+        th, therr = _run_child(["--thermal"])
+        if th is not None:
+            result["thermal"] = th
+            break
+    else:
+        result["thermal_error"] = therr[-200:]
     # Time-to-1mHa statistical error (VERDICT r2 item 9).
     for _ in range(2):
         tte, terr = _run_child(["--tte"])

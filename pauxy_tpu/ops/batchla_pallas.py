@@ -37,7 +37,18 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-WB = 128  # walker lane block
+WB = 128  # walker lane block (adapted down for large n — see _lane_block)
+
+
+def _lane_block(n: int) -> int:
+    """Lane-block width vs matrix size: the augmented GJ holds ~4 live
+    [n, 2n, WB] f32 arrays in scoped VMEM (~16 MB budget), so the walker
+    block shrinks as n grows. 128 lanes up to n=48, then 64/32."""
+    if n <= 48:
+        return 128
+    if n <= 80:
+        return 64
+    return 32
 
 
 def gauss_jordan_lanes(sr, si, n, w):
@@ -123,14 +134,15 @@ def _inv_logdet_kernel(n, want_inv, sr_ref, si_ref, *out_refs):
 def _lanes_call(kernel, n, w, n_extra_outs, sr, si, interpret):
     """Common pallas_call plumbing: [n, n, W] blocks over the lane grid."""
     f32 = sr.dtype
-    pad = (-w) % WB
+    wb = _lane_block(n)
+    pad = (-w) % wb
     wp = w + pad
     sr = jnp.pad(sr, ((0, 0), (0, 0), (0, pad)))
     si = jnp.pad(si, ((0, 0), (0, 0), (0, pad)))
 
     def blk(shape):
         nd = len(shape)
-        return pl.BlockSpec(shape[:-1] + (WB,),
+        return pl.BlockSpec(shape[:-1] + (wb,),
                             lambda i, _n=nd: (0,) * (_n - 1) + (i,))
 
     out_specs = [blk((1, wp)), blk((2, wp))]
@@ -144,7 +156,7 @@ def _lanes_call(kernel, n, w, n_extra_outs, sr, si, interpret):
 
     return pl.pallas_call(
         kernel,
-        grid=(wp // WB,),
+        grid=(wp // wb,),
         in_specs=[blk((n, n, wp)), blk((n, n, wp))],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),

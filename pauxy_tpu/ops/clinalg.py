@@ -35,7 +35,10 @@ def _real_dtype(cdtype):
     return jnp.zeros((), cdtype).real.dtype
 
 
-_LANES_MAX_N = 64  # VMEM budget of the [n, 2n, 128] augmented GJ tile
+# VMEM budget of the [n, 2n, lane-block] augmented GJ tile; the lane block
+# adapts down with n (batchla_pallas._lane_block), so full-rank thermal
+# stacks (M ~ 100) still qualify.
+_LANES_MAX_N = 128
 
 
 def _lanes_mode(s: jax.Array) -> str | None:

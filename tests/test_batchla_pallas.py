@@ -36,6 +36,39 @@ def test_inv_logdet_lanes_matches_numpy():
 
 
 @pytest.mark.unit
+def test_inv_logdet_lanes_narrow_lane_block():
+    """n > 48 shrinks the lane block (batchla_pallas._lane_block) to fit
+    the augmented GJ in scoped VMEM; results must be unchanged."""
+    from pauxy_tpu.ops.batchla_pallas import _lane_block
+
+    assert _lane_block(16) == 128 and _lane_block(50) == 64
+    rng = np.random.default_rng(8)
+    w, n = 5, 50
+    s = rand_c(rng, w, n, n) + 4 * np.eye(n, dtype=np.complex64)
+    ld, inv = inv_logdet_lanes(jnp.asarray(s), interpret=True)
+    assert np.abs(np.asarray(inv) - np.linalg.inv(s)).max() < 1e-3
+    sign, logabs = np.linalg.slogdet(s)
+    np.testing.assert_allclose(np.asarray(ld).real, logabs, atol=1e-3)
+
+
+@pytest.mark.unit
+def test_inv_logdet_lanes_real_input():
+    """REAL f32 matrices ride the same kernel (imag lanes zero); the
+    inverse comes back real — the discrete pallas-sweep path depends on
+    this (hirsch._site_sweep_pallas)."""
+    rng = np.random.default_rng(11)
+    w, n = 9, 7
+    s = rng.normal(size=(w, n, n)).astype(np.float32)
+    ld, inv = inv_logdet_lanes(jnp.asarray(s), interpret=True)
+    inv = np.asarray(inv)
+    assert inv.dtype == np.float32
+    assert np.abs(inv - np.linalg.inv(s)).max() < 1e-3
+    sign, logabs = np.linalg.slogdet(s)
+    np.testing.assert_allclose(np.asarray(ld).real, logabs, atol=1e-4)
+    np.testing.assert_allclose(np.cos(np.asarray(ld).imag), sign, atol=1e-4)
+
+
+@pytest.mark.unit
 def test_inv_logdet_lanes_needs_pivoting():
     """Zero leading principal minor: correct only with row pivoting."""
     s = np.zeros((1, 2, 2), np.complex64)
