@@ -593,6 +593,35 @@ def _run_child(args_extra):
     return None, (out.stderr or out.stdout)[-300:].replace("\n", " ")
 
 
+def _probe_tunnel(timeout=90):
+    """Cheap liveness check: tiny jit + device->host readback in a child
+    (~1s when the tunnel is healthy; hangs when wedged). A child process is
+    used because a wedge poisons the whole client."""
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128))); "
+        "print('PROBE_OK', float(x))"
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False
+    return "PROBE_OK" in out.stdout
+
+
+def _wait_for_tunnel(budget_s):
+    """Wait out a tunnel wedge (rolling libtpu upgrades freeze it for tens
+    of minutes). Returns (healthy, seconds_waited)."""
+    t0 = time.time()
+    while True:
+        if _probe_tunnel():
+            return True, time.time() - t0
+        if time.time() - t0 >= budget_s:
+            return False, time.time() - t0
+        time.sleep(60)
+
+
 def main():
     if "--measure" in sys.argv:
         if "--generic" in sys.argv:
@@ -619,6 +648,10 @@ def main():
         return
 
     last_err = ""
+    # Wait out a tunnel wedge up to 30 min before burning 15-min child
+    # timeouts on a dead tunnel (and so a wedge at measurement time doesn't
+    # silently demote the round's record to the CPU fallback).
+    tunnel_ok, waited = _wait_for_tunnel(budget_s=1800)
     plans = [
         [],                    # fused, 1k walkers (the headline config)
         [],
@@ -626,11 +659,14 @@ def main():
         ["--nw=256"],          # smaller program as a last resort
     ]
     result = None
-    for plan in plans:
-        result, err = _run_child(plan)
-        if result is not None:
-            break
-        last_err = err
+    if tunnel_ok:
+        for plan in plans:
+            result, err = _run_child(plan)
+            if result is not None:
+                break
+            last_err = err
+    else:
+        last_err = f"tunnel wedged (probe failed for {waited:.0f}s)"
     if result is None:
         # The axon tunnel wedges for stretches of tens of minutes (rolling
         # libtpu upgrades); fall back to an honest CPU measurement rather
@@ -648,48 +684,35 @@ def main():
                 "error": f"all attempts failed: {last_err[-200:]}",
             }))
             return
+    if waited > 0:
+        result["tunnel_wait_s"] = round(waited, 1)
+
+    def sub_measure(key, flag):
+        """Run a secondary TPU measurement; skip fast if the tunnel is
+        known-wedged instead of burning 2x15-min child timeouts."""
+        if not tunnel_ok:
+            result[key + "_error"] = "skipped: tunnel wedged"
+            return
+        err = ""
+        for _ in range(2):
+            sub, err = _run_child([flag])
+            if sub is not None:
+                result[key] = sub
+                return
+        result[key + "_error"] = err[-200:]
+
     # Secondary ab-initio measurement (VERDICT r1 item 3c); folded into the
     # same single JSON line under "generic".
-    for _ in range(2):
-        gen, gerr = _run_child(["--generic"])
-        if gen is not None:
-            result["generic"] = gen
-            break
-    else:
-        result["generic_error"] = gerr[-200:]
+    sub_measure("generic", "--generic")
     # Tertiary UEG-at-scale measurement (VERDICT r1 item 4: sparse rho at
     # ecut >= 4 on one chip without OOM).
-    for _ in range(2):
-        ueg, uerr = _run_child(["--ueg"])
-        if ueg is not None:
-            result["ueg"] = ueg
-            break
-    else:
-        result["ueg_error"] = uerr[-200:]
+    sub_measure("ueg", "--ueg")
     # Discrete-CPMC point (BASELINE configs[0]; VERDICT r2 item 2).
-    for _ in range(2):
-        disc, derr = _run_child(["--discrete"])
-        if disc is not None:
-            result["hubbard_discrete"] = disc
-            break
-    else:
-        result["discrete_error"] = derr[-200:]
+    sub_measure("hubbard_discrete", "--discrete")
     # Thermal UEG point (stabilized stack + per-slice pop control).
-    for _ in range(2):
-        th, therr = _run_child(["--thermal"])
-        if th is not None:
-            result["thermal"] = th
-            break
-    else:
-        result["thermal_error"] = therr[-200:]
+    sub_measure("thermal", "--thermal")
     # Time-to-1mHa statistical error (VERDICT r2 item 9).
-    for _ in range(2):
-        tte, terr = _run_child(["--tte"])
-        if tte is not None:
-            result["time_to_1mHa"] = tte
-            break
-    else:
-        result["tte_error"] = terr[-200:]
+    sub_measure("time_to_1mHa", "--tte")
     print(json.dumps(result))
 
 
