@@ -68,7 +68,18 @@ def _lanes_mode(s: jax.Array) -> str | None:
         return None if cpu else "single"
     from pauxy_tpu.parallel import mesh as pmesh
 
-    if pmesh.active_mesh() is None:
+    m = pmesh.active_mesh()
+    if m is None:
+        return None
+    # The active mesh is process-global state set by shard_walkers; guard
+    # against a stale registration from an earlier run (e.g. an unsharded
+    # follow-up run whose batch doesn't tile the old mesh) by requiring
+    # the flat batch axis to divide over the walker axis.
+    nshard = dict(zip(m.axis_names, m.devices.shape)).get(pmesh.WALKER_AXIS)
+    batch = 1
+    for d in s.shape[:-2]:
+        batch *= d
+    if not nshard or batch % nshard != 0:
         return None
     if cpu:
         # Virtual CPU meshes (tests) opt in explicitly: the kernels then
@@ -110,17 +121,38 @@ def solve(s: jax.Array, y: jax.Array) -> jax.Array:
     kernel (explicit inverse, then one MXU matmul); the fallback is LU on
     the real 2n block embedding.
     """
+    # The solution dtype follows BOTH operands: a real S with a complex Y
+    # has a complex solution (casting to s.dtype would silently drop the
+    # imaginary half).
+    out_dtype = jnp.result_type(s.dtype, y.dtype)
     mode = _lanes_mode(s)
     if mode:
         flat = s.reshape((-1,) + s.shape[-2:])
         _, inv = _lanes_inv_logdet(flat, mode)
         inv = inv.reshape(s.shape)
-        return jnp.matmul(inv, y).astype(s.dtype)
+        return jnp.matmul(inv, y).astype(out_dtype)
     se = _embed_block(s)
     ye = jnp.concatenate([y.real, y.imag], axis=-2)       # [..., 2n, m]
     xe = jnp.linalg.solve(se, ye)
     n = s.shape[-1]
-    return (xe[..., :n, :] + 1j * xe[..., n:, :]).astype(s.dtype)
+    return (xe[..., :n, :] + 1j * xe[..., n:, :]).astype(out_dtype)
+
+
+def inv(s: jax.Array) -> jax.Array:
+    """Batched explicit inverse of ``s [..., n, n]``.
+
+    Lanes-eligible batches take the Gauss-Jordan inverse straight out of
+    the VMEM kernel (``solve(s, I)`` would pay an extra [w, n, n] x
+    [w, n, n] MXU matmul against the identity on top of it); everything
+    else falls back to :func:`solve` against the identity.
+    """
+    mode = _lanes_mode(s)
+    if mode:
+        flat = s.reshape((-1,) + s.shape[-2:])
+        _, invf = _lanes_inv_logdet(flat, mode)
+        return invf.reshape(s.shape)
+    eye = jnp.broadcast_to(jnp.eye(s.shape[-1], dtype=s.dtype), s.shape)
+    return solve(s, eye)
 
 
 def _interleave(s: jax.Array) -> jax.Array:

@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,78 +56,17 @@ def _greens_kernel(m, n, want_gh,
             + fi[:, None, :] * wr[None, :, None]
 
     # ---- Gauss-Jordan with partial pivoting on the augmented [S | I] ----
-    eye = jnp.broadcast_to(
-        jnp.eye(n, dtype=f32)[:, :, None], (n, n, w)
-    )
-    ar = jnp.concatenate([sr, eye], axis=1)               # [n, 2n, W]
-    ai = jnp.concatenate([si, jnp.zeros((n, n, w), f32)], axis=1)
-    ldr = jnp.zeros((w,), f32)
-    # Determinant phase tracked as a complex unit product (Mosaic has no
-    # atan2; the caller takes arctan2 of this [W] pair — a 2-pi-branch
-    # choice the weight update is invariant to).
-    phr = jnp.ones((w,), f32)
-    phi2 = jnp.zeros((w,), f32)
-    rows = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    for k in range(n):
-        mag = ar[:, k] * ar[:, k] + ai[:, k] * ai[:, k]   # [n, W]
-        # Pivot = argmax |S[i, k]|^2 over rows i >= k, as an unrolled
-        # compare chain (Mosaic-safe; no argmax primitive).
-        best = mag[k]
-        piv = jnp.full((w,), k, jnp.int32)
-        for i in range(k + 1, n):
-            better = mag[i] > best
-            best = jnp.where(better, mag[i], best)
-            piv = jnp.where(better, jnp.int32(i), piv)
-        # Swap rows k <-> piv per lane (selects; no scatter).
-        is_piv = rows[:, 0] == piv[None, :]               # [n, W]
-        selr = jnp.sum(jnp.where(is_piv[:, None, :], ar, 0.0), axis=0)
-        seli = jnp.sum(jnp.where(is_piv[:, None, :], ai, 0.0), axis=0)
-        rowk_r = ar[k]
-        rowk_i = ai[k]
-        # Row that was at k goes to the pivot's slot; pivot row to slot k.
-        put_old = is_piv[:, None, :] & (rows != k)
-        ar = jnp.where(put_old, rowk_r[None], ar)
-        ai = jnp.where(put_old, rowk_i[None], ai)
-        at_k = rows == k
-        ar = jnp.where(at_k, selr[None], ar)
-        ai = jnp.where(at_k, seli[None], ai)
-        swapped = piv != k
-        sgn = jnp.where(swapped, -1.0, 1.0)               # det *= -1 on swap
-        # |pivot| to the log-magnitude, pivot/|pivot| to the phase product.
-        pr = ar[k, k]
-        pim = ai[k, k]
-        den = pr * pr + pim * pim
-        ldr = ldr + 0.5 * jnp.log(den)
-        rden = sgn * lax.rsqrt(den)
-        ur = pr * rden
-        ui = pim * rden
-        phr, phi2 = phr * ur - phi2 * ui, phr * ui + phi2 * ur
-        # Normalize row k by the pivot: row_k /= p.
-        invr = pr / den
-        invi = -pim / den
-        nr = ar[k] * invr[None, :] - ai[k] * invi[None, :]
-        ni = ar[k] * invi[None, :] + ai[k] * invr[None, :]
-        ar = jnp.where(at_k, nr[None], ar)
-        ai = jnp.where(at_k, ni[None], ai)
-        # Eliminate column k from every other row (Jordan).
-        fr_k = ar[:, k]                                   # [n, W]
-        fi_k = ai[:, k]
-        mask = (rows != k)
-        er = ar - jnp.where(
-            mask, fr_k[:, None, :] * nr[None] - fi_k[:, None, :] * ni[None],
-            0.0,
-        )
-        ei = ai - jnp.where(
-            mask, fr_k[:, None, :] * ni[None] + fi_k[:, None, :] * nr[None],
-            0.0,
-        )
-        ar, ai = er, ei
+    # Shared elimination (ops/batchla_pallas.gauss_jordan_lanes): inverse
+    # parts + log-magnitude + determinant phase as a complex unit pair
+    # (Mosaic has no atan2; the caller takes arctan2 of the [2, W] pair —
+    # a 2-pi-branch choice the weight update is invariant to).
+    from pauxy_tpu.ops.batchla_pallas import gauss_jordan_lanes
+
+    invr, invi, ldr, phr, phi2 = gauss_jordan_lanes(sr, si, n, w)
     ldr_out[...] = ldr.reshape(1, w)
     ldi_out[...] = jnp.stack([phr, phi2])                 # [2, W] phase pair
     if not want_gh:
         return
-    invr = ar[:, n:]                                      # [n, n, W]
-    invi = ai[:, n:]
     # ---- ghT[q] = inv @ phi[q] per site row q ---------------------------
     for q in range(m):
         fqr = fr_ref[q]                                   # [n, W]

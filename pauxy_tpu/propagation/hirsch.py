@@ -206,15 +206,12 @@ class Hirsch:
         phib = state.phib.real.astype(rdtype)
         sa = jnp.einsum("mi,wmj->wij", psia, phia)
         sb = jnp.einsum("mi,wmj->wij", psib, phib)
-        # clinalg.solve routes [w, n, n] f32 batches to the VMEM lanes
+        # clinalg.inv routes [w, n, n] f32 batches to the VMEM lanes
         # Gauss-Jordan (XLA's batched LU lowers to a ~2.5us/walker serial
-        # loop — it made this path SLOWER than the scan sweep).
-        inva = clinalg.solve(
-            sa, jnp.broadcast_to(jnp.eye(sa.shape[-1], dtype=rdtype), sa.shape)
-        )
-        invb = clinalg.solve(
-            sb, jnp.broadcast_to(jnp.eye(sb.shape[-1], dtype=rdtype), sb.shape)
-        )
+        # loop — it made this path SLOWER than the scan sweep) and returns
+        # the kernel's explicit inverse directly.
+        inva = clinalg.inv(sa)
+        invb = clinalg.inv(sb)
         # Identical draw layout to the scan path -> identical trajectories.
         rs = jax.random.uniform(key, (m, nw), dtype=rdtype)
         interpret = self.sweep_kernel == "pallas_interpret"

@@ -370,6 +370,12 @@ class AFQMC:
     ):
         import os as _os
 
+        from pauxy_tpu.parallel import mesh as pmesh
+
+        # A fresh driver starts unsharded; drop any mesh registered by a
+        # previous run in this process so the lanes kernels don't
+        # shard-dispatch through a stale mesh (shard_walkers re-registers).
+        pmesh.set_active_mesh(None)
         self._t_init = time.time()
         # Per-phase wall-clock accumulators (afqmc.py:224-279 timing
         # breakdown). Fused mode is one compiled program, so only the

@@ -164,6 +164,11 @@ class ThermalAFQMC:
         precision=None,
     ):
         assert qmc.beta is not None, "thermal run needs qmc.beta"
+        from pauxy_tpu.parallel import mesh as pmesh
+
+        # Fresh driver = unsharded; clear any stale mesh registration
+        # (shard_walkers re-registers when the user shards the state).
+        pmesh.set_active_mesh(None)
         self.ham = ham
         self.trial = trial
         self.qmc = qmc

@@ -111,10 +111,19 @@ def save_walkers_sharded(state, dirname: str, *, key=None, step: int = 0,
     os.makedirs(dirname, exist_ok=True)
     shard_payload = {}   # start_index -> {field: host array}
     scalars = {}
+    replicated = {}
     for name, val in _walker_fields(state):
         arr = jax.numpy.asarray(val)
         if arr.ndim == 0:
             scalars[name] = to_host(arr)
+            continue
+        if (len(getattr(arr.sharding, "device_set", ())) > 1
+                and arr.is_fully_replicated):
+            # A replicated array has every shard at start 0; writing it
+            # into shard files would land it only in shard_00000000.h5
+            # and the mesh restore would (rightly) flag the other files
+            # as incomplete. Store it once in meta.h5 instead.
+            replicated[name] = to_host(arr)
             continue
         for shard in arr.addressable_shards:
             start = shard.index[0].start or 0
@@ -140,6 +149,13 @@ def save_walkers_sharded(state, dirname: str, *, key=None, step: int = 0,
                 fh5["rng_key"] = np.asarray(jax.random.key_data(key))
             for name, val in scalars.items():
                 fh5[f"scalars/{name}"] = np.asarray(val)
+            for name, val in replicated.items():
+                val = np.asarray(val)
+                if np.iscomplexobj(val):
+                    fh5[f"replicated/{name}__re"] = val.real
+                    fh5[f"replicated/{name}__im"] = val.imag
+                else:
+                    fh5[f"replicated/{name}"] = val
 
 
 def load_walkers_sharded(template, dirname: str, mesh=None):
@@ -176,6 +192,18 @@ def load_walkers_sharded(template, dirname: str, mesh=None):
         if "scalars" in fh5:
             for name in fh5["scalars"]:
                 scalars[name] = np.asarray(fh5[f"scalars/{name}"])
+        repl = {}
+        if "replicated" in fh5:
+            for name in fh5["replicated"]:
+                if name.endswith("__im"):
+                    continue
+                base = name[:-4] if name.endswith("__re") else name
+                arr = np.asarray(fh5[f"replicated/{name}"])
+                if name.endswith("__re"):
+                    arr = arr + 1j * np.asarray(
+                        fh5[f"replicated/{base}__im"]
+                    )
+                repl[base] = arr
 
     def read_shard(fname, name):
         with h5py.File(fname, "r") as fh5:
@@ -197,11 +225,22 @@ def load_walkers_sharded(template, dirname: str, mesh=None):
         replicated = NamedSharding(mesh, P())
 
         def place(name, t):
+            raw = [read_shard(f, name) for f in files]
+            nmiss = sum(p is None for p in raw)
+            if nmiss == len(files):
+                return None
+            if nmiss:
+                # Present in some shard files but not others: a
+                # truncated/corrupt checkpoint. Restoring the template's
+                # fresh values here would silently mix checkpointed and
+                # re-initialized walkers.
+                raise ValueError(
+                    f"checkpoint {dirname!r} is incomplete: field "
+                    f"{name!r} missing from {nmiss} of "
+                    f"{len(files)} shard files"
+                )
             parts_re, parts_im = [], []
-            for f in files:
-                arr = read_shard(f, name)
-                if arr is None:
-                    return None
+            for arr in raw:
                 arr = arr.astype(t.dtype)
                 parts_re.append(np.ascontiguousarray(arr.real))
                 parts_im.append(
@@ -236,6 +275,11 @@ def load_walkers_sharded(template, dirname: str, mesh=None):
                         scalars[field.name].astype(t.dtype), replicated
                     )
                 continue
+            if field.name in repl:
+                updates[field.name] = jax.device_put(
+                    repl[field.name].astype(t.dtype), replicated
+                )
+                continue
             placed = place(field.name, t)
             if placed is not None:
                 updates[field.name] = placed
@@ -250,9 +294,21 @@ def load_walkers_sharded(template, dirname: str, mesh=None):
                         scalars[field.name].astype(t.dtype)
                     )
                 continue
-            parts = [read_shard(f, field.name) for f in files]
-            if parts[0] is None:
+            if field.name in repl:
+                updates[field.name] = to_device(
+                    repl[field.name].astype(t.dtype)
+                )
                 continue
+            parts = [read_shard(f, field.name) for f in files]
+            nmiss = sum(p is None for p in parts)
+            if nmiss == len(parts):
+                continue
+            if nmiss:
+                raise ValueError(
+                    f"checkpoint {dirname!r} is incomplete: field "
+                    f"{field.name!r} missing from {nmiss} of "
+                    f"{len(parts)} shard files"
+                )
             updates[field.name] = to_device(
                 np.concatenate(parts, axis=0).astype(t.dtype)
             )

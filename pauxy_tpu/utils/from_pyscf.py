@@ -378,7 +378,9 @@ def multi_det_wavefunction(mc, weight_cutoff: float = 0.95,
     occlists_b = gen_occ_lists(mc.ncas, mc.nelecas[1])
     ci = np.asarray(mc.ci).ravel()
     ix_sort = np.argsort(np.abs(ci))[::-1]
-    cweight = np.cumsum(ci[ix_sort] ** 2)
+    # |c|^2 weights (ci**2 would make the cumsum complex for complex CI
+    # coefficients and the searchsorted truncation point arbitrary).
+    cweight = np.cumsum(np.abs(ci[ix_sort]) ** 2)
     max_det = int(min(np.searchsorted(cweight, weight_cutoff) + 1,
                       max_ndets, len(ci)))
     coeffs = ci[ix_sort]
@@ -390,7 +392,10 @@ def multi_det_wavefunction(mc, weight_cutoff: float = 0.95,
         norb = mc.ncas + mc.ncore
     nb = len(occlists_b)
     with open(filename, "w") as out:
-        out.write(f"&FCI\n UHF = 0\n NCI = {max_det}\n TYPE = occ\n&END\n")
+        # NORB makes the up/down split exact on re-read; the reference
+        # format omits it, so read_multi_det_file treats it as optional.
+        out.write(f"&FCI\n UHF = 0\n NCI = {max_det}\n NORB = {norb}\n"
+                  " TYPE = occ\n&END\n")
         out.write("Configurations:\n")
         core_up = " ".join(str(x + 1) for x in range(mc.ncore))
         core_dn = " ".join(str(x + 1 + norb) for x in range(mc.ncore))
@@ -404,13 +409,20 @@ def multi_det_wavefunction(mc, weight_cutoff: float = 0.95,
     return filename
 
 
-def read_multi_det_file(filename: str):
+def read_multi_det_file(filename: str, norb: int | None = None):
     """Parse an occ-list wavefunction file written by
     :func:`multi_det_wavefunction` (or the reference / QMCPACK tooling).
 
     Returns ``(coeffs [D], occa [D, na], occb [D, nb])`` with 0-based
     orbital indices (the down block un-shifted) — the direct input of
     ``models.multi_slater.phmsd_trial``.
+
+    The up/down split needs ``norb`` (down indices live in
+    ``[norb, 2 norb)``): taken from the explicit argument, else the NORB
+    header key our writer emits, else inferred as ``(max_index+1)//2`` —
+    the inference is ambiguous when the top orbitals are unoccupied in
+    every kept determinant, so files from other tools should pass
+    ``norb``.
     """
     with open(filename) as fh:
         lines = [ln.strip() for ln in fh if ln.strip()]
@@ -420,6 +432,8 @@ def read_multi_det_file(filename: str):
         up = ln.upper().replace(" ", "")
         if up.startswith("NCI"):
             nci = int(ln.split("=")[1])
+        if up.startswith("NORB") and norb is None:
+            norb = int(ln.split("=")[1])
         if ln.lower().startswith("configurations"):
             start = i + 1
             break
@@ -433,17 +447,22 @@ def read_multi_det_file(filename: str):
         occ_all.append([int(x) - 1 for x in parts[1:]])
     occ = np.asarray(occ_all, dtype=int)
     ne = occ.shape[1]
-    # Split up/down at the index jump past norb: down indices are >= norb.
-    # All rows share the same (na, nb); infer na as the count of entries
-    # below the minimum down-spin index offset.
-    norb_guess = (occ.max() + 1) // 2 if occ.max() >= ne else ne
-    na = int((occ[0] < norb_guess).sum())
-    occa = occ[:, :na]
-    occb = occ[:, na:] - norb_guess
-    if (occb < 0).any():
-        # Fallback: down block starts where indices exceed the up range.
+    if norb is None:
+        norb = (occ.max() + 1) // 2 if occ.max() >= ne else ne
+    # Down indices are >= norb in every determinant; all rows share (na, nb).
+    na_per_row = (occ < norb).sum(axis=1)
+    na = int(na_per_row[0])
+    if not (na_per_row == na).all():
         raise ValueError(
-            f"could not split up/down occupations in {filename!r}"
+            f"inconsistent up/down occupation split in {filename!r} "
+            f"(norb={norb}); pass the correct norb"
+        )
+    occa = occ[:, :na]
+    occb = occ[:, na:] - norb
+    if (occb < 0).any() or (occa >= norb).any():
+        raise ValueError(
+            f"could not split up/down occupations in {filename!r} "
+            f"(norb={norb}); pass the correct norb"
         )
     return np.asarray(coeffs), occa, occb
 

@@ -123,3 +123,28 @@ def test_driver_resumes_from_sharded_checkpoint(tmp_path):
     np.testing.assert_allclose(rows_full[-1, 1:10].real,
                                rows_resumed[-1, 1:10].real,
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_incomplete_checkpoint_raises(tmp_path):
+    """A field missing from SOME (not all) shard files is a truncated
+    checkpoint: restore must fail loudly instead of silently mixing
+    checkpointed walkers with template-fresh arrays."""
+    import glob
+
+    import h5py
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    trial = free_electron_trial(ham)
+    m = pmesh.walker_mesh()
+    state = pmesh.shard_walkers(init_walkers(trial, 16), m)
+    d = str(tmp_path / "ckpt")
+    save_walkers_sharded(state, d, step=1, eshift=0.0)
+    victim = sorted(glob.glob(d + "/shard_*.h5"))[-1]
+    with h5py.File(victim, "a") as fh5:
+        del fh5["weight"]
+    template = pmesh.shard_walkers(init_walkers(trial, 16), m)
+    with pytest.raises(ValueError, match="incomplete"):
+        load_walkers_sharded(template, d, mesh=m)
+    with pytest.raises(ValueError, match="incomplete"):
+        load_walkers_sharded(init_walkers(trial, 16), d, mesh=None)

@@ -84,3 +84,21 @@ def test_slogdet_near_singular_pivoting():
     s2 = np.stack([s, 3.0 * np.eye(2)]).astype(complex)
     out2 = np.asarray(clinalg.slogdet(jnp.asarray(s2)))
     np.testing.assert_allclose(np.exp(out2), [-1.0, 9.0], rtol=1e-12)
+
+
+@pytest.mark.unit
+def test_solve_real_matrix_complex_rhs_keeps_imag():
+    """solve() with a real S and complex Y must return the complex
+    solution (casting to s.dtype would silently drop the imaginary
+    half)."""
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(
+        (rng.standard_normal((4, 5, 5))
+         + 5 * np.eye(5)).astype(np.float32))
+    y = jnp.asarray(
+        (rng.standard_normal((4, 5, 3))
+         + 1j * rng.standard_normal((4, 5, 3))).astype(np.complex64))
+    x = clinalg.solve(s, y)
+    assert jnp.iscomplexobj(x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(s, x)), np.asarray(y), atol=2e-4)

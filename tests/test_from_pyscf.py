@@ -238,3 +238,26 @@ def test_write_qmcpack_wfn_many_dets(tmp_path):
     psi, c = read_orbitals(f)
     np.testing.assert_allclose(c, coeffs)
     np.testing.assert_allclose(psi, wfn, atol=1e-14)
+
+
+def test_multi_det_norb_header_disambiguates(tmp_path):
+    """With norb > occupied range (top orbitals empty in every kept
+    determinant) the (max+1)//2 inference is wrong; the NORB header our
+    writer emits must make the up/down split exact (code-review r3)."""
+    ncas, ne = 3, (1, 1)
+    nd = len(gen_occ_lists(ncas, 1))
+    rng = np.random.default_rng(7)
+    ci = rng.normal(size=(nd, nd))
+    ci /= np.linalg.norm(ci)
+    mc = MockMC(ncas, ne, ncore=0, ci=ci)
+    f = str(tmp_path / "md_norb.dat")
+    # norb=6: down-spin indices start at 6 but only active orbitals 0-2
+    # appear, so occ.max() is small and the old guess mis-split.
+    multi_det_wavefunction(mc, weight_cutoff=0.999, filename=f, norb=6)
+    coeffs, occa, occb = read_multi_det_file(f)
+    assert occa.shape[1] == 1 and occb.shape[1] == 1
+    assert (occa < 3).all() and (occb < 3).all() and (occb >= 0).all()
+    # Explicit-argument path matches the header path.
+    c2, oa2, ob2 = read_multi_det_file(f, norb=6)
+    np.testing.assert_array_equal(occa, oa2)
+    np.testing.assert_array_equal(occb, ob2)

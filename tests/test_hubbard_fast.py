@@ -119,3 +119,47 @@ def test_fast_block_pallas_greens_matches_xla(tmp_path):
                                rtol=1e-9)
     np.testing.assert_allclose(np.asarray(jnp.abs(s1.phia)),
                                np.asarray(jnp.abs(s2.phia)), atol=1e-9)
+
+
+@pytest.mark.unit
+def test_eligible_classifies_every_propagator_option():
+    """Drift catcher for the fast-path gate: every config field of
+    Continuous / HubbardContinuous must be classified here as either
+    read identically by the lanes block or gated by hubbard_fast.eligible.
+    A new propagator option fails this test until its author decides
+    which — preventing the fast block from silently running different
+    physics than qmc/afqmc.run_block."""
+    import dataclasses
+
+    from pauxy_tpu.propagation.continuous import Continuous
+    from pauxy_tpu.propagation.hubbard import HubbardContinuous
+
+    continuous_classified = {
+        "inner",            # isinstance(HubbardContinuous) gate
+        "dt",               # read identically by both block programs
+        "free_projection",  # gated: fast path requires False
+        "hybrid",           # gated: fast path requires True
+        "force_bias",       # supported: lanes force-bias branch
+        "stochastic_ri",    # gated: fast path requires False
+        "ri_nsamples",      # only meaningful with stochastic_ri
+    }
+    fields = {f.name for f in dataclasses.fields(Continuous)}
+    assert fields == continuous_classified, (
+        "Continuous gained/lost config fields; classify them in "
+        "hubbard_fast.eligible (gate or support) and update this test: "
+        f"{fields ^ continuous_classified}"
+    )
+
+    hubbard_classified = {
+        "BH1",       # read by the lanes one-body half-step
+        "mf_shift",  # read by the lanes force-bias/cmf terms
+        "dt",        # read identically
+        "U",         # read by the lanes VHS build
+        "charge",    # supported: both decompositions in the lanes block
+    }
+    hfields = {f.name for f in dataclasses.fields(HubbardContinuous)}
+    assert hfields == hubbard_classified, (
+        "HubbardContinuous gained/lost config fields; classify them for "
+        "the lanes fast block and update this test: "
+        f"{hfields ^ hubbard_classified}"
+    )
