@@ -253,6 +253,36 @@ def test_thermal_sharded_matches_single_device(tmp_path):
 
 
 @pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_hubbard_holstein_sharded_matches_single_device(tmp_path):
+    """HirschDMC (discrete Hirsch + phonon DMC moves) with the walker axis
+    sharded: the phonon coordinate arrays, the boson importance-sampling
+    acceptance draws, and the coupled electron update must be SPMD-clean
+    (reference: pauxy/propagation/hubbard_holstein.py:17-440)."""
+    from pauxy_tpu.models.hubbard_holstein import (coherent_state_trial,
+                                                   make_hubbard_holstein)
+
+    ham = make_hubbard_holstein(nup=2, ndown=2, U=4.0, nx=4, g=0.5, w0=1.0,
+                                xpbc=False)
+    trial = coherent_state_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.01, nsteps=8, nblocks=3, nstblz=4,
+                  npop_control=4, rng_seed=5)
+
+    af1 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 2}},
+                filename=str(tmp_path / "hh1.h5"))
+    rows1 = af1.run()
+
+    af2 = AFQMC(ham, trial, qmc,
+                estimator_options={"mixed": {"energy_eval_freq": 2}},
+                filename=str(tmp_path / "hh2.h5"))
+    af2.state = pmesh.shard_walkers(af2.state, pmesh.walker_mesh())
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
 def test_thermal_lowrank_sharded_matches_single_device(tmp_path):
     """Low-rank thermal UEG (masked QDT stack) sharded on the walker axis
     matches the unsharded run (reference low-rank path,
