@@ -1,0 +1,372 @@
+"""s-type contracted-Gaussian molecular integrals + SCF, pure numpy.
+
+The reference generates molecular integrals through pyscf
+(``pauxy/utils/from_pyscf.py:154`` ``generate_integrals``); pyscf is not in
+this image, so its headline molecular example — the H10 chain of
+``examples/generic/01-simple`` with the published anchor
+E = -5.38331344 +/- 0.0014 Ha — was not reproducible. For hydrogen-like
+systems every basis function is an s-type contracted Gaussian and all four
+integral classes have closed forms in the Boys function F0, so this module
+provides the whole chkfile-equivalent pipeline host-side:
+
+    atoms -> S/T/V/ERI -> RHF/UHF (DIIS) -> Lowdin ortho-AO Hamiltonian
+          -> pivoted-Cholesky factors -> ``models.generic.make_generic``
+          + ``models.trial.trial_from_orbitals``.
+
+Scope: s functions only (H, He; charged centers are arbitrary). Heavier
+elements need p/d shells — out of scope; use a pyscf-generated h5 through
+``from_qmcpack_file`` for those.
+
+Everything here is setup-time host code (numpy, float64); the arrays feed
+the jitted drivers unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "STO6G_H",
+    "SBasis",
+    "hydrogen_chain",
+    "rhf",
+    "uhf",
+    "ortho_ao_hamiltonian",
+    "hydrogen_chain_afqmc",
+]
+
+# STO-6G hydrogen 1s (Hehre-Stewart-Pople zeta=1.0 fit scaled by
+# zeta_H^2 = 1.24^2 — the stored basis-set-exchange/pyscf values).
+STO6G_H = (
+    np.array([35.52322122, 6.513143725, 1.822142904,
+              0.625955266, 0.243076747, 0.100112428]),
+    np.array([0.00916359628, 0.04936149294, 0.16853830490,
+              0.37056279970, 0.41649152980, 0.13033408410]),
+)
+
+
+def _boys0(t: np.ndarray) -> np.ndarray:
+    """F0(t) = (1/2) sqrt(pi/t) erf(sqrt(t)), series near 0."""
+    from scipy.special import erf
+
+    t = np.asarray(t, dtype=np.float64)
+    small = t < 1e-12
+    ts = np.where(small, 1.0, t)
+    f = 0.5 * np.sqrt(np.pi / ts) * erf(np.sqrt(ts))
+    return np.where(small, 1.0 - t / 3.0, f)
+
+
+class SBasis:
+    """Contracted s-function basis: one contracted GTO per (center, shell).
+
+    ``centers``: [nbf, 3]; ``exps``/``coefs``: lists of per-function
+    primitive arrays. Coefficients are stored primitive-normalized and the
+    contraction is renormalized to <phi|phi> = 1.
+    """
+
+    def __init__(self, centers, exps, coefs):
+        self.centers = np.asarray(centers, dtype=np.float64)
+        self.exps = [np.asarray(e, dtype=np.float64) for e in exps]
+        nrm = [(2.0 * e / np.pi) ** 0.75 for e in self.exps]
+        self.coefs = [np.asarray(c, dtype=np.float64) * n
+                      for c, n in zip(coefs, nrm)]
+        self.nbf = len(self.exps)
+        # Normalize each contraction.
+        for i in range(self.nbf):
+            a = self.exps[i][:, None] + self.exps[i][None, :]
+            s = (np.pi / a) ** 1.5
+            w = self.coefs[i][:, None] * self.coefs[i][None, :]
+            self.coefs[i] = self.coefs[i] / np.sqrt((w * s).sum())
+
+    # -- pair tables -------------------------------------------------------
+    def _pairs(self, i, j):
+        """Primitive-pair quantities for functions i, j: total exponent p,
+        combined coefficient cc (incl. the Gaussian product prefactor),
+        and product center P — each flattened [ni * nj]."""
+        ai = self.exps[i][:, None]
+        aj = self.exps[j][None, :]
+        p = (ai + aj).ravel()
+        ab2 = np.dot(self.centers[i] - self.centers[j],
+                     self.centers[i] - self.centers[j])
+        pref = np.exp(-(ai * aj).ravel() / p * ab2)
+        cc = (self.coefs[i][:, None] * self.coefs[j][None, :]).ravel() * pref
+        P = (ai[..., None] * self.centers[i] + aj[..., None] * self.centers[j])
+        P = (P.reshape(-1, 3)) / p[:, None]
+        return p, cc, P
+
+    def overlap(self) -> np.ndarray:
+        S = np.empty((self.nbf, self.nbf))
+        for i in range(self.nbf):
+            for j in range(i + 1):
+                p, cc, _ = self._pairs(i, j)
+                S[i, j] = S[j, i] = (cc * (np.pi / p) ** 1.5).sum()
+        return S
+
+    def kinetic(self) -> np.ndarray:
+        T = np.empty((self.nbf, self.nbf))
+        for i in range(self.nbf):
+            for j in range(i + 1):
+                ai = self.exps[i][:, None]
+                aj = self.exps[j][None, :]
+                p, cc, _ = self._pairs(i, j)
+                mu = (ai * aj).ravel() / p
+                ab2 = np.dot(self.centers[i] - self.centers[j],
+                             self.centers[i] - self.centers[j])
+                t = mu * (3.0 - 2.0 * mu * ab2) * (np.pi / p) ** 1.5
+                T[i, j] = T[j, i] = (cc * t).sum()
+        return T
+
+    def nuclear(self, charges, coords) -> np.ndarray:
+        charges = np.asarray(charges, dtype=np.float64)
+        coords = np.asarray(coords, dtype=np.float64)
+        V = np.zeros((self.nbf, self.nbf))
+        for i in range(self.nbf):
+            for j in range(i + 1):
+                p, cc, P = self._pairs(i, j)
+                acc = 0.0
+                for z, c in zip(charges, coords):
+                    pc2 = ((P - c[None, :]) ** 2).sum(axis=1)
+                    acc += -z * (cc * 2.0 * np.pi / p
+                                 * _boys0(p * pc2)).sum()
+                V[i, j] = V[j, i] = acc
+        return V
+
+    def eri(self) -> np.ndarray:
+        """(ij|kl) chemists' notation, [nbf]*4 (fine for <= ~30 functions;
+        hydrogen-chain scale)."""
+        n = self.nbf
+        pair_p, pair_cc, pair_P = {}, {}, {}
+        for i in range(n):
+            for j in range(i + 1):
+                p, cc, P = self._pairs(i, j)
+                pair_p[i, j] = p
+                pair_cc[i, j] = cc
+                pair_P[i, j] = P
+        eri = np.zeros((n, n, n, n))
+        for i in range(n):
+            for j in range(i + 1):
+                pij, cij, Pij = pair_p[i, j], pair_cc[i, j], pair_P[i, j]
+                for k in range(n):
+                    for l in range(k + 1):
+                        if (k, l, i, j) < (i, j, k, l):
+                            continue
+                        pkl, ckl, Pkl = (pair_p[k, l], pair_cc[k, l],
+                                         pair_P[k, l])
+                        pq2 = ((Pij[:, None, :] - Pkl[None, :, :]) ** 2
+                               ).sum(axis=2)
+                        pp = pij[:, None]
+                        qq = pkl[None, :]
+                        val = (cij[:, None] * ckl[None, :]
+                               * 2.0 * np.pi ** 2.5
+                               / (pp * qq * np.sqrt(pp + qq))
+                               * _boys0(pp * qq / (pp + qq) * pq2)).sum()
+                        for a, b in ((i, j), (j, i)):
+                            for c, d in ((k, l), (l, k)):
+                                eri[a, b, c, d] = eri[c, d, a, b] = val
+        return eri
+
+
+def hydrogen_chain(n: int, r: float, basis=STO6G_H):
+    """n H atoms on a line with spacing r (Bohr), open boundaries —
+    the reference H10 example geometry (``scf.py``: 1.6*i Bohr).
+
+    Returns (SBasis, charges [n], coords [n, 3], enuc)."""
+    coords = np.zeros((n, 3))
+    coords[:, 0] = r * np.arange(n)
+    charges = np.ones(n)
+    exps, coefs = basis
+    bas = SBasis(coords, [exps] * n, [coefs] * n)
+    enuc = 0.0
+    for i in range(n):
+        for j in range(i):
+            enuc += 1.0 / np.linalg.norm(coords[i] - coords[j])
+    return bas, charges, coords, enuc
+
+
+# ---------------------------------------------------------------------------
+# SCF (DIIS). Host-side numpy; tiny bases.
+# ---------------------------------------------------------------------------
+
+
+def _diis_extrapolate(fock_list, err_list):
+    m = len(fock_list)
+    B = -np.ones((m + 1, m + 1))
+    B[m, m] = 0.0
+    for a in range(m):
+        for b in range(m):
+            B[a, b] = np.vdot(err_list[a], err_list[b])
+    rhs = np.zeros(m + 1)
+    rhs[m] = -1.0
+    try:
+        c = np.linalg.solve(B, rhs)[:m]
+    except np.linalg.LinAlgError:
+        return fock_list[-1]
+    return sum(ci * f for ci, f in zip(c, fock_list))
+
+
+def _scf_energy(h, focks, dms):
+    e = 0.0
+    for f, d in zip(focks, dms):
+        e += 0.5 * np.einsum("pq,qp->", h + f, d)
+    return e
+
+
+def rhf(bas: SBasis, charges, coords, na: int, enuc: float = 0.0,
+        max_cycle: int = 200, tol: float = 1e-10, verbose: bool = False):
+    """Closed-shell RHF. Returns (e_tot, C [nbf, nbf], eps)."""
+    S, T = bas.overlap(), bas.kinetic()
+    h = T + bas.nuclear(charges, coords)
+    eri = bas.eri()
+    w, U = np.linalg.eigh(S)
+    X = U @ np.diag(w ** -0.5) @ U.T
+    C = _solve_fock(h, X)
+    fock_l, err_l = [], []
+    e_old = 0.0
+    for it in range(max_cycle):
+        D = 2.0 * C[:, :na] @ C[:, :na].T
+        J = np.einsum("pqrs,sr->pq", eri, D, optimize=True)
+        K = np.einsum("prqs,sr->pq", eri, D, optimize=True)
+        F = h + J - 0.5 * K
+        err = X.T @ (F @ D @ S - S @ D @ F) @ X
+        fock_l.append(F)
+        err_l.append(err)
+        if len(fock_l) > 8:
+            fock_l.pop(0)
+            err_l.pop(0)
+        F = _diis_extrapolate(fock_l, err_l)
+        C, eps = _solve_fock_eps(F, X)
+        e = 0.5 * np.einsum("pq,qp->", h + (h + J - 0.5 * K), D) + enuc
+        if verbose:
+            print(f"# RHF cycle {it}: E = {e:.10f}")
+        if abs(e - e_old) < tol and np.abs(err_l[-1]).max() < 1e-7:
+            return e, C, eps
+        e_old = e
+    raise RuntimeError("RHF did not converge")
+
+
+def uhf(bas: SBasis, charges, coords, nelec, enuc: float = 0.0,
+        max_cycle: int = 500, tol: float = 1e-10, break_sym: float = 0.1,
+        verbose: bool = False):
+    """Spin-unrestricted HF (the reference example uses ``scf.UHF``).
+
+    ``break_sym`` mixes the initial alpha HOMO/LUMO to let the solution
+    leave the RHF saddle point on stretched geometries. Returns
+    (e_tot, (Ca, Cb), (epsa, epsb))."""
+    na, nb = nelec
+    S, T = bas.overlap(), bas.kinetic()
+    h = T + bas.nuclear(charges, coords)
+    eri = bas.eri()
+    w, U = np.linalg.eigh(S)
+    X = U @ np.diag(w ** -0.5) @ U.T
+    Ca = _solve_fock(h, X)
+    Cb = Ca.copy()
+    if break_sym and na < bas.nbf:
+        # Counter-rotate alpha/beta HOMO-LUMO pairs (alpha +theta, beta
+        # -theta): a one-sided rotation can relax into the IONIC saddle on
+        # dissociated geometries instead of the covalent UHF minimum.
+        th = break_sym
+        homo, lumo = Ca[:, na - 1].copy(), Ca[:, na].copy()
+        Ca[:, na - 1] = np.cos(th) * homo + np.sin(th) * lumo
+        Ca[:, na] = -np.sin(th) * homo + np.cos(th) * lumo
+        if 0 < nb < bas.nbf:
+            homo, lumo = Cb[:, nb - 1].copy(), Cb[:, nb].copy()
+            Cb[:, nb - 1] = np.cos(th) * homo - np.sin(th) * lumo
+            Cb[:, nb] = np.sin(th) * homo + np.cos(th) * lumo
+    fock_l, err_l = [], []
+    e_old = 0.0
+    Fa_old = Fb_old = None
+    for it in range(max_cycle):
+        Da = Ca[:, :na] @ Ca[:, :na].T
+        Db = Cb[:, :nb] @ Cb[:, :nb].T
+        Jt = np.einsum("pqrs,sr->pq", eri, Da + Db, optimize=True)
+        Ka = np.einsum("prqs,sr->pq", eri, Da, optimize=True)
+        Kb = np.einsum("prqs,sr->pq", eri, Db, optimize=True)
+        Fa, Fb = h + Jt - Ka, h + Jt - Kb
+        e = _scf_energy(h, (Fa, Fb), (Da, Db)) + enuc
+        err = np.concatenate([
+            (X.T @ (Fa @ Da @ S - S @ Da @ Fa) @ X).ravel(),
+            (X.T @ (Fb @ Db @ S - S @ Db @ Fb) @ X).ravel(),
+        ])
+        fock_l.append((Fa, Fb))
+        err_l.append(err)
+        if len(fock_l) > 8:
+            fock_l.pop(0)
+            err_l.pop(0)
+        if it < 6 and Fa_old is not None:
+            # Damp the first cycles: degenerate stretched geometries
+            # charge-slosh under bare Roothaan steps and early DIIS
+            # extrapolates garbage from them.
+            Fa = 0.5 * Fa + 0.5 * Fa_old
+            Fb = 0.5 * Fb + 0.5 * Fb_old
+        elif len(fock_l) > 1:
+            stacked = _diis_extrapolate(
+                [np.stack(fs) for fs in fock_l], err_l)
+            Fa, Fb = stacked[0], stacked[1]
+        Fa_old, Fb_old = Fa, Fb
+        Ca, epsa = _solve_fock_eps(Fa, X)
+        Cb, epsb = _solve_fock_eps(Fb, X)
+        if verbose:
+            print(f"# UHF cycle {it}: E = {e:.10f}")
+        if abs(e - e_old) < tol and np.abs(err).max() < 1e-7:
+            return e, (Ca, Cb), (epsa, epsb)
+        e_old = e
+    raise RuntimeError("UHF did not converge")
+
+
+def _solve_fock(F, X):
+    return _solve_fock_eps(F, X)[0]
+
+
+def _solve_fock_eps(F, X):
+    eps, Cp = np.linalg.eigh(X.T @ F @ X)
+    return X @ Cp, eps
+
+
+# ---------------------------------------------------------------------------
+# AFQMC input assembly (Lowdin ortho-AO basis)
+# ---------------------------------------------------------------------------
+
+
+def ortho_ao_hamiltonian(bas: SBasis, charges, coords):
+    """(h1e, eri, X) in the Lowdin ortho-AO basis X = S^(-1/2) — the same
+    orthonormal single-particle basis option the reference converter
+    exposes (``from_pyscf.py:632`` ``get_ortho_ao``)."""
+    S = bas.overlap()
+    w, U = np.linalg.eigh(S)
+    X = U @ np.diag(w ** -0.5) @ U.T
+    h = bas.kinetic() + bas.nuclear(charges, coords)
+    h1e = X.T @ h @ X
+    eri = bas.eri()
+    eri = np.einsum("pi,qj,pqrs,rk,sl->ijkl", X, X, eri, X, X,
+                    optimize=True)
+    return h1e, eri, X
+
+
+def hydrogen_chain_afqmc(n: int, r: float, nelec=None, chol_tol: float = 1e-8,
+                         verbose: bool = False):
+    """Full pipeline for an n-atom H chain at spacing r (Bohr):
+    integrals -> UHF -> ortho-AO Hamiltonian + Cholesky + UHF trial
+    orbitals in the ortho-AO basis.
+
+    Returns (ham, trial_psi [M, na+nb], e_uhf) ready for
+    ``make_generic(nelec, h1e, chol, enuc)`` consumers — see
+    ``examples/generic/02-h10-chain``. Counterpart of the reference's
+    chkfile -> ``dump_pauxy`` path (``from_pyscf.py:22-154``)."""
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.utils.from_pyscf import cholesky_from_eri
+
+    if nelec is None:
+        nelec = ((n + 1) // 2, n // 2)
+    bas, charges, coords, enuc = hydrogen_chain(n, r)
+    e_uhf, (Ca, Cb), _ = uhf(bas, charges, coords, nelec, enuc=enuc,
+                             verbose=verbose)
+    h1e, eri, X = ortho_ao_hamiltonian(bas, charges, coords)
+    chol = cholesky_from_eri(eri, tol=chol_tol)
+    ham = make_generic(nelec, h1e, chol, ecore=enuc)
+    # Trial orbitals in the ortho-AO basis: psi = X^-1 C = S^(1/2) C.
+    S = bas.overlap()
+    w, U = np.linalg.eigh(S)
+    Xinv = U @ np.diag(w ** 0.5) @ U.T
+    psi = np.concatenate([Xinv @ Ca[:, :nelec[0]],
+                          Xinv @ Cb[:, :nelec[1]]], axis=1)
+    return ham, psi, e_uhf
