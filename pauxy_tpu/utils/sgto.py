@@ -33,6 +33,7 @@ __all__ = [
     "uhf",
     "ortho_ao_hamiltonian",
     "hydrogen_chain_afqmc",
+    "dump_afqmc",
 ]
 
 # STO-6G hydrogen 1s (Hehre-Stewart-Pople zeta=1.0 fit scaled by
@@ -370,3 +371,57 @@ def hydrogen_chain_afqmc(n: int, r: float, nelec=None, chol_tol: float = 1e-8,
     psi = np.concatenate([Xinv @ Ca[:, :nelec[0]],
                           Xinv @ Cb[:, :nelec[1]]], axis=1)
     return ham, psi, e_uhf
+
+
+def dump_afqmc(n: int, r: float, nelec=None, prefix: str = ".",
+               chol_tol: float = 1e-8, nwalkers: int = 100,
+               dt: float = 0.005, nblocks: int = 1000,
+               verbose: bool = False):
+    """File-based workflow parity with the reference's converter
+    (``tools/pyscf/pyscf_to_pauxy.py`` + ``from_pyscf.dump_pauxy``):
+    write ``afqmc.h5`` (QMCPACK dense Hamiltonian), ``wfn.h5`` (UHF trial)
+    and a ready ``input.json`` into ``prefix`` for an n-atom H chain, so
+
+        python bin/pauxy-tpu <prefix>/input.json
+
+    runs the reference H10 example end-to-end with no pyscf. Returns the
+    input.json path."""
+    import json
+    import os
+
+    from pauxy_tpu.utils import qmcpack, wavefunction
+    from pauxy_tpu.utils.from_pyscf import cholesky_from_eri
+
+    if nelec is None:
+        nelec = ((n + 1) // 2, n // 2)
+    bas, charges, coords, enuc = hydrogen_chain(n, r)
+    e_uhf, (Ca, Cb), _ = uhf(bas, charges, coords, nelec, enuc=enuc,
+                             verbose=verbose)
+    h1e, eri, X = ortho_ao_hamiltonian(bas, charges, coords)
+    chol = cholesky_from_eri(eri, tol=chol_tol)
+    os.makedirs(prefix, exist_ok=True)
+    ham_file = os.path.join(prefix, "afqmc.h5")
+    wfn_file = os.path.join(prefix, "wfn.h5")
+    qmcpack.write_hamiltonian(h1e, chol, nelec, ecore=enuc,
+                              filename=ham_file)
+    S = bas.overlap()
+    w, U = np.linalg.eigh(S)
+    Xinv = U @ np.diag(w ** 0.5) @ U.T
+    psi = np.concatenate([Xinv @ Ca[:, :nelec[0]],
+                          Xinv @ Cb[:, :nelec[1]]], axis=1)
+    wavefunction.write_wavefunction(psi, wfn_file)
+    options = {
+        "system": {"name": "Generic", "nup": nelec[0], "ndown": nelec[1],
+                   "integrals": ham_file},
+        "qmc": {"dt": dt, "nsteps": 10, "blocks": nblocks,
+                "nwalkers": nwalkers, "pop_control_freq": 5,
+                "rng_seed": 8},
+        "trial": {"name": "hartree_fock", "filename": wfn_file},
+    }
+    input_file = os.path.join(prefix, "input.json")
+    with open(input_file, "w") as fh:
+        json.dump(options, fh, indent=2)
+    if verbose:
+        print(f"# wrote {ham_file}, {wfn_file}, {input_file} "
+              f"(E_UHF = {e_uhf:.8f})")
+    return input_file

@@ -119,3 +119,30 @@ def test_h10_anchor(tmp_path):
     ref, ref_err = -5.38331344, 0.0014386
     comb = np.hypot(se, ref_err)
     assert abs(et.mean() - ref) < 4 * comb, (et.mean(), se, ref)
+
+
+@pytest.mark.driver
+def test_dump_afqmc_file_workflow(tmp_path):
+    """File-based workflow parity: dump_afqmc writes afqmc.h5 + wfn.h5 +
+    input.json, and setup_calculation drives them end-to-end (the
+    reference's pyscf_to_pauxy.py -> bin/pauxy shape)."""
+    import json
+    import os
+
+    from pauxy_tpu.qmc.calc import setup_calculation
+    from pauxy_tpu.utils.sgto import dump_afqmc
+
+    f = dump_afqmc(4, 1.6, prefix=str(tmp_path), nblocks=20)
+    opts = json.load(open(f))
+    opts["estimates"] = {"filename": str(tmp_path / "est.h5")}
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        af = setup_calculation(opts)
+        rows = af.run()
+    finally:
+        os.chdir(cwd)
+    et = rows[5:, 5].real
+    assert np.isfinite(rows).all()
+    # Between the UHF energy (-2.1434) and below, near FCI (-2.1942).
+    assert -2.25 < et.mean() < -2.12, et.mean()
