@@ -450,3 +450,42 @@ def test_extract_raw_and_simple_cli(tmp_path, monkeypatch):
         capture_output=True, text=True, timeout=300, cwd=str(tmp_path))
     assert out.returncode == 0, out.stderr
     assert "ETotal" in out.stdout
+
+
+def test_extract_observable_itcf_selects_live_rows(tmp_path):
+    """ITCF rows in the h5 are already normalized; blocks whose
+    measurement window didn't complete are zero-filled. The CLI must
+    select live rows and NOT divide by the stored (raw-weight)
+    denominator again."""
+    import subprocess
+    import sys as _sys
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=3, U=0.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    # tau_max = 2 blocks of steps -> every other block is zero-filled.
+    qmc = QMCOpts(nwalkers=4, dt=0.05, nsteps=5, nblocks=6, nstblz=100,
+                  npop_control=100, rng_seed=3)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 5},
+                                  "itcf": {"tau_max": 0.5, "stable": True}},
+               filename=str(tmp_path / "i.h5"))
+    af.run()
+    out = str(tmp_path / "g.npy")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    subprocess.run(
+        [_sys.executable,
+         os.path.join(env["PYTHONPATH"], "tools", "extract_observable.py"),
+         "-f", str(tmp_path / "i.h5"),
+         "-o", "itcf:real_space_greens_function", "--out", out],
+        check=True, env=env,
+    )
+    g = np.load(out)
+    assert (np.abs(g[:, 0, 0, 0]).max(axis=(-1, -2)) > 0.1).all()
+    # U=0 free fermions: G^>(0) diagonal average = 1 - n = 1 - 3/9.
+    dens = np.einsum("btsgii->btsgi", g[:, :1, :, :1]).mean()
+    assert abs(dens - (1 - 3 / 9)) < 0.05, dens

@@ -26,8 +26,12 @@ def main(argv=None):
         data = extraction.extract_rdm(args.filename, rdm_type=name.replace(
             "one_rdm", "one_rdm"))
     elif group == "itcf":
+        # Rows are pushed already normalized (ITCFReporter.block_row);
+        # the stored denominator is a liveness flag — blocks whose
+        # measurement window did not complete are zero-filled. Select the
+        # live rows (dividing again would shrink values by total weight).
         data, denom = extraction.extract_itcf(args.filename)
-        data = data / np.where(np.abs(denom) > 0, denom, 1)[:, None, None, None, None]
+        data = data[np.abs(np.asarray(denom).ravel()) > 0]
     else:
         data = extraction.extract_data(args.filename, group, name, raw=True)
     out = args.out or (name + ".npy")
