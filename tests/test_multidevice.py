@@ -253,6 +253,41 @@ def test_thermal_sharded_matches_single_device(tmp_path):
 
 
 @pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_thermal_discrete_sharded_matches_single_device(tmp_path):
+    """ThermalDiscrete (finite-T Hirsch, G <- B G B^-1 rank-1 updates)
+    with the walker axis sharded matches single-device (reference:
+    pauxy/thermal_propagation/hubbard.py:8-180)."""
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    beta, dt = 0.5, 0.05
+    trial = make_one_body_trial(ham, beta, dt)
+    qmc = QMCOpts(nwalkers=16, dt=dt, nsteps=1, nblocks=3, beta=beta,
+                  npop_control=2, rng_seed=3)
+    popts = {"hubbard_stratonovich": "discrete"}
+
+    af1 = ThermalAFQMC(ham, trial, qmc, propagator_options=popts,
+                       filename=str(tmp_path / "td1.h5"))
+    rows1 = af1.run()
+
+    af2 = ThermalAFQMC(ham, trial, qmc, propagator_options=popts,
+                       filename=str(tmp_path / "td2.h5"))
+    m = pmesh.walker_mesh()
+    inner_init = af2._init_walkers
+
+    def sharded_init(trial, nw):
+        return pmesh.shard_walkers(inner_init(trial, nw), m)
+
+    af2._init_walkers = sharded_init
+    af2.state = pmesh.shard_walkers(af2.state, m)
+    rows2 = af2.run()
+
+    np.testing.assert_allclose(rows1[:, :11].real, rows2[:, :11].real,
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
 def test_hubbard_holstein_sharded_matches_single_device(tmp_path):
     """HirschDMC (discrete Hirsch + phonon DMC moves) with the walker axis
     sharded: the phonon coordinate arrays, the boson importance-sampling
