@@ -27,6 +27,9 @@ import numpy as np
 
 __all__ = [
     "STO6G_H",
+    "STO6G_HE",
+    "ATOM_BASES",
+    "molecule",
     "SBasis",
     "hydrogen_chain",
     "rhf",
@@ -36,14 +39,41 @@ __all__ = [
     "dump_afqmc",
 ]
 
-# STO-6G hydrogen 1s (Hehre-Stewart-Pople zeta=1.0 fit scaled by
-# zeta_H^2 = 1.24^2 — the stored basis-set-exchange/pyscf values).
-STO6G_H = (
-    np.array([35.52322122, 6.513143725, 1.822142904,
-              0.625955266, 0.243076747, 0.100112428]),
-    np.array([0.00916359628, 0.04936149294, 0.16853830490,
-              0.37056279970, 0.41649152980, 0.13033408410]),
-)
+# STO-6G 1s: the Hehre-Stewart-Pople zeta=1.0 least-squares fit of a
+# Slater 1s; element bases are the same six primitives scaled by zeta^2
+# (zeta_H = 1.24, zeta_He = 1.69 — the stored basis-set-exchange/pyscf
+# convention; the H values below match the published table).
+_STO6G_1S_EXP = np.array([23.10303149, 4.235915534, 1.185056519,
+                          0.4070988982, 0.1580884151, 0.06510953954])
+_STO6G_1S_COEF = np.array([0.00916359628, 0.04936149294, 0.16853830490,
+                           0.37056279970, 0.41649152980, 0.13033408410])
+
+STO6G_H = (_STO6G_1S_EXP * 1.24 ** 2, _STO6G_1S_COEF)
+STO6G_HE = (_STO6G_1S_EXP * 1.69 ** 2, _STO6G_1S_COEF)
+
+#: element -> (charge, (exponents, coefficients))
+ATOM_BASES = {"H": (1.0, STO6G_H), "He": (2.0, STO6G_HE)}
+
+
+def molecule(atoms):
+    """Build (SBasis, charges, coords, enuc) from ``[(symbol, (x, y, z)),
+    ...]`` with s-only STO-6G bases (H, He). Coordinates in Bohr."""
+    coords, charges, exps, coefs = [], [], [], []
+    for sym, xyz in atoms:
+        z, (e, c) = ATOM_BASES[sym]
+        coords.append(np.asarray(xyz, dtype=np.float64))
+        charges.append(z)
+        exps.append(e)
+        coefs.append(c)
+    coords = np.asarray(coords)
+    charges = np.asarray(charges)
+    bas = SBasis(coords, exps, coefs)
+    enuc = 0.0
+    for i in range(len(atoms)):
+        for j in range(i):
+            enuc += charges[i] * charges[j] / np.linalg.norm(
+                coords[i] - coords[j])
+    return bas, charges, coords, enuc
 
 
 def _boys0(t: np.ndarray) -> np.ndarray:

@@ -105,16 +105,19 @@ def test_h10_anchor(tmp_path):
     ham, psi, e_uhf = hydrogen_chain_afqmc(10, 1.6)
     assert e_uhf == pytest.approx(-5.2562816, abs=1e-5)
     trial = trial_from_orbitals(ham, psi)
-    qmc = QMCOpts(nwalkers=100, dt=0.005, nsteps=10, nblocks=300, nstblz=5,
+    # Full reference length (1000 blocks, ~40 s): the series has a long
+    # autocorrelation tail (reblocked sigma still growing at block-40), so
+    # short runs under-estimate their own error bar.
+    qmc = QMCOpts(nwalkers=100, dt=0.005, nsteps=10, nblocks=1000, nstblz=5,
                   npop_control=5, rng_seed=8)
     af = AFQMC(ham, trial, qmc,
                estimator_options={"mixed": {"energy_eval_freq": 10}},
                filename=str(tmp_path / "h10.h5"))
     rows = af.run()
     # Discard the first 1 a.u. (20 blocks), like the reference's
-    # ``reblock.py -s 1.0``.
+    # ``reblock.py -s 1.0``; sigma from 40-block reblocking.
     et = rows[20:, 5].real
-    b = et[: len(et) // 10 * 10].reshape(-1, 10).mean(axis=1)
+    b = et[: len(et) // 40 * 40].reshape(-1, 40).mean(axis=1)
     se = b.std(ddof=1) / len(b) ** 0.5
     ref, ref_err = -5.38331344, 0.0014386
     comb = np.hypot(se, ref_err)
@@ -146,3 +149,48 @@ def test_dump_afqmc_file_workflow(tmp_path):
     assert np.isfinite(rows).all()
     # Between the UHF energy (-2.1434) and below, near FCI (-2.1942).
     assert -2.25 < et.mean() < -2.12, et.mean()
+
+
+@pytest.mark.unit
+def test_he_atom_energy():
+    """He STO-6G RHF: the zeta=1.69 Slater expectation zeta^2 - 3.375 zeta
+    = -2.84765 up to the 6-Gaussian fit error."""
+    from pauxy_tpu.utils.sgto import molecule
+
+    bas, q, c, enuc = molecule([("He", (0, 0, 0))])
+    e, _, _ = rhf(bas, q, c, 1, enuc=enuc)
+    assert e == pytest.approx(-2.846292, abs=2e-5)
+    assert abs(e - (1.69 ** 2 - 3.375 * 1.69)) < 2e-3
+
+
+@pytest.mark.driver
+def test_hehp_afqmc_vs_fci(tmp_path):
+    """HeH+ (2 electrons, 2 orbitals): phaseless AFQMC must land on FCI."""
+    from pauxy_tpu.estimators import ci
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.trial import trial_from_orbitals
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.utils.from_pyscf import cholesky_from_eri
+    from pauxy_tpu.utils.sgto import molecule, ortho_ao_hamiltonian, rhf
+
+    bas, q, c, enuc = molecule([("He", (0, 0, 0)), ("H", (1.4632, 0, 0))])
+    e_rhf, C, _ = rhf(bas, q, c, 1, enuc=enuc)
+    h1e, eri, X = ortho_ao_hamiltonian(bas, q, c)
+    ham = make_generic((1, 1), h1e, cholesky_from_eri(eri, tol=1e-10),
+                       ecore=enuc)
+    S = bas.overlap()
+    w, U = np.linalg.eigh(S)
+    Xinv = U @ np.diag(w ** 0.5) @ U.T
+    psi = np.concatenate([Xinv @ C[:, :1]] * 2, axis=1)
+    trial = trial_from_orbitals(ham, psi)
+    assert trial.etrial == pytest.approx(e_rhf, abs=1e-9)
+    ev, _, _ = ci.simple_fci(ham)
+    qmc = QMCOpts(nwalkers=50, dt=0.01, nsteps=10, nblocks=60, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 10}},
+               filename=str(tmp_path / "hehp.h5"))
+    rows = af.run()
+    et = rows[10:, 5].real
+    se = et.std(ddof=1) / len(et) ** 0.5
+    assert abs(et.mean() - ev[0]) < max(4 * se, 2e-3), (et.mean(), ev[0])
