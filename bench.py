@@ -713,6 +713,27 @@ def main():
     sub_measure("thermal", "--thermal")
     # Time-to-1mHa statistical error (VERDICT r2 item 9).
     sub_measure("time_to_1mHa", "--tte")
+
+    # Persist / recall the last successful on-chip measurement: a tunnel
+    # wedge at measurement time should not erase the round's real TPU
+    # numbers — the cached result rides along, clearly labeled with its
+    # timestamp, whenever the live measurement had to fall back to CPU.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_last_tpu.json")
+    if result.get("platform", "").startswith("cpu-fallback"):
+        try:
+            with open(cache) as fh:
+                result["last_tpu_result"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
+    else:
+        try:
+            with open(cache, "w") as fh:
+                json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
+                                                        time.gmtime()),
+                           **result}, fh)
+        except OSError:
+            pass
     print(json.dumps(result))
 
 
