@@ -30,9 +30,11 @@ def main():
                estimator_options={"mixed": {"energy_eval_freq": 10}},
                verbose=True, filename="h10_estimates.h5")
     rows = af.run()
-    # Discard the first 1 a.u. (20 blocks) for equilibration, reblock x10.
+    # Discard the first 1 a.u. (20 blocks) for equilibration; sigma from
+    # 40-block reblocking (the series' autocorrelation tail is long —
+    # smaller reblock sizes underestimate the error bar).
     et = rows[20:, 5].real
-    b = et[: len(et) // 10 * 10].reshape(-1, 10).mean(axis=1)
+    b = et[: len(et) // 40 * 40].reshape(-1, 40).mean(axis=1)
     se = b.std(ddof=1) / len(b) ** 0.5
     print(f"# AFQMC H10 = {et.mean():.6f} +/- {se:.6f} Ha")
     print("# reference anchor: -5.38331344 +/- 0.0014386 Ha")

@@ -66,8 +66,9 @@ def extract_rdm(filename: str, est_type: str = "back_propagated",
     return extract_data(filename, est_type, rdm_type, raw=True)
 
 
-def extract_itcf(filename: str):
-    """(spgf [nblocks, ntau+1, 2, 2, M, M], denominators)."""
-    spgf = extract_data(filename, "itcf", "real_space_greens_function", raw=True)
+def extract_itcf(filename: str, name: str = "real_space_greens_function"):
+    """(spgf [nblocks, ntau+1, 2, 2, M, M], denominators). ``name`` also
+    selects ``k_space_greens_function`` when the run wrote one."""
+    spgf = extract_data(filename, "itcf", name, raw=True)
     denom = extract_data(filename, "itcf", "denominator", raw=True)
     return spgf, denom

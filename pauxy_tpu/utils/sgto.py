@@ -34,6 +34,7 @@ __all__ = [
     "hydrogen_chain",
     "rhf",
     "uhf",
+    "build_integrals",
     "ortho_ao_hamiltonian",
     "hydrogen_chain_afqmc",
     "dump_afqmc",
@@ -242,14 +243,32 @@ def _scf_energy(h, focks, dms):
     return e
 
 
+def build_integrals(bas: SBasis, charges, coords):
+    """(S, h = T + V, eri) — the one-shot integral build every SCF /
+    transform step consumes (the O(nbf^4) ERI loop dominates setup, so
+    callers compute this once and pass it around)."""
+    S = bas.overlap()
+    h = bas.kinetic() + bas.nuclear(charges, coords)
+    return S, h, bas.eri()
+
+
+def _lowdin(S: np.ndarray):
+    """X = S^(-1/2) with a linear-dependence guard (reuses the converter's
+    get_ortho_ao, ``from_pyscf.py:632-651``)."""
+    from pauxy_tpu.utils.from_pyscf import get_ortho_ao
+
+    return get_ortho_ao(S, lindep=1e-12)
+
+
 def rhf(bas: SBasis, charges, coords, na: int, enuc: float = 0.0,
-        max_cycle: int = 200, tol: float = 1e-10, verbose: bool = False):
-    """Closed-shell RHF. Returns (e_tot, C [nbf, nbf], eps)."""
-    S, T = bas.overlap(), bas.kinetic()
-    h = T + bas.nuclear(charges, coords)
-    eri = bas.eri()
-    w, U = np.linalg.eigh(S)
-    X = U @ np.diag(w ** -0.5) @ U.T
+        max_cycle: int = 200, tol: float = 1e-10, verbose: bool = False,
+        ints=None):
+    """Closed-shell RHF. Returns (e_tot, C [nbf, nbf], eps).
+
+    ``ints``: optional precomputed ``build_integrals`` tuple."""
+    S, h, eri = ints if ints is not None else build_integrals(
+        bas, charges, coords)
+    X = _lowdin(S)
     C = _solve_fock(h, X)
     fock_l, err_l = [], []
     e_old = 0.0
@@ -277,18 +296,17 @@ def rhf(bas: SBasis, charges, coords, na: int, enuc: float = 0.0,
 
 def uhf(bas: SBasis, charges, coords, nelec, enuc: float = 0.0,
         max_cycle: int = 500, tol: float = 1e-10, break_sym: float = 0.1,
-        verbose: bool = False):
+        verbose: bool = False, ints=None):
     """Spin-unrestricted HF (the reference example uses ``scf.UHF``).
 
     ``break_sym`` mixes the initial alpha HOMO/LUMO to let the solution
     leave the RHF saddle point on stretched geometries. Returns
-    (e_tot, (Ca, Cb), (epsa, epsb))."""
+    (e_tot, (Ca, Cb), (epsa, epsb)). ``ints``: optional precomputed
+    ``build_integrals`` tuple."""
     na, nb = nelec
-    S, T = bas.overlap(), bas.kinetic()
-    h = T + bas.nuclear(charges, coords)
-    eri = bas.eri()
-    w, U = np.linalg.eigh(S)
-    X = U @ np.diag(w ** -0.5) @ U.T
+    S, h, eri = ints if ints is not None else build_integrals(
+        bas, charges, coords)
+    X = _lowdin(S)
     Ca = _solve_fock(h, X)
     Cb = Ca.copy()
     if break_sym and na < bas.nbf:
@@ -358,19 +376,35 @@ def _solve_fock_eps(F, X):
 # ---------------------------------------------------------------------------
 
 
-def ortho_ao_hamiltonian(bas: SBasis, charges, coords):
+def ortho_ao_hamiltonian(bas: SBasis, charges, coords, ints=None):
     """(h1e, eri, X) in the Lowdin ortho-AO basis X = S^(-1/2) — the same
     orthonormal single-particle basis option the reference converter
-    exposes (``from_pyscf.py:632`` ``get_ortho_ao``)."""
-    S = bas.overlap()
-    w, U = np.linalg.eigh(S)
-    X = U @ np.diag(w ** -0.5) @ U.T
-    h = bas.kinetic() + bas.nuclear(charges, coords)
+    exposes (``from_pyscf.py:632`` ``get_ortho_ao``). ``ints``: optional
+    precomputed ``build_integrals`` tuple."""
+    S, h, eri = ints if ints is not None else build_integrals(
+        bas, charges, coords)
+    X = _lowdin(S)
     h1e = X.T @ h @ X
-    eri = bas.eri()
     eri = np.einsum("pi,qj,pqrs,rk,sl->ijkl", X, X, eri, X, X,
                     optimize=True)
     return h1e, eri, X
+
+
+def _afqmc_arrays(bas, charges, coords, enuc, nelec, chol_tol, verbose):
+    """Shared pipeline body: one integral build -> UHF -> ortho-AO
+    Hamiltonian + Cholesky factors + UHF trial orbitals mapped into the
+    ortho-AO basis (psi = X^-1 C = S^(1/2) C). Returns
+    (h1e, chol, psi, e_uhf)."""
+    from pauxy_tpu.utils.from_pyscf import cholesky_from_eri
+
+    ints = build_integrals(bas, charges, coords)
+    e_uhf, (Ca, Cb), _ = uhf(bas, charges, coords, nelec, enuc=enuc,
+                             verbose=verbose, ints=ints)
+    h1e, eri, X = ortho_ao_hamiltonian(bas, charges, coords, ints=ints)
+    chol = cholesky_from_eri(eri, tol=chol_tol)
+    psi = np.concatenate([ints[0] @ X @ Ca[:, :nelec[0]],
+                          ints[0] @ X @ Cb[:, :nelec[1]]], axis=1)
+    return h1e, chol, psi, e_uhf
 
 
 def hydrogen_chain_afqmc(n: int, r: float, nelec=None, chol_tol: float = 1e-8,
@@ -384,23 +418,13 @@ def hydrogen_chain_afqmc(n: int, r: float, nelec=None, chol_tol: float = 1e-8,
     ``examples/generic/02-h10-chain``. Counterpart of the reference's
     chkfile -> ``dump_pauxy`` path (``from_pyscf.py:22-154``)."""
     from pauxy_tpu.models.generic import make_generic
-    from pauxy_tpu.utils.from_pyscf import cholesky_from_eri
 
     if nelec is None:
         nelec = ((n + 1) // 2, n // 2)
     bas, charges, coords, enuc = hydrogen_chain(n, r)
-    e_uhf, (Ca, Cb), _ = uhf(bas, charges, coords, nelec, enuc=enuc,
-                             verbose=verbose)
-    h1e, eri, X = ortho_ao_hamiltonian(bas, charges, coords)
-    chol = cholesky_from_eri(eri, tol=chol_tol)
-    ham = make_generic(nelec, h1e, chol, ecore=enuc)
-    # Trial orbitals in the ortho-AO basis: psi = X^-1 C = S^(1/2) C.
-    S = bas.overlap()
-    w, U = np.linalg.eigh(S)
-    Xinv = U @ np.diag(w ** 0.5) @ U.T
-    psi = np.concatenate([Xinv @ Ca[:, :nelec[0]],
-                          Xinv @ Cb[:, :nelec[1]]], axis=1)
-    return ham, psi, e_uhf
+    h1e, chol, psi, e_uhf = _afqmc_arrays(bas, charges, coords, enuc,
+                                          nelec, chol_tol, verbose)
+    return make_generic(nelec, h1e, chol, ecore=enuc), psi, e_uhf
 
 
 def dump_afqmc(n: int, r: float, nelec=None, prefix: str = ".",
@@ -420,25 +444,17 @@ def dump_afqmc(n: int, r: float, nelec=None, prefix: str = ".",
     import os
 
     from pauxy_tpu.utils import qmcpack, wavefunction
-    from pauxy_tpu.utils.from_pyscf import cholesky_from_eri
 
     if nelec is None:
         nelec = ((n + 1) // 2, n // 2)
     bas, charges, coords, enuc = hydrogen_chain(n, r)
-    e_uhf, (Ca, Cb), _ = uhf(bas, charges, coords, nelec, enuc=enuc,
-                             verbose=verbose)
-    h1e, eri, X = ortho_ao_hamiltonian(bas, charges, coords)
-    chol = cholesky_from_eri(eri, tol=chol_tol)
+    h1e, chol, psi, e_uhf = _afqmc_arrays(bas, charges, coords, enuc,
+                                          nelec, chol_tol, verbose)
     os.makedirs(prefix, exist_ok=True)
     ham_file = os.path.join(prefix, "afqmc.h5")
     wfn_file = os.path.join(prefix, "wfn.h5")
     qmcpack.write_hamiltonian(h1e, chol, nelec, ecore=enuc,
                               filename=ham_file)
-    S = bas.overlap()
-    w, U = np.linalg.eigh(S)
-    Xinv = U @ np.diag(w ** 0.5) @ U.T
-    psi = np.concatenate([Xinv @ Ca[:, :nelec[0]],
-                          Xinv @ Cb[:, :nelec[1]]], axis=1)
     wavefunction.write_wavefunction(psi, wfn_file)
     options = {
         "system": {"name": "Generic", "nup": nelec[0], "ndown": nelec[1],

@@ -30,7 +30,8 @@ def main(argv=None):
         # the stored denominator is a liveness flag — blocks whose
         # measurement window did not complete are zero-filled. Select the
         # live rows (dividing again would shrink values by total weight).
-        data, denom = extraction.extract_itcf(args.filename)
+        data, denom = extraction.extract_itcf(
+            args.filename, name or "real_space_greens_function")
         data = data[np.abs(np.asarray(denom).ravel()) > 0]
     else:
         data = extraction.extract_data(args.filename, group, name, raw=True)
