@@ -489,3 +489,64 @@ def test_extract_observable_itcf_selects_live_rows(tmp_path):
     # U=0 free fermions: G^>(0) diagonal average = 1 - n = 1 - 3/9.
     dens = np.einsum("btsgii->btsgi", g[:, :1, :, :1]).mean()
     assert abs(dens - (1 - 3 / 9)) < 0.05, dens
+
+
+def test_mom_dist_cli(tmp_path):
+    """mom_dist averages BP RDMs and prints n_k + natural occupations."""
+    import subprocess
+    import sys as _sys
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=10, dt=0.01, nsteps=10, nblocks=4, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={
+                   "mixed": {"energy_eval_freq": 10},
+                   "back_propagation": {"tau_bp": 0.1,
+                                        "evaluate_energy": True}},
+               filename=str(tmp_path / "md.h5"))
+    af.run()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root
+    out = subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "mom_dist.py"),
+         "-f", str(tmp_path / "md.h5")],
+        check=True, env=env, capture_output=True, text=True,
+    ).stdout
+    assert "nk" in out
+    nk = np.fromstring(out.split("nk = [")[1].split("]")[0], sep=" ")
+    # trace of the spin-summed RDM = total electron number.
+    assert abs(nk.sum() - 6.0) < 1e-6, nk
+
+
+def test_finite_temp_analysis_cli(tmp_path):
+    """finite_temp_analysis reblocks thermal output per (beta, mu)."""
+    import subprocess
+    import sys as _sys
+
+    from pauxy_tpu.models import make_hubbard
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc import QMCOpts
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    trial = make_one_body_trial(ham, beta=0.5, dt=0.05)
+    qmc = QMCOpts(nwalkers=8, dt=0.05, nsteps=1, nblocks=4, beta=0.5,
+                  npop_control=2, rng_seed=7)
+    af = ThermalAFQMC(ham, trial, qmc, filename=str(tmp_path / "ft.h5"))
+    af.run()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root
+    out = subprocess.run(
+        [_sys.executable,
+         os.path.join(root, "tools", "finite_temp_analysis.py"),
+         "-f", str(tmp_path / "ft.h5")],
+        check=True, env=env, capture_output=True, text=True,
+    ).stdout
+    assert "ETotal" in out or "E" in out, out
