@@ -194,3 +194,28 @@ def test_hehp_afqmc_vs_fci(tmp_path):
     et = rows[10:, 5].real
     se = et.std(ddof=1) / len(et) ** 0.5
     assert abs(et.mean() - ev[0]) < max(4 * se, 2e-3), (et.mean(), ev[0])
+
+
+@pytest.mark.driver
+def test_h4_free_projection_converges_to_fci(tmp_path):
+    """Free projection on the ab-initio H4 Hamiltonian converges to FCI
+    without constraint bias (the molecular analogue of the Hubbard
+    free-projection check, tests/test_ci.py)."""
+    from pauxy_tpu.estimators import ci
+    from pauxy_tpu.models.trial import trial_from_orbitals
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham, psi, _ = hydrogen_chain_afqmc(4, 1.6)
+    trial = trial_from_orbitals(ham, psi)
+    ev, _, _ = ci.simple_fci(ham)
+    qmc = QMCOpts(nwalkers=400, dt=0.01, nsteps=25, nblocks=12, nstblz=5,
+                  npop_control=1000000, rng_seed=4)
+    af = AFQMC(ham, trial, qmc,
+               propagator_options={"free_projection": True},
+               estimator_options={"mixed": {"energy_eval_freq": 5}},
+               filename=str(tmp_path / "fp.h5"))
+    rows = af.run()
+    e_fp = rows[-1, 5].real
+    assert abs(e_fp - ev[0]) < 5e-3, (e_fp, ev[0])
+    # Monotone-ish descent from the trial energy toward FCI.
+    assert rows[0, 5].real > rows[-1, 5].real
