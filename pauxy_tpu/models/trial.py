@@ -292,6 +292,46 @@ def rhf_identity_trial(ham, precision=None) -> SingleDetTrial:
     return _finalize(ham, eye[:, : ham.nup], eye[:, : ham.ndown], prec, "hartree_fock")
 
 
+def spin_project_init(ham, trial, init_walker: str | None = None):
+    """Replace the walkers' INITIAL determinant with spin-symmetric
+    orbitals — natural orbitals of the spin-summed trial 1-RDM, or the
+    one-body eigenvectors with ``init_walker='free_electron'``. The trial
+    itself (and every overlap/energy it enters) is unchanged; only
+    ``inita``/``initb`` move. Reference: the ``spin_proj`` /
+    ``init_walker`` options, ``trial_wavefunction/utils.py:123-144``.
+
+    Returns (trial, noons) — natural-orbital occupation numbers
+    (descending) or None for the free-electron variant.
+    """
+    from pauxy_tpu.utils.transfer import to_device, to_host
+
+    na, nb = ham.nup, ham.ndown
+    cdtype = np.asarray(to_host(trial.inita)).dtype
+    noons = None
+    if init_walker == "free_electron":
+        h1 = np.asarray(to_host(ham.H1 if getattr(ham, "name", "")
+                                == "Generic" else ham.T))[0]
+        _, eigv = np.linalg.eigh(h1)
+    else:
+        psia = np.asarray(to_host(trial.psia))
+        psib = np.asarray(to_host(trial.psib))
+        if psia.ndim == 3:          # MSD: leading determinant
+            psia, psib = psia[0], psib[0]
+
+        def proj(p):
+            return p @ np.linalg.inv(p.conj().T @ p) @ p.conj().T
+
+        eigs, eigv = np.linalg.eigh(proj(psia) + proj(psib))
+        ix = np.argsort(eigs)[::-1]
+        noons = eigs[ix].real
+        eigv = eigv[:, ix]
+    trial = trial.replace(
+        inita=to_device(np.ascontiguousarray(eigv[:, :na]).astype(cdtype)),
+        initb=to_device(np.ascontiguousarray(eigv[:, :nb]).astype(cdtype)),
+    )
+    return trial, noons
+
+
 def checkerboard_guess(nbasis: int, nup: int, ndown: int, nx: int, ny: int):
     """Antiferromagnetic checkerboard determinant (``uhf.py:194-213``)."""
     wfn = np.zeros((nbasis, nup + ndown), dtype=np.complex128)

@@ -100,6 +100,20 @@ def get_system(model_opts: dict, precision=None):
 def get_trial_wavefunction(ham, trial_opts: dict, precision=None, seed=None):
     from pauxy_tpu.models import trial as tr
 
+    trial = _build_trial(ham, trial_opts, precision, seed)
+    # Optional spin projection of the walkers' initial determinant
+    # (reference trial_wavefunction/utils.py:123-144).
+    if trial_opts.get("spin_proj", trial_opts.get("spin_project")):
+        trial, _ = tr.spin_project_init(
+            ham, trial, init_walker=trial_opts.get(
+                "init_walker", trial_opts.get("initial_walker"))
+        )
+    return trial
+
+
+def _build_trial(ham, trial_opts: dict, precision=None, seed=None):
+    from pauxy_tpu.models import trial as tr
+
     name = trial_opts.get("name", "MultiSlater").lower()
     if name in ("free_electron",):
         return tr.free_electron_trial(ham, precision=precision)

@@ -225,3 +225,62 @@ def test_stochastic_ri_full_step_runs_and_tracks_exact():
         qs, _ = np.linalg.qr(pa_s[i])
         sv = np.linalg.svd(qe.conj().T @ qs, compute_uv=False)
         assert sv.min() > 0.9, (i, sv)
+
+
+@pytest.mark.unit
+def test_spin_project_init():
+    """spin_proj replaces the initial walker determinant with natural
+    orbitals of the spin-summed trial projector (reference
+    trial_wavefunction/utils.py:123-144); free-electron variant uses the
+    one-body eigenvectors. The trial orbitals themselves are unchanged."""
+    import numpy as np
+
+    from pauxy_tpu.models import make_hubbard
+    from pauxy_tpu.models.trial import (free_electron_trial,
+                                        spin_project_init, uhf_trial)
+    from pauxy_tpu.utils.transfer import to_host
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = uhf_trial(ham, ueff=0.4, ninitial=2, nconv=2000, seed=3)
+    psia_before = np.asarray(to_host(trial.psia))
+    proj, noons = spin_project_init(ham, trial)
+    inita = np.asarray(to_host(proj.inita))
+    # Natural orbitals are orthonormal; occupations descending in [0, 2].
+    np.testing.assert_allclose(inita.conj().T @ inita, np.eye(3), atol=1e-10)
+    assert (noons[:-1] >= noons[1:] - 1e-12).all()
+    assert noons[0] <= 2.0 + 1e-9 and noons[-1] >= -1e-9
+    np.testing.assert_allclose(np.asarray(to_host(proj.psia)), psia_before)
+
+    fe, noons2 = spin_project_init(ham, trial, init_walker="free_electron")
+    assert noons2 is None
+    h1 = np.asarray(to_host(ham.T))[0]
+    inita = np.asarray(to_host(fe.inita))
+    # Columns span the lowest eigvec space: residual of projection is 0.
+    e, v = np.linalg.eigh(h1)
+    resid = inita - v @ (v.conj().T @ inita)
+    np.testing.assert_allclose(resid, 0.0, atol=1e-10)
+
+
+@pytest.mark.unit
+def test_spin_proj_json_option(tmp_path):
+    """The spin_proj trial option is honored through setup_calculation."""
+    import numpy as np
+
+    from pauxy_tpu.qmc.calc import setup_calculation
+    from pauxy_tpu.utils.transfer import to_host
+
+    opts = {
+        "verbosity": 0,
+        "model": {"name": "Hubbard", "nx": 3, "ny": 3, "U": 4,
+                  "nup": 3, "ndown": 3},
+        "qmc": {"timestep": 0.01, "nsteps": 2, "nblocks": 1,
+                "nwalkers": 4, "rng_seed": 1},
+        "trial": {"name": "free_electron", "spin_proj": True},
+        "estimates": {"filename": str(tmp_path / "sp.h5")},
+    }
+    af = setup_calculation(opts)
+    inita = np.asarray(to_host(af.trial.inita))
+    np.testing.assert_allclose(inita.conj().T @ inita, np.eye(3),
+                               atol=1e-10)
+    rows = af.run()
+    assert np.isfinite(rows).all()
