@@ -687,10 +687,17 @@ def main():
     if waited > 0:
         result["tunnel_wait_s"] = round(waited, 1)
 
-    def sub_measure(key, flag):
+    def sub_measure(key, flag, cpu_fallback=False):
         """Run a secondary TPU measurement; skip fast if the tunnel is
-        known-wedged instead of burning 2x15-min child timeouts."""
+        known-wedged instead of burning 2x15-min child timeouts.
+        ``cpu_fallback``: measure on CPU (labeled) rather than skip."""
         if not tunnel_ok:
+            if cpu_fallback:
+                sub, err = _run_child([flag, "--cpu"])
+                if sub is not None:
+                    sub["platform"] = "cpu-fallback (TPU tunnel unavailable)"
+                    result[key] = sub
+                    return
             result[key + "_error"] = "skipped: tunnel wedged"
             return
         err = ""
@@ -711,8 +718,9 @@ def main():
     sub_measure("hubbard_discrete", "--discrete")
     # Thermal UEG point (stabilized stack + per-slice pop control).
     sub_measure("thermal", "--thermal")
-    # Time-to-1mHa statistical error (VERDICT r2 item 9).
-    sub_measure("time_to_1mHa", "--tte")
+    # Time-to-1mHa statistical error (VERDICT r2 item 9). Unlike the raw
+    # throughput points, this is still meaningful (labeled) on the CPU.
+    sub_measure("time_to_1mHa", "--tte", cpu_fallback=True)
 
     # Persist / recall the last successful on-chip measurement: a tunnel
     # wedge at measurement time should not erase the round's real TPU
