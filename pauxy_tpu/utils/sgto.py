@@ -37,6 +37,7 @@ __all__ = [
     "build_integrals",
     "ortho_ao_hamiltonian",
     "hydrogen_chain_afqmc",
+    "molecule_afqmc",
     "dump_afqmc",
 ]
 
@@ -295,7 +296,7 @@ def rhf(bas: SBasis, charges, coords, na: int, enuc: float = 0.0,
 
 
 def uhf(bas: SBasis, charges, coords, nelec, enuc: float = 0.0,
-        max_cycle: int = 500, tol: float = 1e-10, break_sym: float = 0.1,
+        max_cycle: int = 500, tol: float = 1e-10, break_sym: float = 0.3,
         verbose: bool = False, ints=None):
     """Spin-unrestricted HF (the reference example uses ``scf.UHF``).
 
@@ -390,21 +391,57 @@ def ortho_ao_hamiltonian(bas: SBasis, charges, coords, ints=None):
     return h1e, eri, X
 
 
-def _afqmc_arrays(bas, charges, coords, enuc, nelec, chol_tol, verbose):
-    """Shared pipeline body: one integral build -> UHF -> ortho-AO
-    Hamiltonian + Cholesky factors + UHF trial orbitals mapped into the
-    ortho-AO basis (psi = X^-1 C = S^(1/2) C). Returns
-    (h1e, chol, psi, e_uhf)."""
+def _afqmc_arrays(bas, charges, coords, enuc, nelec, chol_tol, verbose,
+                  basis="mo"):
+    """Shared pipeline body: one integral build -> RHF + UHF -> Hamiltonian
+    + Cholesky factors + UHF trial orbitals, all in one orthonormal
+    single-particle basis. Returns (h1e, chol, psi, e_uhf).
+
+    ``basis='mo'`` (default, the reference converter's default too —
+    ``dump_pauxy(ortho_ao=False)``): the RHF molecular orbitals. The basis
+    choice changes the Cholesky vectors and hence the HS decomposition —
+    measured on H2 at R=1.4, the localized Lowdin basis gives a phaseless
+    walk with heavy-tailed local energies (sigma ~15x larger at equal
+    samples) while the physics point is unchanged; the delocalized MO
+    basis matches the reference run-for-run. ``basis='oao'`` keeps the
+    Lowdin choice for comparison.
+    """
     from pauxy_tpu.utils.from_pyscf import cholesky_from_eri
 
     ints = build_integrals(bas, charges, coords)
+    S, h, eri = ints
     e_uhf, (Ca, Cb), _ = uhf(bas, charges, coords, nelec, enuc=enuc,
                              verbose=verbose, ints=ints)
-    h1e, eri, X = ortho_ao_hamiltonian(bas, charges, coords, ints=ints)
-    chol = cholesky_from_eri(eri, tol=chol_tol)
-    psi = np.concatenate([ints[0] @ X @ Ca[:, :nelec[0]],
-                          ints[0] @ X @ Cb[:, :nelec[1]]], axis=1)
+    if basis == "mo":
+        _, B, _ = rhf(bas, charges, coords, max(nelec), enuc=enuc,
+                      ints=ints, verbose=verbose)
+    elif basis == "oao":
+        B = _lowdin(S)
+    else:
+        raise ValueError(f"unknown basis {basis!r}")
+    h1e = B.T @ h @ B
+    eri_b = np.einsum("pi,qj,pqrs,rk,sl->ijkl", B, B, eri, B, B,
+                      optimize=True)
+    chol = cholesky_from_eri(eri_b, tol=chol_tol)
+    # Determinant with AO coefficients C in the orthonormal basis B
+    # (B^T S B = I): psi = B^-1 C = B^T S C.
+    psi = np.concatenate([B.T @ S @ Ca[:, :nelec[0]],
+                          B.T @ S @ Cb[:, :nelec[1]]], axis=1)
     return h1e, chol, psi, e_uhf
+
+
+def molecule_afqmc(atoms, nelec, chol_tol: float = 1e-8,
+                   verbose: bool = False, basis: str = "mo"):
+    """(ham, trial_psi, e_uhf) for an arbitrary s-basis molecule
+    (``molecule()`` geometry format) — the general form of
+    :func:`hydrogen_chain_afqmc`."""
+    from pauxy_tpu.models.generic import make_generic
+
+    bas, charges, coords, enuc = molecule(atoms)
+    h1e, chol, psi, e_uhf = _afqmc_arrays(bas, charges, coords, enuc,
+                                          nelec, chol_tol, verbose,
+                                          basis=basis)
+    return make_generic(nelec, h1e, chol, ecore=enuc), psi, e_uhf
 
 
 def hydrogen_chain_afqmc(n: int, r: float, nelec=None, chol_tol: float = 1e-8,
