@@ -219,3 +219,41 @@ def test_h4_free_projection_converges_to_fci(tmp_path):
     assert abs(e_fp - ev[0]) < 5e-3, (e_fp, ev[0])
     # Monotone-ish descent from the trial energy toward FCI.
     assert rows[0, 5].real > rows[-1, 5].real
+
+
+@pytest.mark.driver
+def test_h2_mo_basis_vs_reference_golden(tmp_path):
+    """Run-for-run molecular parity: our phaseless walk on the MO-basis H2
+    Hamiltonian (R=1.4) vs a 300-block golden series from the reference
+    run on the IDENTICAL Hamiltonian/trial (oracle, energy every step,
+    200 walkers). RNG streams differ by design; compared at 4 combined
+    sigma with 10-block reblocking (the per-block series is
+    autocorrelated). Golden: tests/data/h2_mo_r1.4.npz."""
+    import os
+
+    from pauxy_tpu.models.trial import trial_from_orbitals
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.utils.sgto import molecule_afqmc
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "h2_mo_r1.4.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden data missing")
+    ham, psi, _ = molecule_afqmc([("H", (0, 0, 0)), ("H", (1.4, 0, 0))],
+                                 (1, 1), chol_tol=1e-10)
+    trial = trial_from_orbitals(ham, psi)
+    qmc = QMCOpts(nwalkers=200, dt=0.01, nsteps=10, nblocks=300, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 1}},
+               filename=str(tmp_path / "h2g.h5"))
+    rows = af.run()
+
+    def blocked_se(x):
+        b = x[: len(x) // 10 * 10].reshape(-1, 10).mean(axis=1)
+        return b.std(ddof=1) / len(b) ** 0.5
+
+    et = rows[150:, 5].real
+    ref = np.load(path)["etotal"][150:]
+    se = np.hypot(blocked_se(et), blocked_se(ref))
+    assert abs(et.mean() - ref.mean()) < 4 * se, (et.mean(), ref.mean(), se)
