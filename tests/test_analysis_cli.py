@@ -550,3 +550,49 @@ def test_finite_temp_analysis_cli(tmp_path):
         check=True, env=env, capture_output=True, text=True,
     ).stdout
     assert "ETotal" in out or "E" in out, out
+
+
+def test_our_extraction_reads_reference_output(tmp_path):
+    """Layout compatibility in the reverse direction: a reference-written
+    estimates h5 (oracle run) parses through OUR extraction + metadata
+    readers (README claims 'and vice versa')."""
+    import subprocess
+    import sys as _sys
+
+    if not os.path.isdir("/root/reference/pauxy"):
+        pytest.skip("reference not available")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+from mpi4py import MPI
+from pauxy.qmc.afqmc import AFQMC
+opts = {
+  'verbosity': 0, 'get_sha1': False,
+  'model': {'name': 'Hubbard', 'nx': 3, 'ny': 3, 'U': 4, 'nup': 3,
+            'ndown': 3, 'ktwist': [0.0, 0.0]},
+  'qmc': {'timestep': 0.05, 'num_steps': 10, 'blocks': 4, 'nwalkers': 10,
+          'rng_seed': 7},
+  'estimates': {'filename': 'ref_est.h5', 'mixed': {'energy_eval_freq': 1}},
+}
+comm = MPI.COMM_WORLD
+af = AFQMC(comm=comm, options=opts, verbose=0)
+af.run(comm=comm, verbose=False)
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.join(root, "tools", "oracle"), "/root/reference"])
+    subprocess.run([_sys.executable, "-c", code], check=True, env=env,
+                   cwd=tmp_path, capture_output=True)
+
+    from pauxy_tpu.analysis.extraction import (extract_mixed_estimates,
+                                               get_metadata)
+
+    df = extract_mixed_estimates(str(tmp_path / "ref_est.h5"))
+    assert len(df) == 4 and "ETotal" in df.columns
+    # Format check, not physics: this tiny unequilibrated run with a
+    # free-electron trial on a degenerate zero-twist shell fluctuates
+    # wildly in the reference itself.
+    et = (df.ENumer / df.EDenom).values.real
+    assert np.isfinite(et).all()
+    assert np.isfinite(df.Weight.values.real).all()
+    md = get_metadata(str(tmp_path / "ref_est.h5"))
+    assert md["qmc"]["nwalkers"] == 10
