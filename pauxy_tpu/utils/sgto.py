@@ -9,7 +9,7 @@ systems every basis function is an s-type contracted Gaussian and all four
 integral classes have closed forms in the Boys function F0, so this module
 provides the whole chkfile-equivalent pipeline host-side:
 
-    atoms -> S/T/V/ERI -> RHF/UHF (DIIS) -> Lowdin ortho-AO Hamiltonian
+    atoms -> S/T/V/ERI -> RHF/UHF (DIIS) -> MO-basis Hamiltonian
           -> pivoted-Cholesky factors -> ``models.generic.make_generic``
           + ``models.trial.trial_from_orbitals``.
 
@@ -373,7 +373,7 @@ def _solve_fock_eps(F, X):
 
 
 # ---------------------------------------------------------------------------
-# AFQMC input assembly (Lowdin ortho-AO basis)
+# AFQMC input assembly (orthonormal single-particle basis: RHF-MO default)
 # ---------------------------------------------------------------------------
 
 
@@ -447,8 +447,8 @@ def molecule_afqmc(atoms, nelec, chol_tol: float = 1e-8,
 def hydrogen_chain_afqmc(n: int, r: float, nelec=None, chol_tol: float = 1e-8,
                          verbose: bool = False):
     """Full pipeline for an n-atom H chain at spacing r (Bohr):
-    integrals -> UHF -> ortho-AO Hamiltonian + Cholesky + UHF trial
-    orbitals in the ortho-AO basis.
+    integrals -> RHF/UHF -> MO-basis Hamiltonian + Cholesky + UHF trial
+    orbitals in the MO basis (see ``_afqmc_arrays`` for the basis choice).
 
     Returns (ham, trial_psi [M, na+nb], e_uhf) ready for
     ``make_generic(nelec, h1e, chol, enuc)`` consumers — see
