@@ -476,3 +476,48 @@ def test_thermal_ueg_lowrank_anchor(tmp_path):
         et.mean(), ref.mean(), se)
     assert abs(nav.mean() - refn.mean()) < 4 * sen, (
         nav.mean(), refn.mean(), sen)
+
+
+@pytest.mark.driver
+def test_thermal_generic_vs_exact_grand_canonical(tmp_path):
+    """Thermal AFQMC on an ab-initio (Cholesky) Hamiltonian vs exact
+    grand-canonical ED over all particle sectors — the end-to-end check
+    of the thermal Generic inner propagator (reference
+    thermal_propagation/generic.py:11-167; untested there)."""
+    import numpy as np
+
+    from pauxy_tpu.estimators import ci
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc import QMCOpts
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+    from pauxy_tpu.utils.testing import generate_hamiltonian
+
+    m = 4
+    h1e, chol, enuc, _ = generate_hamiltonian(m, (2, 2), seed=5, nchol=8)
+    ham = make_generic((2, 2), h1e, chol, enuc)
+    beta, dt, mu = 0.5, 0.05, 0.1
+
+    Z = E = N = 0.0
+    for na in range(m + 1):
+        for nb in range(m + 1):
+            hmat, _ = ci.fci_hamiltonian(ham, na, nb)
+            ev = np.linalg.eigvalsh(hmat)
+            w = np.exp(-beta * (ev - mu * (na + nb)))
+            Z += w.sum()
+            E += (w * ev).sum()
+            N += w.sum() * (na + nb)
+    E /= Z
+    N /= Z
+
+    trial = make_one_body_trial(ham, beta, dt, mu=mu)
+    qmc = QMCOpts(nwalkers=64, dt=dt, nsteps=1, nblocks=30, beta=beta,
+                  npop_control=5, rng_seed=7)
+    af = ThermalAFQMC(ham, trial, qmc, filename=str(tmp_path / "tg.h5"))
+    rows = af.run()
+    et, nav = rows[:, 5].real, rows[:, 10].real
+    se = et.std(ddof=1) / len(et) ** 0.5
+    sen = nav.std(ddof=1) / len(nav) ** 0.5
+    # Phaseless + Trotter bias allowed on top of the statistical bars.
+    assert abs(et.mean() - E) < max(4 * se, 5e-3), (et.mean(), E, se)
+    assert abs(nav.mean() - N) < max(4 * sen, 3e-3), (nav.mean(), N, sen)
