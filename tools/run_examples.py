@@ -37,8 +37,18 @@ def main():
             if model.get("name", "Generic") == "Generic" and not os.path.exists(
                 str(model.get("integrals", ""))
             ):
-                print(f"SKIP {name} (needs an integrals file)")
-                continue
+                # Bootstrap a small molecular integrals file in-repo
+                # (utils/sgto.py) instead of skipping: H4 chain, the same
+                # pipeline the H10 example uses.
+                from pauxy_tpu.utils.sgto import dump_afqmc
+
+                dump_afqmc(4, 1.6, prefix=".")
+                model["integrals"] = "afqmc.h5"
+                model.setdefault("nup", 2)
+                model.setdefault("ndown", 2)
+                if "trial" in opts and "filename" not in opts["trial"]:
+                    opts["trial"]["filename"] = "wfn.h5"
+                print(f"# {name}: generated H4 integrals via utils/sgto")
             qmc = opts["qmc"]
             for k in ("blocks", "nblocks"):
                 if k in qmc:
