@@ -306,6 +306,13 @@ def spin_project_init(ham, trial, init_walker: str | None = None):
     from pauxy_tpu.utils.transfer import to_device, to_host
 
     na, nb = ham.nup, ham.ndown
+    if getattr(trial, "psia", None) is None and init_walker != "free_electron":
+        # GHF / multi-coherent trials store psi in other layouts; the
+        # natural-orbital variant needs spin-resolved [M, n] orbitals.
+        raise NotImplementedError(
+            "spin_proj natural orbitals need a spin-resolved trial; use "
+            "init_walker='free_electron' for this trial type"
+        )
     cdtype = np.asarray(to_host(trial.inita)).dtype
     noons = None
     if init_walker == "free_electron":
