@@ -72,6 +72,17 @@ THERMAL_BETA = 1.0
 THERMAL_NBLOCKS = 3
 
 
+def _emit(out):
+    """Print a RESULT line, stamped with the platform that actually executed
+    the measurement — the parent only caches results whose exec_platform is
+    a real TPU, so a silent CPU fallback inside a child can never be
+    recorded as an on-chip number."""
+    import jax
+
+    out.setdefault("exec_platform", jax.devices()[0].platform)
+    print("RESULT " + json.dumps(out), flush=True)
+
+
 def measure(block_mode="fused", nwalkers=None, force_cpu=False):
     import jax
 
@@ -188,9 +199,7 @@ def measure(block_mode="fused", nwalkers=None, force_cpu=False):
     t100 = time.perf_counter() - t0
     rate100 = nwalkers * 100 / t100
 
-    print(
-        "RESULT "
-        + json.dumps(
+    _emit(
             {
                 "metric": "walker_steps_per_sec_4x4_hubbard_1k",
                 "value": round(rate, 1),
@@ -202,8 +211,6 @@ def measure(block_mode="fused", nwalkers=None, force_cpu=False):
                 "spread": [round(r, 1) for r in sorted(rates)],
                 "rate_nsteps100": round(rate100, 1),
             }
-        ),
-        flush=True,
     )
 
 
@@ -311,9 +318,7 @@ def measure_generic():
         raise RuntimeError(
             f"implausible achieved FLOPs {achieved/1e12:.0f} TF/s > peak"
         )
-    print(
-        "RESULT "
-        + json.dumps(
+    _emit(
             {
                 "metric": "walker_steps_per_sec_generic_nmo128_naux512",
                 "value": round(rate, 1),
@@ -327,8 +332,6 @@ def measure_generic():
                 "matmul_precision": af.matmul_precision,
                 "nwalkers": nw,
             }
-        ),
-        flush=True,
     )
 
 
@@ -398,7 +401,7 @@ def measure_ueg():
     }
     if REFERENCE_UEG_WALKER_STEPS_PER_SEC:
         out["vs_baseline"] = round(rate / REFERENCE_UEG_WALKER_STEPS_PER_SEC, 2)
-    print("RESULT " + json.dumps(out), flush=True)
+    _emit(out)
 
 
 def measure_discrete():
@@ -473,7 +476,7 @@ def measure_discrete():
     out["vs_baseline"] = round(
         out["value"] / REFERENCE_DISCRETE_WALKER_STEPS_PER_SEC, 2
     )
-    print("RESULT " + json.dumps(out), flush=True)
+    _emit(out)
 
 
 def measure_thermal():
@@ -510,9 +513,7 @@ def measure_thermal():
         elapsed = time.perf_counter() - t0
         _assert_finite(vals)
         best = max(best, nw * nslices * THERMAL_NBLOCKS / elapsed)
-    print(
-        "RESULT "
-        + json.dumps({
+    _emit({
             "metric": "walker_slice_steps_per_sec_thermal_ueg_ecut4",
             "value": round(best, 1),
             "unit": "walker-slice-steps/s/chip",
@@ -522,9 +523,7 @@ def measure_thermal():
             "nwalkers": nw,
             "nbasis": int(ham.nbasis),
             "nslices": int(nslices),
-        }),
-        flush=True,
-    )
+        })
 
 
 def measure_time_to_error():
@@ -564,9 +563,7 @@ def measure_time_to_error():
     s = blocking.reblock_summary(e)
     sigma = float(s["standard error"])
     t_1mha = elapsed * (sigma / 1e-3) ** 2
-    print(
-        "RESULT "
-        + json.dumps({
+    _emit({
             "metric": "time_to_1mHa_4x4_hubbard_1k",
             "value": round(t_1mha, 1),
             "unit": "s (projected, 1/sqrt(T) scaling)",
@@ -574,9 +571,7 @@ def measure_time_to_error():
             "blocks_measured": int(len(e)),
             "elapsed_s": round(elapsed, 2),
             "mean_etotal": round(float(e.mean()), 6),
-        }),
-        flush=True,
-    )
+        })
 
 
 def _run_child(args_extra):
@@ -728,7 +723,14 @@ def main():
     # timestamp, whenever the live measurement had to fall back to CPU.
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_last_tpu.json")
-    if result.get("platform", "").startswith("cpu-fallback"):
+    ran_on_tpu = (result.get("exec_platform", "") not in ("", "cpu")
+                  and not result.get("platform", "").startswith("cpu-fallback"))
+    if not ran_on_tpu:
+        # Either an explicit CPU fallback or a child that silently ended up
+        # on the CPU backend (exec_platform stamped by _emit): never cache
+        # it as an on-chip number; surface the last real one instead.
+        if not result.get("platform"):
+            result["platform"] = "cpu (silent backend fallback)"
         try:
             with open(cache) as fh:
                 result["last_tpu_result"] = json.load(fh)

@@ -316,8 +316,20 @@ def spin_project_init(ham, trial, init_walker: str | None = None):
     cdtype = np.asarray(to_host(trial.inita)).dtype
     noons = None
     if init_walker == "free_electron":
-        h1 = np.asarray(to_host(ham.H1 if getattr(ham, "name", "")
-                                == "Generic" else ham.T))[0]
+        # The reference reads system.H1[0] (trial_wavefunction/utils.py:133);
+        # Hubbard-family models here expose the hopping matrix as T instead,
+        # and PW_FFT stores only the diagonal single-particle energies.
+        if getattr(ham, "H1", None) is not None:
+            h1 = np.asarray(to_host(ham.H1))[0]
+        elif getattr(ham, "T", None) is not None:
+            h1 = np.asarray(to_host(ham.T))[0]
+        elif getattr(ham, "sp_eigv", None) is not None:
+            h1 = np.diag(np.asarray(to_host(ham.sp_eigv)))
+        else:
+            raise NotImplementedError(
+                "spin_proj init_walker='free_electron' needs a one-body "
+                f"matrix (H1/T/sp_eigv) on {type(ham).__name__}"
+            )
         _, eigv = np.linalg.eigh(h1)
     else:
         psia = np.asarray(to_host(trial.psia))

@@ -198,18 +198,43 @@ def get_driver(options: dict, verbose: bool = False):
         from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
 
         topts = options.get("trial", {}) or {}
+        if topts.get("spin_proj", topts.get("spin_project")):
+            import warnings
+
+            warnings.warn(
+                "trial.spin_proj applies to zero-temperature trials only; "
+                "ignored for finite-temperature (qmc.beta) runs",
+                stacklevel=2,
+            )
         # The trial bisects its own mu to the target <N> unless given one in
         # the trial section; the model-section mu is the SYSTEM chemical
         # potential and goes to the propagator (onebody.py:50 reads only
         # trial options; planewave.py:106 uses system.mu).
-        trial = make_one_body_trial(
-            ham,
-            qmc.beta,
-            qmc.dt,
-            mu=topts.get("mu"),
-            nav=topts.get("nav"),
-            stack_size=topts.get("stack_size"),
-        )
+        # Factory keyed on trial name like the reference
+        # (trial_density_matrices/utils.py:4): 'one_body' (default) or
+        # 'mean_field' (thermal Hartree-Fock).
+        tname = str(topts.get("name", "one_body")).lower()
+        if tname in ("mean_field", "thermal_hartree_fock"):
+            from pauxy_tpu.models.thermal_trial import make_mean_field_trial
+
+            trial = make_mean_field_trial(
+                ham, qmc.beta, qmc.dt,
+                nav=topts.get("nav"),
+                alpha=float(topts.get("alpha", 0.75)),
+                verbose=verbose,
+            )
+        elif tname == "one_body":
+            trial = make_one_body_trial(
+                ham, qmc.beta, qmc.dt,
+                mu=topts.get("mu"),
+                nav=topts.get("nav"),
+                stack_size=topts.get("stack_size"),
+            )
+        else:
+            raise ValueError(
+                f"unknown thermal trial name {tname!r}; "
+                "expected 'one_body' or 'mean_field'"
+            )
         popts = dict(popts)
         if model.get("mu") is not None:
             popts.setdefault("mu", model["mu"])

@@ -262,6 +262,38 @@ def test_spin_project_init():
 
 
 @pytest.mark.unit
+def test_spin_project_init_free_electron_ueg_pwfft():
+    """init_walker='free_electron' must work for every model family: UEG
+    stores its one-body matrix as H1 (not T) and PW_FFT stores only the
+    diagonal sp_eigv (review finding, round 3)."""
+    import numpy as np
+
+    from pauxy_tpu.models import make_ueg, rhf_identity_trial
+    from pauxy_tpu.models.pw_fft import make_pw_fft
+    from pauxy_tpu.models.trial import spin_project_init, trial_from_orbitals
+    from pauxy_tpu.utils.transfer import to_host
+
+    ham = make_ueg(nup=2, ndown=2, rs=1.0, ecut=1.0)
+    trial = rhf_identity_trial(ham)
+    fe, noons = spin_project_init(ham, trial, init_walker="free_electron")
+    assert noons is None
+    inita = np.asarray(to_host(fe.inita))
+    h1 = np.asarray(to_host(ham.H1))[0]
+    e, v = np.linalg.eigh(h1)
+    resid = inita - v @ (v.conj().T @ inita)
+    np.testing.assert_allclose(resid, 0.0, atol=1e-10)
+
+    hpw = make_pw_fft(nup=2, ndown=2, rs=1.0, ecut=1.0)
+    psi = np.eye(hpw.nbasis)[:, : 4].astype(np.complex128)
+    tpw = trial_from_orbitals(hpw, psi)
+    fe2, _ = spin_project_init(hpw, tpw, init_walker="free_electron")
+    inita2 = np.asarray(to_host(fe2.inita))
+    # sp_eigv is diagonal: eigenvectors are coordinate axes, so each column
+    # must be a (possibly signed) unit basis vector.
+    np.testing.assert_allclose(np.abs(inita2).sum(axis=0), 1.0, atol=1e-10)
+
+
+@pytest.mark.unit
 def test_spin_proj_json_option(tmp_path):
     """The spin_proj trial option is honored through setup_calculation."""
     import numpy as np

@@ -183,6 +183,31 @@ def test_thermal_with_mean_field_trial(tmp_path):
     assert np.isfinite(rows.real).all()
 
 
+def test_mean_field_trial_json_dispatch(tmp_path):
+    """trial.name='mean_field' is honored through get_driver (the reference
+    factory trial_density_matrices/utils.py:4; review finding, round 3)."""
+    from pauxy_tpu.qmc.calc import setup_calculation
+
+    options = {
+        "verbosity": 0,
+        "qmc": {"timestep": 0.05, "rng_seed": 1, "nblocks": 2,
+                "nwalkers": 8, "beta": 0.25},
+        "model": {"name": "Hubbard", "nx": 3, "ny": 3, "U": 4,
+                  "nup": 3, "ndown": 3},
+        "trial": {"name": "mean_field"},
+        "estimates": {"filename": str(tmp_path / "mfjson.h5")},
+    }
+    af = setup_calculation(options)
+    assert af.trial.name == "mean_field"
+    rows = af.run()
+    assert np.isfinite(rows.real).all()
+
+    options["trial"] = {"name": "no_such_trial"}
+    options["estimates"]["filename"] = str(tmp_path / "bad.h5")
+    with pytest.raises(ValueError, match="unknown thermal trial"):
+        setup_calculation(options)
+
+
 # ---------------------------------------------------------------------------
 # ThermalDiscrete (thermal_propagation/hubbard.py counterpart)
 # ---------------------------------------------------------------------------

@@ -19,15 +19,10 @@ sys.path.insert(0, ROOT)
 
 
 def probe(timeout=120):
-    code = ("import jax, jax.numpy as jnp; "
-            "print('PROBE_OK', float(jax.jit(lambda a: (a@a).sum())"
-            "(jnp.ones((128, 128)))))")
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return False
-    return "PROBE_OK" in out.stdout
+    # Single source of truth for the liveness probe lives in bench.py.
+    import bench
+
+    return bench._probe_tunnel(timeout=timeout)
 
 
 def lanes_check():

@@ -23,8 +23,7 @@ def main(argv=None):
 
     group, _, name = args.observable.partition(":")
     if group == "back_propagated" and "rdm" in name:
-        data = extraction.extract_rdm(args.filename, rdm_type=name.replace(
-            "one_rdm", "one_rdm"))
+        data = extraction.extract_rdm(args.filename, rdm_type=name)
     elif group == "itcf":
         # Rows are pushed already normalized (ITCFReporter.block_row);
         # the stored denominator is a liveness flag — blocks whose

@@ -39,10 +39,17 @@ def main():
             ):
                 # Bootstrap a small molecular integrals file in-repo
                 # (utils/sgto.py) instead of skipping: H4 chain, the same
-                # pipeline the H10 example uses.
-                from pauxy_tpu.utils.sgto import dump_afqmc
+                # pipeline the H10 example uses. A bootstrap failure is a
+                # single-example FAIL, not an abort of the whole smoke run.
+                try:
+                    from pauxy_tpu.utils.sgto import dump_afqmc
 
-                dump_afqmc(4, 1.6, prefix=".")
+                    dump_afqmc(4, 1.6, prefix=".")
+                except Exception as e:  # noqa: BLE001 — CI smoke reporter
+                    failures.append(name)
+                    print(f"FAIL {name} (integral bootstrap): "
+                          f"{type(e).__name__}: {str(e)[:160]}")
+                    continue
                 model["integrals"] = "afqmc.h5"
                 model.setdefault("nup", 2)
                 model.setdefault("ndown", 2)
