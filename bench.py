@@ -318,6 +318,40 @@ def measure_generic():
         raise RuntimeError(
             f"implausible achieved FLOPs {achieved/1e12:.0f} TF/s > peak"
         )
+
+    # Documented precision ladder (README "Precision policy"): the same
+    # program under bfloat16_3x matmuls (~f32-accurate 3-pass MXU splits,
+    # error-bound tests in tests/test_generic.py). Reported as a labeled
+    # secondary rate; "value" stays the f32-pinned number.
+    out_bf16 = {}
+    try:
+        import pauxy_tpu.config as _cfg
+
+        _cfg.set_matmul_precision("bfloat16_3x")
+        key, sub = jax.random.split(key)
+        state_b = one_block(state, sub, 0)          # recompile at bf16_3x
+        jax.block_until_ready(state_b.weight)
+        best_b = 0.0
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            for b in range(GEN_NBLOCKS):
+                key, sub = jax.random.split(key)
+                state_b = one_block(state_b, sub, (b + 1) * GEN_NSTEPS)
+            vals = _fetch_weights(state_b.weight)
+            elapsed = time.perf_counter() - t0
+            _assert_finite(vals)
+            best_b = max(best_b, nw * nsteps_tot / elapsed)
+        out_bf16 = {
+            "rate_bf16_3x": round(best_b, 1),
+            "achieved_tflops_bf16_3x": round(
+                _generic_step_flops(nw, nmo, na, nx) * best_b / nw / 1e12, 2
+            ),
+        }
+    except Exception as e:  # noqa: BLE001 — secondary measurement only
+        out_bf16 = {"bf16_3x_error": f"{type(e).__name__}: {str(e)[:120]}"}
+    finally:
+        _cfg.set_matmul_precision("float32")
+
     _emit(
             {
                 "metric": "walker_steps_per_sec_generic_nmo128_naux512",
@@ -331,6 +365,7 @@ def measure_generic():
                 "flops_convention": "effective (reference-algorithm FLOPs)",
                 "matmul_precision": af.matmul_precision,
                 "nwalkers": nw,
+                **out_bf16,
             }
     )
 
