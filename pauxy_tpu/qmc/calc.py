@@ -160,10 +160,32 @@ def _build_trial(ham, trial_opts: dict, precision=None, seed=None):
         )
     if name in ("hartree_fock", "multislater"):
         filename = trial_opts.get("filename")
+        exc = trial_opts.get("excitation", trial_opts.get("excite_ia"))
         if filename is not None:
+            if exc is not None:
+                raise NotImplementedError(
+                    "trial.excitation with a wavefunction file is not "
+                    "supported; apply the excitation when writing the file"
+                )
             from pauxy_tpu.utils import wavefunction as wio
 
             return wio.read_wavefunction(ham, filename, precision=precision)
+        if exc is not None:
+            # "Promotion energy" excitation in the (energy-ordered) MO
+            # basis: replace occupied alpha orbital i with virtual a
+            # (reference trial_wavefunction/hartree_fock.py:57-77; alpha
+            # spin only, like the reference).
+            import numpy as np
+
+            i, a = int(exc[0]), int(exc[1])
+            m, na, nb = ham.nbasis, ham.nup, ham.ndown
+            psi = np.zeros((m, na + nb), dtype=np.complex128)
+            psi[:na, :na] = np.eye(na)
+            psi[:nb, na:] = np.eye(nb)
+            psi[:, i] = 0.0
+            psi[a, i] = 1.0
+            return tr.trial_from_orbitals(
+                ham, psi, precision=precision, name="hartree_fock")
         return tr.rhf_identity_trial(ham, precision=precision)
     if name in ("multi_determinant",):
         # GHF multi-determinant expansion from the reference ascii format

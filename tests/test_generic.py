@@ -395,3 +395,51 @@ def test_generic_driver_taylor_pallas_trajectory(tmp_path):
     np.testing.assert_allclose(np.asarray(r_x).real[:, :-1],
                                np.asarray(r_p).real[:, :-1],
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.unit
+def test_hartree_fock_excitation_promotion_energy():
+    """trial.excitation=[i, a]: MO-basis HF determinant with occupied alpha
+    orbital i promoted to virtual a (reference hartree_fock.py:57-77). The
+    trial variational energy must match the reference HartreeFock class on
+    the identical Hamiltonian."""
+    from pauxy_tpu.qmc.calc import get_trial_wavefunction
+    from pauxy_tpu.utils.transfer import to_host
+
+    nmo, nelec = 6, (2, 2)
+    h1e, chol, enuc, eri = generate_hamiltonian(nmo, nelec, seed=11)
+    ham = make_generic(nelec, h1e, chol, enuc)
+    trial = get_trial_wavefunction(
+        ham, {"name": "hartree_fock", "excitation": [1, 3]})
+    psia = np.asarray(to_host(trial.psia))
+    # Column 1 is promoted to MO 3; column 0 stays MO 0.
+    assert abs(psia[3, 1]) == pytest.approx(1.0)
+    assert abs(psia[0, 0]) == pytest.approx(1.0)
+    assert abs(psia[1, 1]) == pytest.approx(0.0)
+
+    if not HAVE_REF:
+        pytest.skip("no reference")
+    from pauxy.estimators.greens_function import gab
+    from pauxy.estimators.generic import local_energy_generic_cholesky
+
+    class _Sys:
+        pass
+
+    sys_ = _Sys()
+    sys_.nbasis, sys_.nup, sys_.ndown = nmo, 2, 2
+    sys_.H1 = np.stack([h1e, h1e])
+    sys_.chol_vecs = chol.reshape(nmo * nmo, -1)
+    sys_.nchol = chol.shape[-1]
+    sys_.ecore = enuc
+    psi = np.zeros((nmo, 4), dtype=np.complex128)
+    psi[0, 0] = psi[3, 1] = 1.0       # alpha: MO 0 occupied, MO1 -> MO3
+    psi[0, 2] = psi[1, 3] = 1.0       # beta: MOs 0, 1
+    g = np.array([gab(psi[:, :2], psi[:, :2]),
+                  gab(psi[:, 2:], psi[:, 2:])])
+    eref = local_energy_generic_cholesky(sys_, g)[0]
+    assert float(trial.etrial) == pytest.approx(float(eref.real), abs=1e-8)
+
+    with pytest.raises(NotImplementedError):
+        get_trial_wavefunction(
+            ham, {"name": "hartree_fock", "excitation": [1, 3],
+                  "filename": "x.h5"})
