@@ -200,6 +200,8 @@ def make_mean_field_trial(
     beta: float,
     dt: float,
     nav: float | None = None,
+    mu: float | None = None,
+    find_mu: bool = True,
     alpha: float = 0.75,
     max_macro_it: int = 100,
     max_scf_it: int = 100,
@@ -221,13 +223,16 @@ def make_mean_field_trial(
     m = ham.nbasis
 
     # Seed from the one-body trial.
-    seed = make_one_body_trial(ham, beta, dt, nav=nav, deps=deps,
+    seed = make_one_body_trial(ham, beta, dt, mu=mu, nav=nav, deps=deps,
                                precision=precision)
     stack_size = seed.stack_size
     num_bins = num_slices // stack_size
     dtau = stack_size * dt
     p = np.asarray(seed.P_host.arr)
     mu_old = seed.mu
+    # find_mu=False keeps the given chemical potential fixed through the
+    # macro iteration (mean_field.py:24,46-52).
+    mu_fixed = None if find_mu else (mu if mu is not None else seed.mu)
     hmf = fock_matrix(ham, p)
     for _ in range(max_macro_it):
         # Inner SCF at fixed mu (mean_field.py:64-94).
@@ -250,7 +255,11 @@ def make_mean_field_trial(
             scipy.linalg.expm(-dtau * hmf[0]),
             scipy.linalg.expm(-dtau * hmf[1]),
         ])
-        mu = find_chemical_potential(rho0, dtau, num_bins, target, deps=deps)
+        if mu_fixed is not None:
+            mu = mu_fixed
+        else:
+            mu = find_chemical_potential(rho0, dtau, num_bins, target,
+                                         deps=deps)
         if verbose:
             from pauxy_tpu.estimators import local_energy as le
             from pauxy_tpu.estimators.thermal import entropy

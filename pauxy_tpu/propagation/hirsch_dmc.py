@@ -44,6 +44,10 @@ class HirschDMC:
     eshift_boson: float = struct.field(pytree_node=False, default=0.0)
     free_projection: bool = struct.field(pytree_node=False, default=False)
     hybrid: bool = struct.field(pytree_node=False, default=False)
+    # Symmetric Trotter ordering: boson(dt/2) electron-block boson(dt/2)
+    # instead of electron-block boson(dt)
+    # (``hubbard_holstein.py:419-438`` symmetric_trotter option).
+    symmetric_trotter: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------
     def _electron_half_step(self, trial, state, dt_half):
@@ -266,22 +270,29 @@ class HirschDMC:
     def propagate(self, trial, state, key, eshift, bp_ix=None, ham=None):
         from pauxy_tpu.models.multi_coherent import MultiCoherentTrial
 
-        k1, k2 = jax.random.split(key)
-        if isinstance(trial, MultiCoherentTrial):
-            state = self._electron_half_step_mc(trial, state, 0.5 * self.dt)
-            state, _fields = self._site_sweep_mc(trial, state, k1)
-            state = self._electron_half_step_mc(trial, state, 0.5 * self.dt)
-            state = self._boson_move_mc(trial, state, k2, self.dt)
+        k1, k2, k3 = jax.random.split(key, 3)
+        mc = isinstance(trial, MultiCoherentTrial)
+        e_half = self._electron_half_step_mc if mc else self._electron_half_step
+        sweep = self._site_sweep_mc if mc else (
+            lambda t, s, k: self.hirsch._site_sweep(t, s, k))
+        boson = self._boson_move_mc if mc else self._boson_move
+        if self.symmetric_trotter:
+            # boson(dt/2) K(dt/2) U(dt) K(dt/2) boson(dt/2)
+            # (hubbard_holstein.py:419-429).
+            state = boson(trial, state, k2, 0.5 * self.dt)
+        state = e_half(trial, state, 0.5 * self.dt)
+        state, _fields = sweep(trial, state, k1)
+        state = e_half(trial, state, 0.5 * self.dt)
+        if self.symmetric_trotter:
+            state = boson(trial, state, k3, 0.5 * self.dt)
         else:
-            state = self._electron_half_step(trial, state, 0.5 * self.dt)
-            state, _fields = self.hirsch._site_sweep(trial, state, k1)
-            state = self._electron_half_step(trial, state, 0.5 * self.dt)
-            state = self._boson_move(trial, state, k2, self.dt)
+            state = boson(trial, state, k2, self.dt)
         growth = jnp.exp(self.dt * jnp.real(eshift))
         return state.replace(weight=state.weight * growth)
 
 
 def make_hirsch_dmc(ham, trial, dt: float, lang_firsov: bool = False,
+                    symmetric_trotter: bool = False,
                     precision=None) -> HirschDMC:
     """lang_firsov=True replaces U by the LF effective interaction in the
     Hirsch field tables (``propagation/hubbard_holstein.py:63-69``)."""
@@ -315,4 +326,5 @@ def make_hirsch_dmc(ham, trial, dt: float, lang_firsov: bool = False,
         w0=float(ham.w0),
         cpl=float(ham.gsq2mw),
         eshift_boson=eshift_b,
+        symmetric_trotter=bool(symmetric_trotter),
     )

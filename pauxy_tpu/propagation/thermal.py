@@ -29,6 +29,16 @@ from pauxy_tpu.walkers import low_rank as lrw
 from pauxy_tpu.walkers import thermal_state as tws
 
 
+def clamp_force_bias(xbar, bound: float):
+    """Rescale components with |xbar| > bound to UNIT magnitude — not to
+    ``bound`` — exactly like the reference's fb_bound handling
+    (``thermal_propagation/planewave.py:249-261``)."""
+    absx = jnp.abs(xbar)
+    return jnp.where(
+        absx > bound, xbar / jnp.where(absx == 0, 1.0, absx), xbar
+    )
+
+
 @struct.dataclass
 class ThermalHubbardInner:
     """Charge-decomposition HS for Hubbard at T > 0
@@ -126,6 +136,9 @@ class ThermalContinuous:
     dt: float = struct.field(pytree_node=False)
     mf_const_fac: complex = struct.field(pytree_node=False, default=1.0 + 0j)
     force_bias: bool = struct.field(pytree_node=False, default=True)
+    # Force-bias clamp |xbar| <= fb_bound (thermal_propagation/planewave.py:30
+    # 'fb_bound' option, default 1.0).
+    fb_bound: float = struct.field(pytree_node=False, default=1.0)
     free_projection: bool = struct.field(pytree_node=False, default=False)
     low_rank: bool = struct.field(pytree_node=False, default=False)
     low_rank_thresh: float = struct.field(pytree_node=False, default=1e-6)
@@ -144,10 +157,7 @@ class ThermalContinuous:
         if self.force_bias:
             p = one_rdm_from_G(state.G)
             xbar = inner.force_bias_P(p)
-            absx = jnp.abs(xbar)
-            xbar = jnp.where(
-                absx > 1.0, xbar / jnp.where(absx == 0, 1.0, absx), xbar
-            )
+            xbar = clamp_force_bias(xbar, self.fb_bound)
         else:
             xbar = jnp.zeros((nw, nfields), cdtype)
         xshifted = xi - xbar
@@ -296,6 +306,7 @@ def make_thermal_propagator(
         dt=float(dt),
         mf_const_fac=complex(np.exp(-dt * complex(mf_core))),
         force_bias=opts.get("force_bias", True),
+        fb_bound=float(opts.get("fb_bound", 1.0)),
         free_projection=opts.get("free_projection", False),
         low_rank=opts.get("low_rank", False),
         low_rank_thresh=float(opts.get("low_rank_thresh", 1e-6)),

@@ -604,6 +604,7 @@ class AFQMC:
             return make_hirsch_dmc(
                 self.ham, self.trial, self.qmc.dt,
                 lang_firsov=popts.get("lang_firsov", False),
+                symmetric_trotter=popts.get("symmetric_trotter", False),
                 precision=self.prec,
             )
         if "discrete" in hs:
@@ -621,7 +622,13 @@ class AFQMC:
                 charge_decomposition=popts.get("charge_decomposition", False),
                 free_projection=self.free_projection,
                 precision=self.prec,
-                two_body_mode=popts.get("two_body_update", "single_site"),
+                # 'single_site_update': false is the reference's spelling
+                # for the whole-lattice dynamic-force-bias update
+                # (propagation/hubbard.py:49).
+                two_body_mode=popts.get(
+                    "two_body_update",
+                    "single_site" if popts.get("single_site_update", True)
+                    else "direct"),
                 kinetic_kspace=popts.get("kinetic_kspace", False),
                 sweep_kernel=popts.get("sweep_kernel"),
                 mesh=popts.get("mesh"),

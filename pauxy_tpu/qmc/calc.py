@@ -241,6 +241,8 @@ def get_driver(options: dict, verbose: bool = False):
 
             trial = make_mean_field_trial(
                 ham, qmc.beta, qmc.dt,
+                mu=topts.get("mu"),
+                find_mu=bool(topts.get("find_mu", True)),
                 nav=topts.get("nav"),
                 alpha=float(topts.get("alpha", 0.75)),
                 verbose=verbose,

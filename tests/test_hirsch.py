@@ -198,3 +198,24 @@ def test_two_body_direct_driver(tmp_path):
                   b.std(ddof=1) / np.sqrt(len(b)))
     assert abs(a.mean() - b.mean()) < max(5 * se, 0.1), (
         a.mean(), b.mean(), se)
+
+
+@pytest.mark.unit
+def test_single_site_update_false_alias(tmp_path):
+    """The reference's 'single_site_update': false spelling selects the
+    whole-lattice dynamic-force-bias update (propagation/hubbard.py:49)."""
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=4, dt=0.01, nsteps=2, nblocks=1, rng_seed=1)
+    af = AFQMC(ham, trial, qmc,
+               propagator_options={"hubbard_stratonovich": "discrete",
+                                   "single_site_update": False},
+               filename=str(tmp_path / "alias.h5"))
+    assert af.prop.two_body_mode == "direct"
+    af2 = AFQMC(ham, trial, qmc,
+                propagator_options={"hubbard_stratonovich": "discrete"},
+                filename=str(tmp_path / "alias2.h5"))
+    assert af2.prop.two_body_mode == "single_site"

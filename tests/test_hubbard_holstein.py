@@ -212,3 +212,24 @@ def test_multi_coherent_polaron_vs_bose_fermi_fci(tmp_path):
     # CPMC with the symmetrized trial: within the constrained-path bias +
     # statistics window of the exact bose-fermi ground state.
     assert abs(et.mean() - e_fci[0]) < 0.2, (et.mean(), e_fci[0])
+
+
+@pytest.mark.driver
+def test_symmetric_trotter_polaron(tmp_path):
+    """symmetric_trotter reorders the step as boson(dt/2) K U K boson(dt/2)
+    (reference hubbard_holstein.py:419-429). The single-site polaron limit
+    must still reproduce the exact displaced-oscillator energy."""
+    ham = make_hubbard_holstein(nup=1, ndown=1, U=4.0, nx=1, g=0.5, w0=1.0,
+                                xpbc=False)
+    trial = coherent_state_trial(ham)
+    qmc = QMCOpts(nwalkers=200, dt=0.01, nsteps=20, nblocks=8, nstblz=10,
+                  npop_control=10, rng_seed=7)
+    af = AFQMC(ham, trial, qmc,
+               propagator_options={"symmetric_trotter": True},
+               estimator_options={"mixed": {"energy_eval_freq": 2}},
+               filename=str(tmp_path / "polsym.h5"))
+    assert af.prop.symmetric_trotter
+    rows = af.run()
+    exact = 4.0 - 4 * 0.5 ** 2 / 1.0
+    et = rows[3:, 5].real
+    assert abs(et.mean() - exact) < 0.05, (et.mean(), exact)

@@ -546,3 +546,45 @@ def test_thermal_generic_vs_exact_grand_canonical(tmp_path):
     # Phaseless + Trotter bias allowed on top of the statistical bars.
     assert abs(et.mean() - E) < max(4 * se, 5e-3), (et.mean(), E, se)
     assert abs(nav.mean() - N) < max(4 * sen, 3e-3), (nav.mean(), N, sen)
+
+
+@pytest.mark.unit
+def test_mean_field_find_mu_false():
+    """find_mu=False keeps the given chemical potential fixed through the
+    THF macro iteration (reference mean_field.py:24,46-52)."""
+    from pauxy_tpu.models.thermal_trial import make_mean_field_trial
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    mf = make_mean_field_trial(ham, 0.5, 0.05, mu=0.3, find_mu=False)
+    assert mf.mu == pytest.approx(0.3)
+    # With find_mu (default) the converged mu moves off the seed value.
+    mf2 = make_mean_field_trial(ham, 0.5, 0.05)
+    assert mf2.mu != pytest.approx(0.3, abs=1e-6)
+
+
+@pytest.mark.unit
+def test_thermal_fb_bound_option():
+    """fb_bound: components with |xbar| > bound are rescaled to UNIT
+    magnitude, exactly like the reference (planewave.py:249-261); the
+    option is threaded through make_thermal_propagator."""
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.propagation.thermal import (clamp_force_bias,
+                                               make_thermal_propagator)
+
+    xbar = np.array([0.5 + 0.0j, 2.0 + 0.0j, 0.0 + 0.0j, 3.0 + 4.0j])
+    out = np.asarray(clamp_force_bias(xbar, 1.0))
+    np.testing.assert_allclose(out, [0.5, 1.0, 0.0, 0.6 + 0.8j], atol=1e-12)
+    # Looser bound leaves everything untouched.
+    np.testing.assert_allclose(np.asarray(clamp_force_bias(xbar, 10.0)),
+                               xbar, atol=1e-12)
+    # Tight bound: every nonzero component goes to magnitude one (NOT to
+    # the bound value) - the reference's exact behavior.
+    out2 = np.asarray(clamp_force_bias(xbar, 1e-12))
+    np.testing.assert_allclose(np.abs(out2), [1.0, 1.0, 0.0, 1.0],
+                               atol=1e-12)
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = make_one_body_trial(ham, 0.5, 0.05)
+    prop = make_thermal_propagator(ham, trial, 0.05,
+                                   options={"fb_bound": 2.5})
+    assert prop.fb_bound == pytest.approx(2.5)
