@@ -62,7 +62,13 @@ def extract_rdm(filename: str, est_type: str = "back_propagated",
             ix = splits[0][-1]
         denom = extract_data(filename, est_type, f"denominator_{ix}", raw=True)
         rdm = extract_data(filename, est_type, f"{rdm_type}_{ix}", raw=True)
-        return rdm / denom[:, None, None]
+        # Blocks whose BP window did not complete are zero-filled (denom 0);
+        # normalize them to NaN without the numpy divide warning so callers
+        # can filter with isfinite.
+        d = denom[:, None, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(np.abs(d) > 0, rdm / np.where(d == 0, 1, d),
+                            np.nan)
     return extract_data(filename, est_type, rdm_type, raw=True)
 
 

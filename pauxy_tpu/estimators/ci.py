@@ -157,6 +157,33 @@ def simple_fci(ham, nup=None, ndown=None, nroots: int = 1):
     return evals[:nroots], evecs[:, :nroots], basis
 
 
+def one_rdm_from_fci(vec: np.ndarray, basis, m: int) -> np.ndarray:
+    """Spin-resolved 1-RDM [2, M, M] of an FCI vector, P_s[p, q] =
+    <c_p^dag c_q> — the exact oracle for RDM estimators (the reference has
+    no FCI RDM; signs follow the same alignment convention as
+    :func:`fci_hamiltonian`'s single-excitation elements)."""
+    p_out = np.zeros((2, m, m), dtype=np.complex128)
+    vec = np.asarray(vec)
+    for i, (a1, b1) in enumerate(basis):
+        ci_ = np.conj(vec[i])
+        if ci_ == 0:
+            continue
+        for p in a1:
+            p_out[0, p, p] += ci_ * vec[i]
+        for p in b1:
+            p_out[1, p, p] += ci_ * vec[i]
+        for j, (a2, b2) in enumerate(basis):
+            if j == i or vec[j] == 0:
+                continue
+            ra, aa, sgn_a = _excitation(a1, a2)
+            rb, ab, sgn_b = _excitation(b1, b2)
+            if len(ra) == 1 and len(rb) == 0:
+                p_out[0, ra[0], aa[0]] += sgn_a * ci_ * vec[j]
+            elif len(rb) == 1 and len(ra) == 0:
+                p_out[1, rb[0], ab[0]] += sgn_b * ci_ * vec[j]
+    return p_out
+
+
 # ----------------------------------------------------------------------------
 # Bose-fermi FCI (Hubbard-Holstein oracle)
 # ----------------------------------------------------------------------------

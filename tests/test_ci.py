@@ -110,3 +110,47 @@ def test_bose_fermi_fci_vs_reference_pinned():
                                 w0=0.8, lmbda=0.5)
     e, _, _ = simple_fci_bose_fermi(ham, nboson_max=12)
     assert e[0] == pytest.approx(-4.642361166625703, abs=1e-5)
+
+
+@pytest.mark.unit
+def test_one_rdm_from_fci():
+    """FCI 1-RDM oracle: trace = n per spin, hermitian; at U=0 it equals
+    the sum of the lowest-orbital projectors; and the RDM-contracted
+    one-body energy matches the FCI kinetic expectation."""
+    import numpy as np
+
+    from pauxy_tpu.estimators.ci import one_rdm_from_fci, simple_fci
+    from pauxy_tpu.models import make_hubbard
+
+    ham = make_hubbard(nup=2, ndown=2, U=0.0, nx=4, xpbc=False)
+    ev, evec, basis = simple_fci(ham)
+    p = one_rdm_from_fci(evec[:, 0], basis, ham.nbasis)
+    assert p[0].trace().real == pytest.approx(2.0, abs=1e-10)
+    assert p[1].trace().real == pytest.approx(2.0, abs=1e-10)
+    np.testing.assert_allclose(p[0], p[0].conj().T, atol=1e-12)
+    h = np.asarray(ham.T)[0]
+    e, v = np.linalg.eigh(h)
+    proj = v[:, :2] @ v[:, :2].conj().T
+    # P_pq = <c_p^dag c_q>: for a filled Fermi sea this is the projector
+    # onto the occupied orbitals (transposed convention is symmetric here).
+    np.testing.assert_allclose(p[0].real, proj.real, atol=1e-10)
+    ke = np.einsum("pq,spq->", h, p).real
+    assert ke == pytest.approx(ev[0], abs=1e-10)
+
+    # Interacting cross-check: the RDM-contracted one-body energy plus the
+    # FCI eigendecomposition stays consistent under U > 0 (trace and
+    # hermiticity still exact; energy check via Hellmann-Feynman-free
+    # contraction is covered by the U=0 case above).
+    ham4 = make_hubbard(nup=2, ndown=2, U=4.0, nx=4, xpbc=False)
+    ev4, evec4, basis4 = simple_fci(ham4)
+    p4 = one_rdm_from_fci(evec4[:, 0], basis4, ham4.nbasis)
+    assert p4[0].trace().real == pytest.approx(2.0, abs=1e-10)
+    np.testing.assert_allclose(p4[0], p4[0].conj().T, atol=1e-12)
+    # Double occupancy from the FCI vector directly must match
+    # dE/dU = sum_i <n_i_up n_i_down> bounds: 0 < D < n_up.
+    docc = sum(
+        abs(evec4[i, 0]) ** 2 * len(set(a) & set(b))
+        for i, (a, b) in enumerate(basis4)
+    )
+    e1 = np.einsum("pq,spq->", np.asarray(ham4.T)[0], p4).real
+    assert ev4[0] == pytest.approx(e1 + 4.0 * docc, abs=1e-10)
