@@ -500,3 +500,29 @@ def test_fast_block_shard_greens_matches_xla():
                                    outs["shard_interpret"][1], rtol=1e-9)
     finally:
         pmesh.set_active_mesh(None)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_free_projection_sharded_matches_single_device(tmp_path):
+    """Free projection under SPMD: complex FP weights (magnitude + phase
+    tracked separately) must survive the sharded pop-control/estimator
+    path trajectory-exactly."""
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3,
+                       ktwist=[0.01, -0.02])
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.01, nsteps=5, nblocks=3, nstblz=5,
+                  npop_control=5, rng_seed=11)
+
+    def run(fn, shard):
+        af = AFQMC(ham, trial, qmc,
+                   propagator_options={"free_projection": True},
+                   estimator_options={"mixed": {"energy_eval_freq": 1}},
+                   filename=str(tmp_path / fn))
+        if shard:
+            af.state = pmesh.shard_walkers(af.state, pmesh.walker_mesh())
+        return af.run()
+
+    rows1 = run("fp1.h5", False)
+    rows2 = run("fp2.h5", True)
+    np.testing.assert_allclose(rows1[:, 1:10], rows2[:, 1:10],
+                               rtol=1e-8, atol=1e-10)
