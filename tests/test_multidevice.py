@@ -526,3 +526,32 @@ def test_free_projection_sharded_matches_single_device(tmp_path):
     rows2 = run("fp2.h5", True)
     np.testing.assert_allclose(rows1[:, 1:10], rows2[:, 1:10],
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_ghf_sharded_matches_single_device(tmp_path):
+    """GHF (2M x ne) trial with the discrete site sweep under a sharded
+    walker axis — the per-site GHF overlap-ratio path is the last trial
+    family exercised by the SPMD matrix."""
+    from pauxy_tpu.models import ghf as ghf_mod
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    fe = free_electron_trial(ham)
+    ghf = ghf_mod.ghf_trial_from_uhf(ham, np.asarray(fe.psia),
+                                     np.asarray(fe.psib))
+    qmc = QMCOpts(nwalkers=16, dt=0.05, nsteps=5, nblocks=3, nstblz=5,
+                  npop_control=5, rng_seed=8)
+    popts = {"hubbard_stratonovich": "discrete", "sweep_kernel": "scan"}
+
+    def run(fn, shard):
+        af = AFQMC(ham, ghf, qmc, propagator_options=popts,
+                   estimator_options={"mixed": {"energy_eval_freq": 1}},
+                   filename=str(tmp_path / fn))
+        if shard:
+            af.state = pmesh.shard_walkers(af.state, pmesh.walker_mesh())
+        return af.run()
+
+    rows1 = run("g1.h5", False)
+    rows2 = run("g2.h5", True)
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
