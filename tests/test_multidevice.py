@@ -555,3 +555,31 @@ def test_ghf_sharded_matches_single_device(tmp_path):
     rows2 = run("g2.h5", True)
     np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
                                rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_multi_coherent_sharded_matches_single_device(tmp_path):
+    """Multi-coherent (translation-symmetrized) HH trial under a sharded
+    walker axis: per-component phonon overlaps and the mixture-drift boson
+    move must be SPMD-clean (reference walkers/multi_coherent.py)."""
+    from pauxy_tpu.models.hubbard_holstein import make_hubbard_holstein
+    from pauxy_tpu.models.multi_coherent import multi_coherent_trial
+
+    ham = make_hubbard_holstein(nup=1, ndown=1, U=4.0, nx=3, g=0.4, w0=1.0,
+                                xpbc=True)
+    trial = multi_coherent_trial(ham)
+    qmc = QMCOpts(nwalkers=16, dt=0.01, nsteps=6, nblocks=3, nstblz=3,
+                  npop_control=3, rng_seed=4)
+
+    def run(fn, shard):
+        af = AFQMC(ham, trial, qmc,
+                   estimator_options={"mixed": {"energy_eval_freq": 2}},
+                   filename=str(tmp_path / fn))
+        if shard:
+            af.state = pmesh.shard_walkers(af.state, pmesh.walker_mesh())
+        return af.run()
+
+    rows1 = run("mc1.h5", False)
+    rows2 = run("mc2.h5", True)
+    np.testing.assert_allclose(rows1[:, 1:10].real, rows2[:, 1:10].real,
+                               rtol=1e-8, atol=1e-10)
