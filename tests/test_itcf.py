@@ -202,3 +202,51 @@ def test_itcf_stack_size(tmp_path):
                               raw=True)
     assert gs[2].shape[1] == 5      # nmax//2 + 1 = 8//2 + 1
     np.testing.assert_allclose(gs[2], gs[1][:, ::2], atol=1e-10)
+
+
+@pytest.mark.driver
+def test_itcf_generic_free_fermions(tmp_path):
+    """ITCF through the Generic/Cholesky continuous propagator: with all
+    Cholesky vectors zero the dynamics is exactly free, so the same
+    analytic oracle applies — exercises dense_propagators' continuous
+    branch on an ab-initio Hamiltonian (the reference's ITCF is
+    system-general the same way)."""
+    from pauxy_tpu.models.generic import make_generic
+    from pauxy_tpu.models.trial import trial_from_orbitals
+
+    rng = np.random.default_rng(5)
+    m = 6
+    h1 = rng.normal(scale=0.3, size=(m, m))
+    h1 = 0.5 * (h1 + h1.T)
+    ham = make_generic((2, 2), np.stack([h1, h1]),
+                       np.zeros((m, m, 1)), ecore=0.0)
+    _, v = np.linalg.eigh(h1)
+    psi = np.concatenate([v[:, :2], v[:, :2]], axis=1).astype(np.complex128)
+    trial = trial_from_orbitals(ham, psi)
+
+    ntau, dt = 4, 0.05
+    qmc = QMCOpts(nwalkers=4, dt=dt, nsteps=ntau, nblocks=2, nstblz=100,
+                  npop_control=100, rng_seed=3)
+    af = AFQMC(
+        ham, trial, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 1},
+            "itcf": {"tau_max": ntau * dt, "stable": True},
+        },
+        filename=str(tmp_path / "itcfgen.h5"),
+    )
+    af.run()
+
+    import h5py
+
+    with h5py.File(str(tmp_path / "itcfgen.h5"), "r") as fh5:
+        keys = sorted(fh5["itcf/real_space_greens_function"].keys())
+        spgf = fh5[f"itcf/real_space_greens_function/{keys[-1]}"][:]
+    p = psi[:, :2] @ np.linalg.inv(psi[:, :2].conj().T @ psi[:, :2]) \
+        @ psi[:, :2].conj().T
+    for n in range(ntau + 1):
+        bgr = scipy.linalg.expm(-n * dt * h1)
+        bls = scipy.linalg.expm(n * dt * h1)
+        np.testing.assert_allclose(spgf[n, 0, 0],
+                                   (bgr @ (np.eye(m) - p)).real, atol=1e-8)
+        np.testing.assert_allclose(spgf[n, 0, 1], (p @ bls).real, atol=1e-8)
