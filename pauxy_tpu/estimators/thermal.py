@@ -78,6 +78,44 @@ def greens_function_qdt(stack: jax.Array):
     return inverse_one_plus_qdt(q, d, t)
 
 
+def greens_function_qdt_logdet(stack: jax.Array):
+    """(G, log det G) with the log-determinant assembled from the QDT
+    FACTORS instead of eliminating the assembled G.
+
+    det(1+A) = det(Q) det(Db)^-1 det(C) det(T) with
+    C = Db Q^dag T^-1 + Ds, so
+
+      log det G = -slogdet(Q) + sum(log db) - slogdet(C) - slogdet(T).
+
+    Every eliminated matrix (unitary Q, bounded C, unit-modulus-det T) is
+    well-conditioned, so this stays exact at path lengths where cond(G) ~
+    e^{beta W} overflows f64 pivoting and a direct slogdet(G) returns -inf
+    (the reference's raw scipy.linalg.det(G) ratio,
+    ``thermal_propagation/continuous.py:186-189``, degrades the same way —
+    this is the stabilized replacement)."""
+    q, d, t = qdt_product(stack)
+    m = q.shape[-1]
+    absd = jnp.abs(d)
+    db = jnp.where(absd > 1.0, 1.0 / absd, 1.0).astype(d.dtype)
+    ds = jnp.where(absd > 1.0, d / absd, d)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=q.dtype), q.shape)
+    tinv = clinalg.solve(t, eye)
+    c = db[..., :, None] * jnp.einsum(
+        "...mp,...mn->...pn", q.conj(), tinv
+    ) + ds[..., :, None] * eye
+    cinv_db_qdag = clinalg.solve(
+        c, db[..., :, None] * jnp.swapaxes(q.conj(), -1, -2)
+    )
+    g = jnp.einsum("...pm,...mn->...pn", tinv, cinv_db_qdag)
+    logdet_g = (
+        jnp.sum(jnp.log(db.astype(q.dtype)), axis=-1)
+        - clinalg.slogdet(q)
+        - clinalg.slogdet(c)
+        - clinalg.slogdet(t)
+    )
+    return g, logdet_g
+
+
 def one_rdm_from_G(g: jax.Array) -> jax.Array:
     """P = 1 - G^T per spin (thermal.py:112-130); g [..., m, m]."""
     m = g.shape[-1]

@@ -56,11 +56,12 @@ def greens_function(stack: jax.Array):
     end-of-path evaluation (walkers/thermal.py:472-489 with
     slice_ix = ntime_slices). Returns (G [w,2,M,M], log det G [w,2]).
     """
-    # Fold spin into the batch for the stratified product.
+    # Fold spin into the batch for the stratified product. The log-det
+    # comes from the QDT factors — eliminating the assembled G directly
+    # underflows to -inf once cond(G) ~ e^{beta W} passes f64 pivoting
+    # (see estimators/thermal.greens_function_qdt_logdet).
     s = jnp.swapaxes(stack, 1, 2)                         # [w, 2, nbins, M, M]
-    g = th.greens_function_qdt(s)                         # [w, 2, M, M]
-    logdet = clinalg.slogdet(g)
-    return g, logdet
+    return th.greens_function_qdt_logdet(s)               # [w, 2, M, M], [w, 2]
 
 
 @functools.partial(jax.jit, static_argnames=("nwalkers",))

@@ -588,3 +588,26 @@ def test_thermal_fb_bound_option():
     prop = make_thermal_propagator(ham, trial, 0.05,
                                    options={"fb_bound": 2.5})
     assert prop.fb_bound == pytest.approx(2.5)
+
+
+@pytest.mark.driver
+def test_thermal_long_beta_stability(tmp_path):
+    """Long imaginary time (beta=16, 320 slices): at U=0 every block must
+    STILL reproduce the exact grand-canonical E and N — the direct test of
+    the stack binning + QR-stratified product stabilization at a path
+    length where naive products overflow catastrophically (SURVEY §5
+    long-context analogue; reference stack.py:129-190 + thermal.py:472)."""
+    ham = make_hubbard(nup=3, ndown=3, U=0.0, nx=3, ny=3)
+    beta, dt = 16.0, 0.05
+    trial = make_one_body_trial(ham, beta, dt)
+    qmc = QMCOpts(nwalkers=2, dt=dt, nsteps=1, nblocks=1, beta=beta,
+                  npop_control=64, rng_seed=3)
+    af = ThermalAFQMC(ham, trial, qmc, filename=str(tmp_path / "lb.h5"))
+    rows = af.run()
+    e_exact, n_exact = exact_free_fermions(np.asarray(ham.T[0]), beta,
+                                           trial.mu)
+    # Condition number of the full product is ~e^{beta W} ~ 1e55 here;
+    # the stabilized machinery must hold to ~1e-4 absolute anyway.
+    for row in rows:
+        assert row[5].real == pytest.approx(e_exact, abs=1e-4)
+        assert row[10].real == pytest.approx(n_exact, abs=1e-5)
