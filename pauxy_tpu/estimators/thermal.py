@@ -113,6 +113,11 @@ def greens_function_qdt_logdet(stack: jax.Array):
         - clinalg.slogdet(c)
         - clinalg.slogdet(t)
     )
+    # Wrap the summed phases back to the principal branch (exp() downstream
+    # is invariant; the stored value matches a direct log det convention).
+    logdet_g = logdet_g.real + 1j * (
+        jnp.mod(logdet_g.imag + jnp.pi, 2 * jnp.pi) - jnp.pi
+    )
     return g, logdet_g
 
 

@@ -137,7 +137,11 @@ class ThermalDiscrete:
         g, weight, bv, _fields = self._site_sweep(state, g, key)
         b = bv[:, :, :, None] * self.BH1[None]             # diag(BV) BH1
         state = tws.update_stack(trial, state, b, ts)
-        logdet = clinalg.slogdet(g)
+        # log det from the stack's QDT factors — slogdet of the assembled G
+        # underflows to -inf at long beta (cond(G) ~ e^{beta W}); the
+        # determinant is cyclic-invariant so the stack-based value equals
+        # det of the swept g exactly.
+        _, logdet = tws.greens_function(state.stack)
         weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
         return state.replace(G=g, log_m0=logdet, weight=weight)
 
@@ -153,7 +157,10 @@ class ThermalDiscrete:
         wfac = jnp.prod(jnp.take(self.aux_wfac.astype(cdtype), fields),
                         axis=-1)
         b = bv[:, :, :, None] * self.BH1[None]
-        log_m0_old = clinalg.slogdet(g)
+        # state.log_m0 is maintained stably from the stack factors; det is
+        # invariant under the cyclic rotation of g, and slogdet of the
+        # assembled g would underflow at long beta.
+        log_m0_old = state.log_m0
         state = tws.update_stack(trial, state, b, ts)
         g_new, log_m0_new = tws.greens_function(state.stack)
         # det(G_old)/det(G_new) = det(1 + A_new)/det(1 + A_old); the cyclic

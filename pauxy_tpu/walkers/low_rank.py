@@ -115,11 +115,21 @@ def _green_from_clcr(clcr, t_in, mask_l, thresh):
     eye = jnp.broadcast_to(jnp.eye(mm, dtype=cdtype), tq.shape)
     tq_inv = clinalg.solve(tqp, eye)
     core = tq_inv * db[..., None, :] + ds[..., None] * eye  # tmp at :389
-    # det(1+A) = det(core . Db^-1 . TQ), all identity-padded.
-    mmat = jnp.einsum(
-        "...pm,...mn->...pn", core / db[..., None, :], tqp
+    # det(1+A) = det(core) det(Db)^-1 det(TQ) assembled in the LOG domain
+    # from the well-conditioned pieces: multiplying core by 1/db re-amplifies
+    # the stabilized scales and slogdet of that product underflows to -inf
+    # at long beta (cond ~ e^{beta W} > f64 pivoting).
+    log_ovlp = (
+        clinalg.slogdet(core)
+        - jnp.sum(jnp.log(db), axis=-1)
+        + clinalg.slogdet(tqp)
     )
-    log_ovlp = clinalg.slogdet(mmat)
+    # Summed phases can leave the principal branch; wrap back so the value
+    # matches log(det(...)) exactly (downstream exp() is branch-invariant,
+    # but the stored overlap keeps the reference's principal convention).
+    log_ovlp = log_ovlp.real + 1j * (
+        jnp.mod(log_ovlp.imag + jnp.pi, 2 * jnp.pi) - jnp.pi
+    )
     core_inv = clinalg.solve(core, eye)
     a = db[..., :, None] * jnp.einsum(
         "...pm,...mn->...pn", core_inv, tq_inv

@@ -611,3 +611,38 @@ def test_thermal_long_beta_stability(tmp_path):
     for row in rows:
         assert row[5].real == pytest.approx(e_exact, abs=1e-4)
         assert row[10].real == pytest.approx(n_exact, abs=1e-5)
+
+
+@pytest.mark.driver
+def test_thermal_long_beta_discrete_and_lowrank(tmp_path):
+    """Long-beta stability of the OTHER two thermal paths: (a) discrete
+    Hirsch at U=0 must stay exact at beta=16 (stack-factor log-dets), and
+    (b) the masked low-rank UEG stack must stay finite with a physical <N>
+    at beta=8 (log-domain core determinant)."""
+    ham = make_hubbard(nup=3, ndown=3, U=0.0, nx=3, ny=3)
+    beta, dt = 16.0, 0.05
+    trial = make_one_body_trial(ham, beta, dt)
+    qmc = QMCOpts(nwalkers=2, dt=dt, nsteps=1, nblocks=1, beta=beta,
+                  npop_control=64, rng_seed=3)
+    af = ThermalAFQMC(ham, trial, qmc,
+                      propagator_options={"hubbard_stratonovich": "discrete"},
+                      filename=str(tmp_path / "lbd.h5"))
+    rows = af.run()
+    e_exact, n_exact = exact_free_fermions(np.asarray(ham.T[0]), beta,
+                                           trial.mu)
+    for row in rows:
+        assert row[5].real == pytest.approx(e_exact, abs=1e-4)
+        assert row[10].real == pytest.approx(n_exact, abs=1e-5)
+
+    ueg = make_ueg(nup=1, ndown=1, rs=1.0, ecut=0.5)
+    beta_lr = 8.0
+    trial_lr = make_one_body_trial(ueg, beta_lr, 0.05, mu=0.245)
+    qmc_lr = QMCOpts(nwalkers=4, dt=0.05, nsteps=1, nblocks=1, beta=beta_lr,
+                     npop_control=32, rng_seed=7)
+    af_lr = ThermalAFQMC(ueg, trial_lr, qmc_lr,
+                         walker_options={"low_rank": True,
+                                         "low_rank_thresh": 1e-6},
+                         filename=str(tmp_path / "lblr.h5"))
+    rows_lr = af_lr.run()
+    assert np.isfinite(rows_lr.real).all()
+    assert (rows_lr[:, 10].real > 0).all()
