@@ -250,3 +250,38 @@ def test_itcf_generic_free_fermions(tmp_path):
         np.testing.assert_allclose(spgf[n, 0, 0],
                                    (bgr @ (np.eye(m) - p)).real, atol=1e-8)
         np.testing.assert_allclose(spgf[n, 0, 1], (p @ bls).real, atol=1e-8)
+
+
+@pytest.mark.driver
+def test_itcf_long_tau_stable_vs_unstable(tmp_path):
+    """tau_max=5 at U=0: the greater function spans e^{-tau e_k} over
+    e_k in [-4, 2] — a ~1e13 dynamic range where the naive B-product
+    accumulation loses the small components. The stable Feldbacher-Assaad
+    path must track the analytic result to 1e-6; this is the long-tau
+    counterpart of the long-beta thermal stability tests."""
+    ham = make_hubbard(nup=3, ndown=3, U=0.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    ntau, dt = 100, 0.05
+    qmc = QMCOpts(nwalkers=2, dt=dt, nsteps=ntau, nblocks=1, nstblz=10,
+                  npop_control=1000, rng_seed=3)
+    af = AFQMC(
+        ham, trial, qmc,
+        estimator_options={
+            "mixed": {"energy_eval_freq": 10},
+            "itcf": {"tau_max": ntau * dt, "stable": True},
+        },
+        filename=str(tmp_path / "itcflong.h5"),
+    )
+    af.run()
+
+    import h5py
+
+    with h5py.File(str(tmp_path / "itcflong.h5"), "r") as fh5:
+        keys = sorted(fh5["itcf/real_space_greens_function"].keys())
+        spgf = fh5[f"itcf/real_space_greens_function/{keys[-1]}"][:]
+    ref = analytic_free_itcf(ham, trial, dt, ntau)
+    for n in (0, 20, 50, 100):
+        np.testing.assert_allclose(spgf[n, 0, 0], ref[n, 0].real, atol=1e-6,
+                                   err_msg=f"Ggr tau={n * dt}")
+        np.testing.assert_allclose(spgf[n, 0, 1], ref[n, 1].real, atol=1e-6,
+                                   err_msg=f"Gls tau={n * dt}")
