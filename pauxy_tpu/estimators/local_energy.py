@@ -475,6 +475,10 @@ def _fft_spin_terms(psi, gh, gmap, qmap, qmesh, pair_chunk: int = 8):
     from pauxy_tpu.propagation.pw_fft import fft3, ifft3
 
     qmesh = tuple(qmesh)
+    if psi.shape[-1] == 0:
+        # Fully spin-polarized: an empty spin channel contributes nothing.
+        z = jnp.zeros((gh.shape[0], qmap.shape[0]), gh.dtype)
+        return z, z, z
     ng = int(np.prod(qmesh))
     wbra = psi.ndim == 3                                       # per-walker bra
     ct = _pw_cubes(jnp.swapaxes(psi.conj(), -1, -2), gmap, ng)  # [(w,) n, Ng]

@@ -125,6 +125,9 @@ def solve(s: jax.Array, y: jax.Array) -> jax.Array:
     # has a complex solution (casting to s.dtype would silently drop the
     # imaginary half).
     out_dtype = jnp.result_type(s.dtype, y.dtype)
+    if s.shape[-1] == 0:
+        # Empty system (fully spin-polarized 0-electron blocks).
+        return y.astype(out_dtype)
     mode = _lanes_mode(s)
     if mode:
         flat = s.reshape((-1,) + s.shape[-2:])
@@ -208,6 +211,9 @@ def cholesky_qr(phi: jax.Array) -> tuple[jax.Array, jax.Array]:
     pre-reduced, shaped [..., 1], which downstream ``.sum(-1)`` leaves
     unchanged).
     """
+    if phi.shape[-1] == 0:
+        # 0-column determinant blocks: Q empty, log det R = 0.
+        return phi, jnp.zeros(phi.shape[:-2] + (1,), phi.real.dtype)
     s = jnp.einsum("...mi,...mj->...ij", phi.conj(), phi)
     mode = _lanes_mode(s)
     if mode:
@@ -278,6 +284,10 @@ def _slogdet_single(s: jax.Array) -> jax.Array:
 
 def slogdet(s: jax.Array) -> jax.Array:
     """Batched complex log-determinant (log|det| + i arg det), [...]."""
+    if s.shape[-1] == 0:
+        # det of the 0x0 matrix is 1 (empty product) — arises for fully
+        # spin-polarized systems (ndown=0 overlap blocks).
+        return jnp.zeros(s.shape[:-2], s.dtype)
     mode = _lanes_mode(s)
     if mode:
         flat = s.reshape((-1,) + s.shape[-2:])

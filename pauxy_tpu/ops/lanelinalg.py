@@ -60,6 +60,10 @@ def gauss(s: jax.Array, rhs: jax.Array | None = None):
     n = s.shape[0]
     w = s.shape[-1]
     cdtype = jnp.result_type(s.dtype, jnp.complex64)
+    if n == 0:
+        # Empty system (fully spin-polarized 0-electron blocks): det = 1.
+        zero = jnp.zeros((w,), cdtype)
+        return zero, (None if rhs is None else rhs.astype(cdtype))
     aug = s if rhs is None else jnp.concatenate([s, rhs], axis=1)
     aug = aug.astype(cdtype)
     ncol = aug.shape[1]
@@ -155,6 +159,10 @@ def cholesky_qr2(phi: jax.Array):
     det(R) real positive (R = R2 R1 upper with positive diagonal), matching
     ``ops.clinalg.cholesky_qr`` semantics on the [w, m, n] layout.
     """
+    if phi.shape[1] == 0:
+        # 0-column determinant blocks (fully spin-polarized): Q empty,
+        # log det R = 0.
+        return phi, jnp.zeros(phi.shape[-1:], phi.real.dtype)
     g1 = gram(phi)
     r1 = _chol_r(g1)
     q1 = _solve_upper_right(phi, r1)

@@ -640,8 +640,11 @@ def _auto_sweep_kernel(trial, t, auxf, aux_wfac, free_projection,
         return "scan"
     if any(m.ndim != 2 for m in host):
         return "scan"   # multi-det trials keep the scan path
-    if any(np.abs(m.imag).max() > 0 for m in host if np.iscomplexobj(m)):
+    if any(np.abs(m.imag).max() > 0 for m in host
+           if np.iscomplexobj(m) and m.size):
         return "scan"
+    if min(host[0].shape[1], host[1].shape[1]) == 0:
+        return "scan"   # fully spin-polarized: keep the general path
     if max(host[0].shape[1], host[1].shape[1]) > 32:
         return "scan"   # unrolled-contraction kernel targets small n
     backend = jax.default_backend()

@@ -316,3 +316,52 @@ def test_spin_proj_json_option(tmp_path):
                                atol=1e-10)
     rows = af.run()
     assert np.isfinite(rows).all()
+
+
+@pytest.mark.driver
+def test_fully_spin_polarized_systems(tmp_path):
+    """ndown=0 (fully spin-polarized): empty determinant blocks must flow
+    through overlaps, reortho, the lanes kernels, and every local-energy
+    path (review stress find, round 3). With no down spins the Hubbard U
+    term is inactive, so the free-electron trial is an exact eigenstate
+    and ETotal is exactly the filled-sea energy on both HS paths."""
+    import numpy as np
+
+    from pauxy_tpu.models import (free_electron_trial, make_hubbard,
+                                  make_ueg, rhf_identity_trial)
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=0, U=4.0, nx=3, ny=3)
+    e_exact = np.sort(np.linalg.eigvalsh(np.asarray(ham.T)[0]))[:3].sum()
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=4, dt=0.01, nsteps=5, nblocks=2, rng_seed=1)
+    for hs in ("continuous", "discrete"):
+        af = AFQMC(ham, trial, qmc,
+                   propagator_options={"hubbard_stratonovich": hs},
+                   filename=str(tmp_path / f"pol_{hs}.h5"))
+        rows = np.asarray(af.run())
+        assert rows[-1, 5].real == pytest.approx(e_exact, abs=1e-8), hs
+
+    ueg = make_ueg(nup=3, ndown=0, rs=1.0, ecut=1.0)
+    t = rhf_identity_trial(ueg)
+    af = AFQMC(ueg, t, QMCOpts(nwalkers=4, dt=0.005, nsteps=5, nblocks=2,
+                               rng_seed=1),
+               filename=str(tmp_path / "pol_ueg.h5"))
+    rows = np.asarray(af.run())
+    assert np.isfinite(rows.real).all()
+
+    # FFT half-rotated energy == dense gather energy on the same state.
+    from pauxy_tpu.estimators import local_energy as le
+    from pauxy_tpu.ops import greens
+    from pauxy_tpu.walkers import init_walkers
+
+    state = init_walkers(t, 3)
+    sga = greens.greens_function(state.phia, t.psia)
+    ga, gha = sga.G, sga.Ghalf
+    m = ueg.nbasis
+    etot_half, ke_h, pe_h = le.local_energy_ueg_half(ueg, t, gha,
+                                                     gha[:, :0])
+    gb = jnp.zeros((3, m, m), ga.dtype)
+    etot_dense, ke_d, pe_d = le.local_energy_ueg(ueg, ga, gb)
+    np.testing.assert_allclose(np.asarray(etot_half),
+                               np.asarray(etot_dense), atol=1e-9)
