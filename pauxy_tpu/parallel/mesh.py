@@ -118,6 +118,15 @@ def shard_walkers(state, mesh: Mesh):
     replicated. Equivalent to the reference's per-rank walker split at
     ``afqmc.py:167-176`` — but the global arrays stay addressable.
     """
+    nshard = dict(zip(mesh.axis_names, mesh.devices.shape))[WALKER_AXIS]
+    leaves = [x for x in jax.tree_util.tree_leaves(state)
+              if getattr(x, "ndim", 0) >= 1]
+    if leaves and leaves[0].shape[0] % nshard != 0:
+        raise ValueError(
+            f"walker count {leaves[0].shape[0]} is not divisible by the "
+            f"walker mesh size {nshard}; pick a multiple (the reference "
+            "splits walkers evenly per rank the same way, afqmc.py:167-176)"
+        )
     sharded = NamedSharding(mesh, P(WALKER_AXIS))
     replicated = NamedSharding(mesh, P())
     set_active_mesh(mesh)
