@@ -327,7 +327,10 @@ def measure_generic():
     try:
         import pauxy_tpu.config as _cfg
 
-        _cfg.set_matmul_precision("bfloat16_3x")
+        if _cfg.set_matmul_precision("bfloat16_3x") != "bfloat16_3x":
+            # set_matmul_precision is a documented no-op on CPU — re-timing
+            # the identical f32 program there would mislabel it.
+            raise RuntimeError("precision ladder unavailable on this backend")
         key, sub = jax.random.split(key)
         state_b = one_block(state, sub, 0)          # recompile at bf16_3x
         jax.block_until_ready(state_b.weight)
@@ -772,11 +775,20 @@ def main():
         except (OSError, ValueError):
             pass
     else:
+        # Sub-measurements that silently ended up on the CPU backend must
+        # not be cached as on-chip numbers either (the headline guard only
+        # sees the top-level exec_platform).
+        to_cache = dict(result)
+        for k, v in list(to_cache.items()):
+            if (isinstance(v, dict)
+                    and v.get("exec_platform", "") in ("cpu",)
+                    and not v.get("platform", "").startswith("cpu-fallback")):
+                to_cache[k] = {"dropped": "executed on the CPU backend"}
         try:
             with open(cache, "w") as fh:
                 json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
                                                         time.gmtime()),
-                           **result}, fh)
+                           **to_cache}, fh)
         except OSError:
             pass
     print(json.dumps(result))

@@ -53,11 +53,20 @@ def qdt_product(stack: jax.Array):
     return q, d, t
 
 
-def inverse_one_plus_qdt(q, d, t):
-    """G = (1 + Q D T)^-1, stabilized with the Db/Ds splitting:
+def _assemble_qdt(q, d, t, want_logdet: bool):
+    """Shared stabilized assembly G = T^-1 (Db Q^dag T^-1 + Ds)^-1 Db Q^dag
+    from a QDT factorization of A (Db/Ds splitting, thermal.py:171-196),
+    optionally with log det G from the same well-conditioned factors:
 
-    D = Db^-1 Ds with Db = min(1, 1/|D|), then
-    G = T^-1 (Db Q^dag T^-1 + Ds)^-1 Db Q^dag   (thermal.py:171-196).
+    det(1+A) = det(Q) det(Db)^-1 det(C) det(T) with C = Db Q^dag T^-1 + Ds,
+    so log det G = -slogdet(Q) + sum(log db) - slogdet(C) - slogdet(T).
+
+    Unitary Q, bounded C, and unit-modulus-det T are all safe to eliminate,
+    so the log-det stays exact at path lengths where cond(G) ~ e^{beta W}
+    overflows f64 pivoting and a direct slogdet(G) returns -inf (the
+    reference's raw scipy.linalg.det(G) ratio,
+    ``thermal_propagation/continuous.py:186-189``, degrades the same way —
+    this is the stabilized replacement).
     """
     m = q.shape[-1]
     absd = jnp.abs(d)
@@ -68,45 +77,12 @@ def inverse_one_plus_qdt(q, d, t):
     c = db[..., :, None] * jnp.einsum(
         "...mp,...mn->...pn", q.conj(), tinv
     ) + ds[..., :, None] * eye
-    cinv_db_qdag = clinalg.solve(c, db[..., :, None] * jnp.swapaxes(q.conj(), -1, -2))
-    return jnp.einsum("...pm,...mn->...pn", tinv, cinv_db_qdag)
-
-
-def greens_function_qdt(stack: jax.Array):
-    """G = (1 + A)^-1 for A = product of the stack (rightmost index 0)."""
-    q, d, t = qdt_product(stack)
-    return inverse_one_plus_qdt(q, d, t)
-
-
-def greens_function_qdt_logdet(stack: jax.Array):
-    """(G, log det G) with the log-determinant assembled from the QDT
-    FACTORS instead of eliminating the assembled G.
-
-    det(1+A) = det(Q) det(Db)^-1 det(C) det(T) with
-    C = Db Q^dag T^-1 + Ds, so
-
-      log det G = -slogdet(Q) + sum(log db) - slogdet(C) - slogdet(T).
-
-    Every eliminated matrix (unitary Q, bounded C, unit-modulus-det T) is
-    well-conditioned, so this stays exact at path lengths where cond(G) ~
-    e^{beta W} overflows f64 pivoting and a direct slogdet(G) returns -inf
-    (the reference's raw scipy.linalg.det(G) ratio,
-    ``thermal_propagation/continuous.py:186-189``, degrades the same way —
-    this is the stabilized replacement)."""
-    q, d, t = qdt_product(stack)
-    m = q.shape[-1]
-    absd = jnp.abs(d)
-    db = jnp.where(absd > 1.0, 1.0 / absd, 1.0).astype(d.dtype)
-    ds = jnp.where(absd > 1.0, d / absd, d)
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=q.dtype), q.shape)
-    tinv = clinalg.solve(t, eye)
-    c = db[..., :, None] * jnp.einsum(
-        "...mp,...mn->...pn", q.conj(), tinv
-    ) + ds[..., :, None] * eye
     cinv_db_qdag = clinalg.solve(
         c, db[..., :, None] * jnp.swapaxes(q.conj(), -1, -2)
     )
     g = jnp.einsum("...pm,...mn->...pn", tinv, cinv_db_qdag)
+    if not want_logdet:
+        return g, None
     logdet_g = (
         jnp.sum(jnp.log(db.astype(q.dtype)), axis=-1)
         - clinalg.slogdet(q)
@@ -119,6 +95,23 @@ def greens_function_qdt_logdet(stack: jax.Array):
         jnp.mod(logdet_g.imag + jnp.pi, 2 * jnp.pi) - jnp.pi
     )
     return g, logdet_g
+
+
+def inverse_one_plus_qdt(q, d, t):
+    """G = (1 + Q D T)^-1, stabilized (see :func:`_assemble_qdt`)."""
+    return _assemble_qdt(q, d, t, want_logdet=False)[0]
+
+
+def greens_function_qdt(stack: jax.Array):
+    """G = (1 + A)^-1 for A = product of the stack (rightmost index 0)."""
+    q, d, t = qdt_product(stack)
+    return inverse_one_plus_qdt(q, d, t)
+
+
+def greens_function_qdt_logdet(stack: jax.Array):
+    """(G, log det G) from the stack's QDT factors (:func:`_assemble_qdt`)."""
+    q, d, t = qdt_product(stack)
+    return _assemble_qdt(q, d, t, want_logdet=True)
 
 
 def one_rdm_from_G(g: jax.Array) -> jax.Array:

@@ -202,6 +202,7 @@ def make_mean_field_trial(
     nav: float | None = None,
     mu: float | None = None,
     find_mu: bool = True,
+    stack_size: int | None = None,
     alpha: float = 0.75,
     max_macro_it: int = 100,
     max_scf_it: int = 100,
@@ -222,8 +223,9 @@ def make_mean_field_trial(
     target = nav if nav is not None else (ham.nup + ham.ndown)
     m = ham.nbasis
 
-    # Seed from the one-body trial.
-    seed = make_one_body_trial(ham, beta, dt, mu=mu, nav=nav, deps=deps,
+    # Seed from the one-body trial (also fixes the stack binning).
+    seed = make_one_body_trial(ham, beta, dt, mu=mu, nav=nav,
+                               stack_size=stack_size, deps=deps,
                                precision=precision)
     stack_size = seed.stack_size
     num_bins = num_slices // stack_size

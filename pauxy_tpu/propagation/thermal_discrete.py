@@ -137,13 +137,13 @@ class ThermalDiscrete:
         g, weight, bv, _fields = self._site_sweep(state, g, key)
         b = bv[:, :, :, None] * self.BH1[None]             # diag(BV) BH1
         state = tws.update_stack(trial, state, b, ts)
-        # log det from the stack's QDT factors — slogdet of the assembled G
-        # underflows to -inf at long beta (cond(G) ~ e^{beta W}); the
-        # determinant is cyclic-invariant so the stack-based value equals
-        # det of the swept g exactly.
-        _, logdet = tws.greens_function(state.stack)
+        # The constrained path's weight comes from the per-site heat-bath
+        # ratios; log_m0 has no consumer here (the free-projection path
+        # maintains it itself from the stack's QDT factors), so keep the
+        # previous value rather than paying a second stratified product
+        # per slice just to refresh a dead field.
         weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
-        return state.replace(G=g, log_m0=logdet, weight=weight)
+        return state.replace(G=g, weight=weight)
 
     def _propagate_free(self, trial, state, g, key, ts):
         """Random fields, determinant-ratio weight with phase

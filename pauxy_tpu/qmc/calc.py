@@ -179,6 +179,13 @@ def _build_trial(ham, trial_opts: dict, precision=None, seed=None):
 
             i, a = int(exc[0]), int(exc[1])
             m, na, nb = ham.nbasis, ham.nup, ham.ndown
+            if not (0 <= i < na and na <= a < m):
+                raise ValueError(
+                    f"trial.excitation=[{i}, {a}]: i must be an occupied "
+                    f"alpha MO (0..{na - 1}) and a a virtual MO "
+                    f"({na}..{m - 1}); beta excitations are not supported "
+                    "(matching the reference, hartree_fock.py:57-59)"
+                )
             psi = np.zeros((m, na + nb), dtype=np.complex128)
             psi[:na, :na] = np.eye(na)
             psi[:nb, na:] = np.eye(nb)
@@ -244,6 +251,7 @@ def get_driver(options: dict, verbose: bool = False):
                 mu=topts.get("mu"),
                 find_mu=bool(topts.get("find_mu", True)),
                 nav=topts.get("nav"),
+                stack_size=topts.get("stack_size"),
                 alpha=float(topts.get("alpha", 0.75)),
                 verbose=verbose,
             )
