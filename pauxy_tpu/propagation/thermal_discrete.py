@@ -43,6 +43,7 @@ class ThermalDiscrete:
     """Discrete HS at T > 0 (thermal_propagation/hubbard.py:8-180)."""
 
     BH1: jax.Array        # [2, M, M] expm(-dt (H1 - mu))
+    BH1_inv: jax.Array    # [2, M, M] expm(+dt (H1 - mu))
     auxf: jax.Array       # [2, 2] field x spin
     aux_wfac: jax.Array   # [2]
     delta: jax.Array      # [2, 2] auxf - 1
@@ -50,6 +51,15 @@ class ThermalDiscrete:
     charge: bool = struct.field(pytree_node=False, default=False)
     free_projection: bool = struct.field(pytree_node=False, default=False)
     hybrid: bool = struct.field(pytree_node=False, default=False)
+    # Recompute G from the stack at least every this many slices (and at
+    # every bin boundary); between recomputes G is WRAPPED to the next
+    # boundary, G <- BH1 G BH1^-1 (the reference's propagate_greens_function,
+    # ``thermal_propagation/hubbard.py:101-104`` + its nstblz recompute) —
+    # an exact similarity transform because BH1 is built at the trial's mu
+    # and equals the trial B_T slice (see make_thermal_discrete). This
+    # replaces a full O(nbins M^3) stratified product per slice with two
+    # matmuls.
+    wrap_stabilize: int = struct.field(pytree_node=False, default=10)
 
     # ------------------------------------------------------------------
     def _sweep_greens_function(self, trial, state, ts):
@@ -131,19 +141,37 @@ class ThermalDiscrete:
 
     def propagate(self, trial, state, key, ts):
         """One time slice (thermal_propagation/hubbard.py:117-141)."""
-        g = self._sweep_greens_function(trial, state, ts)
         if self.free_projection:
+            g = self._sweep_greens_function(trial, state, ts)
             return self._propagate_free(trial, state, g, key, ts)
+        ts = jnp.asarray(ts, jnp.int32)
+        # G at this slice boundary: recomputed from the stack at bin
+        # boundaries / every wrap_stabilize slices, otherwise the wrapped
+        # G stored by the previous slice (see wrap_stabilize docstring).
+        refresh = (ts % trial.stack_size == 0) | (
+            ts % self.wrap_stabilize == 0
+        )
+        g = jax.lax.cond(
+            refresh,
+            lambda _: self._sweep_greens_function(trial, state, ts),
+            lambda _: state.G,
+            None,
+        )
         g, weight, bv, _fields = self._site_sweep(state, g, key)
         b = bv[:, :, :, None] * self.BH1[None]             # diag(BV) BH1
         state = tws.update_stack(trial, state, b, ts)
+        # Wrap to the next slice boundary — except at the last slice, where
+        # the swept G is the full-path estimator G (the reference's
+        # time_slice < ntime_slices guard, hubbard.py:101-104).
+        wrapped = jnp.einsum(
+            "spm,wsmn,snq->wspq", self.BH1, g, self.BH1_inv, optimize=True
+        )
+        g_store = jnp.where(ts == trial.num_slices - 1, g, wrapped)
         # The constrained path's weight comes from the per-site heat-bath
         # ratios; log_m0 has no consumer here (the free-projection path
-        # maintains it itself from the stack's QDT factors), so keep the
-        # previous value rather than paying a second stratified product
-        # per slice just to refresh a dead field.
+        # maintains it itself from the stack's QDT factors).
         weight = jnp.where(jnp.isfinite(weight), weight, 0.0)
-        return state.replace(G=g, weight=weight)
+        return state.replace(G=g_store, weight=weight)
 
     def _propagate_free(self, trial, state, g, key, ts):
         """Random fields, determinant-ratio weight with phase
@@ -178,7 +206,8 @@ class ThermalDiscrete:
 
 def make_thermal_discrete(
     ham, trial, dt: float, charge_decomposition: bool = False,
-    free_projection: bool = False, mu: float | None = None, precision=None,
+    free_projection: bool = False, mu: float | None = None,
+    wrap_stabilize: int = 10, precision=None,
 ) -> ThermalDiscrete:
     """Build the discrete thermal propagator
     (thermal_propagation/hubbard.py:10-88). BH1 is built at the trial's mu
@@ -216,12 +245,18 @@ def make_thermal_discrete(
         [scipy.linalg.expm(-dt * (h1[0] - mu * eye)),
          scipy.linalg.expm(-dt * (h1[1] - mu * eye))]
     )
+    bh1_inv = np.stack(
+        [scipy.linalg.expm(dt * (h1[0] - mu * eye)),
+         scipy.linalg.expm(dt * (h1[1] - mu * eye))]
+    )
     return ThermalDiscrete(
         BH1=to_device(bh1.astype(prec.cplx)),
+        BH1_inv=to_device(bh1_inv.astype(prec.cplx)),
         auxf=to_device(auxf.astype(prec.cplx)),
         aux_wfac=to_device(aux_wfac.astype(prec.cplx)),
         delta=to_device((auxf - 1).astype(prec.cplx)),
         dt=float(dt),
         charge=bool(charge_decomposition),
         free_projection=bool(free_projection),
+        wrap_stabilize=max(1, int(wrap_stabilize)),
     )

@@ -207,6 +207,7 @@ class ThermalAFQMC:
                 charge_decomposition=popts.get("charge_decomposition", False),
                 free_projection=popts.get("free_projection", False),
                 mu=popts.get("mu"),
+                wrap_stabilize=popts.get("wrap_stabilize", 10),
                 precision=self.prec,
             )
         else:

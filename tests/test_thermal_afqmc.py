@@ -646,3 +646,33 @@ def test_thermal_long_beta_discrete_and_lowrank(tmp_path):
     rows_lr = af_lr.run()
     assert np.isfinite(rows_lr.real).all()
     assert (rows_lr[:, 10].real > 0).all()
+
+
+@pytest.mark.unit
+def test_thermal_discrete_wrap_equals_recompute():
+    """The wrapped G (BH1 G BH1^-1, the reference's
+    propagate_greens_function) must equal a fresh stratified recompute at
+    every slice of an interacting trajectory — the similarity transform is
+    exact because BH1 is proportional to the trial B_T slice."""
+    import jax
+
+    from pauxy_tpu.propagation.thermal_discrete import make_thermal_discrete
+    from pauxy_tpu.walkers.thermal_state import init_thermal_walkers
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = make_one_body_trial(ham, 1.0, 0.05)
+    # wrap_stabilize=1: recompute every slice (the old behavior).
+    prop_ref = make_thermal_discrete(ham, trial, 0.05, wrap_stabilize=1)
+    # large: recompute only at bin boundaries; wraps in between.
+    prop_wrap = make_thermal_discrete(ham, trial, 0.05, wrap_stabilize=10 ** 9)
+    s_ref = init_thermal_walkers(trial, 4)
+    s_wrap = init_thermal_walkers(trial, 4)
+    key = jax.random.key(5)
+    for ts in range(trial.num_slices):
+        key, sub = jax.random.split(key)
+        s_ref = prop_ref.propagate(trial, s_ref, sub, ts)
+        s_wrap = prop_wrap.propagate(trial, s_wrap, sub, ts)
+        np.testing.assert_allclose(np.asarray(s_wrap.G), np.asarray(s_ref.G),
+                                   atol=1e-9, err_msg=f"slice {ts}")
+        np.testing.assert_allclose(np.asarray(s_wrap.weight),
+                                   np.asarray(s_ref.weight), rtol=1e-10)
