@@ -32,8 +32,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from pauxy_tpu import config
-from pauxy_tpu.estimators import thermal as th
-from pauxy_tpu.ops import clinalg
 from pauxy_tpu.utils import jaxops
 from pauxy_tpu.walkers import thermal_state as tws
 
