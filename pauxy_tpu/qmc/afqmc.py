@@ -483,7 +483,9 @@ class AFQMC:
             mixed.dms_size(ham, False, self.calc_two_rdm)  # validate
             dms_shapes.append(("two_rdm", (2, 2, ham.nq)))
         if filename is None:
-            filename = eopts.get("filename", "estimates.0.h5")
+            from pauxy_tpu.utils.io import resolve_estimates_filename
+
+            filename = resolve_estimates_filename(eopts)
         self.filename = filename
         create_estimates_file(
             filename,

@@ -231,7 +231,9 @@ class ThermalAFQMC:
                 "average_gf needs the full-rank stack (mixed.py:182-199)"
             )
         if filename is None:
-            filename = eopts.get("filename", "estimates.0.h5")
+            from pauxy_tpu.utils.io import resolve_estimates_filename
+
+            filename = resolve_estimates_filename(eopts)
         self.filename = filename
         create_estimates_file(
             filename,

@@ -50,6 +50,27 @@ class H5EstimatorHelper:
         self.index += 1
 
 
+def resolve_estimates_filename(eopts: dict) -> str:
+    """The reference's output-file naming (``estimators/handler.py:60-69``):
+    explicit ``filename`` wins; otherwise ``<basename>.<index>.h5`` with
+    ``overwrite: false`` auto-incrementing the index past existing files
+    (the scan workflows rely on this to keep one file per (beta, mu)
+    point)."""
+    import os
+
+    filename = eopts.get("filename")
+    if filename is not None:
+        return filename
+    basename = eopts.get("basename", "estimates")
+    index = int(eopts.get("index", 0))
+    filename = f"{basename}.{index}.h5"
+    if not eopts.get("overwrite", True):
+        while os.path.isfile(filename):
+            index += 1
+            filename = f"{basename}.{index}.h5"
+    return filename
+
+
 def create_estimates_file(filename: str, headers, metadata: dict):
     """Create the output file with headers + metadata JSON."""
     with h5py.File(filename, "w") as fh5:
