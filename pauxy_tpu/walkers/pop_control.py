@@ -54,12 +54,17 @@ def comb_parents(weight: jax.Array, key: jax.Array, target_weight: float):
     nw = weight.shape[0]
     w = jnp.abs(weight)
     total = jnp.sum(w)
+    # An all-dead population must stay dead (the reference ABORTS on
+    # vanishing total weight, handler.py:236-241; in-jit we keep the dead
+    # state honest instead of dividing by zero / resurrecting walkers).
+    safe_total = jnp.where(total > 0, total, 1.0)
     # Rescale so the population sums to target_weight (handler.py:236-246).
-    wsc = w * (target_weight / total)
+    wsc = w * (target_weight / safe_total)
     cum = jnp.cumsum(wsc)
     r = jax.random.uniform(key, (), dtype=w.dtype)
     teeth = (jnp.arange(nw, dtype=w.dtype) + r) * (target_weight / nw)
     parents = jnp.clip(jnp.searchsorted(cum, teeth, side="right"), 0, nw - 1)
+    parents = jnp.where(total > 0, parents, jnp.arange(nw))
     return parents, total
 
 
@@ -78,8 +83,9 @@ def comb(state: WalkerState, key: jax.Array, target_weight: float) -> WalkerStat
     """
     parents, total = comb_parents(state.weight, key, target_weight)
     new = _gather_walkers(state, parents)
+    alive = (total > 0).astype(state.weight.dtype)
     return new.replace(
-        weight=jnp.ones_like(state.weight),
+        weight=alive * jnp.ones_like(state.weight),
         unscaled_weight=state.weight,
         total_weight=total,
     )
@@ -119,7 +125,8 @@ def pair_branch_parents(weight, key, target_weight: float,
     nw = state_weight.shape[0]
     w = jnp.abs(state_weight)
     total = jnp.sum(w)
-    wsc = w * (target_weight / total)
+    # See comb_parents: a dead population stays dead, without NaNs.
+    wsc = w * (target_weight / jnp.where(total > 0, total, 1.0))
 
     order = jnp.argsort(wsc)                     # ascending
     ws = wsc[order]
@@ -133,9 +140,10 @@ def pair_branch_parents(weight, key, target_weight: float,
     want = (small < min_weight) | (large > max_weight)
     active = jnp.cumprod(want.astype(jnp.int32)).astype(bool)
 
-    # Clone large with prob large/pair (handler.py:356-375).
+    # Clone large with prob large/pair (handler.py:356-375); a fully dead
+    # pair (weight 0) clones nothing and stays at weight 0.
     u = jax.random.uniform(key, (half,), dtype=w.dtype)
-    clone_large = u < large / pair_w
+    clone_large = u < large / jnp.where(pair_w > 0, pair_w, 1.0)
 
     new_small = jnp.where(active, 0.5 * pair_w, small)
     new_large = jnp.where(active, 0.5 * pair_w, large)

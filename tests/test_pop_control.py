@@ -91,3 +91,27 @@ def test_pair_branch_no_op_when_balanced():
     state = make_state([1.0, 1.1, 0.9, 1.0])
     out = pc.pair_branch(state, jax.random.key(3), target_weight=4.0)
     assert sorted(walker_tag(out)) == [0, 1, 2, 3]
+
+
+@pytest.mark.unit
+def test_pop_control_dead_population_stays_dead():
+    """An all-dead population (every weight 0) must come out of BOTH
+    algorithms with zero weights and no NaNs — the reference ABORTS on
+    vanishing total weight (handler.py:236-241); in-jit the honest
+    equivalent is preserving the dead state (comb previously resurrected
+    everyone at weight 1; pair_branch produced NaN)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.walkers import init_walkers
+    from pauxy_tpu.walkers import pop_control as pc
+
+    ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+    state = init_walkers(free_electron_trial(ham), 8)
+    dead = state.replace(weight=jnp.zeros(8))
+    for method in ("comb", "pair_branch"):
+        out = pc.pop_control(dead, jax.random.key(0), 8.0, method)
+        w = np.asarray(out.weight)
+        assert np.isfinite(w).all(), method
+        np.testing.assert_allclose(w, 0.0, err_msg=method)
