@@ -953,11 +953,24 @@ class AFQMC:
         timer table (``afqmc.py:257-279``), which is also printed."""
         if self.verbose:
             self.reporter.print_header()
+        def check_alive(row):
+            # The reference exits when the total weight vanishes
+            # (walkers/handler.py:236-241); the Weight column is HEADER[2].
+            if abs(complex(row[2])) < 1e-8:
+                raise RuntimeError(
+                    "Total weight is ~0: the walker population died "
+                    "(all weights zeroed by the constraint). Something is "
+                    "seriously wrong — reduce dt or improve the trial."
+                )
+            return row
+
         if self.profile_dir:
             with jax.profiler.trace(self.profile_dir):
-                rows = [self.run_block() for _ in range(self.qmc.nblocks)]
+                rows = [check_alive(self.run_block())
+                        for _ in range(self.qmc.nblocks)]
         else:
-            rows = [self.run_block() for _ in range(self.qmc.nblocks)]
+            rows = [check_alive(self.run_block())
+                    for _ in range(self.qmc.nblocks)]
         if self.verbose:
             self.finalise()
         return np.array(rows)

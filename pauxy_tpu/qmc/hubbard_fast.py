@@ -243,7 +243,8 @@ def run_block_lanes(
         phia, phib, weight, uw, log_ovlp, ehyb, ldetr, tw = carry
         if pop_method == "comb":
             parents, total = pc.comb_parents(weight, kpop, target_weight)
-            new_w = jnp.ones_like(weight)
+            # A dead population stays dead (see pop_control.comb).
+            new_w = jnp.where(total > 0, 1.0, 0.0) * jnp.ones_like(weight)
         else:
             parents, new_w, total = pc.pair_branch_parents(
                 weight, kpop, target_weight

@@ -115,3 +115,21 @@ def test_pop_control_dead_population_stays_dead():
         w = np.asarray(out.weight)
         assert np.isfinite(w).all(), method
         np.testing.assert_allclose(w, 0.0, err_msg=method)
+
+
+@pytest.mark.driver
+def test_driver_aborts_on_dead_population(tmp_path):
+    """The driver raises when the whole population dies (the reference
+    sys.exits, handler.py:236-241) instead of streaming NaN/zero rows."""
+    import jax.numpy as jnp
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=4, dt=0.01, nsteps=2, nblocks=2, rng_seed=1)
+    af = AFQMC(ham, trial, qmc, filename=str(tmp_path / "dead.h5"))
+    af.state = af.state.replace(weight=jnp.zeros(4))
+    with pytest.raises(RuntimeError, match="population died"):
+        af.run()
