@@ -309,5 +309,16 @@ class ThermalAFQMC:
             measure_state(self.ham, self.trial, self.state,
                           self.calc_one_rdm, self.average_gf), 0
         )]
-        rows += [self.run_block() for _ in range(self.qmc.nblocks)]
+        def check_alive(row):
+            # Reference aborts on vanishing total weight
+            # (walkers/handler.py:236-241); Weight is THERMAL_HEADER[2].
+            if abs(complex(row[2])) < 1e-8:
+                raise RuntimeError(
+                    "Total weight is ~0: the walker population died. "
+                    "Something is seriously wrong — reduce dt or beta."
+                )
+            return row
+
+        rows += [check_alive(self.run_block())
+                 for _ in range(self.qmc.nblocks)]
         return np.array(rows)
