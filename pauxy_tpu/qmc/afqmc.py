@@ -250,6 +250,20 @@ def run_block(
 # (AFQMC(block_mode="split") / PAUXY_TPU_SPLIT=1).
 # ----------------------------------------------------------------------------
 
+def check_population_alive(weight, hint: str):
+    """Raise when the population's total |weight| has vanished — the
+    reference's abort (``walkers/handler.py:236-241``, sum of |w| inside
+    pop control). Checking |w| (not the phased Weight column) keeps
+    free-projection runs — whose PHASED sum legitimately decays — alive.
+    Host-side, called at block boundaries by both drivers."""
+    total = float(np.abs(np.asarray(weight)).sum())
+    if total < 1e-8:
+        raise RuntimeError(
+            f"Total weight is {total:13.8e}: the walker population died. "
+            f"Something is seriously wrong — {hint}."
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("free_projection",))
 def _step_ortho(state, free_projection: bool):
     return walker_state.orthogonalise(state, free_projection)
@@ -953,24 +967,17 @@ class AFQMC:
         timer table (``afqmc.py:257-279``), which is also printed."""
         if self.verbose:
             self.reporter.print_header()
-        def check_alive(row):
-            # The reference exits when the total weight vanishes
-            # (walkers/handler.py:236-241); the Weight column is HEADER[2].
-            if abs(complex(row[2])) < 1e-8:
-                raise RuntimeError(
-                    "Total weight is ~0: the walker population died "
-                    "(all weights zeroed by the constraint). Something is "
-                    "seriously wrong — reduce dt or improve the trial."
-                )
+        def step(_):
+            row = self.run_block()
+            check_population_alive(self.state.weight,
+                                   "reduce dt or improve the trial")
             return row
 
         if self.profile_dir:
             with jax.profiler.trace(self.profile_dir):
-                rows = [check_alive(self.run_block())
-                        for _ in range(self.qmc.nblocks)]
+                rows = [step(b) for b in range(self.qmc.nblocks)]
         else:
-            rows = [check_alive(self.run_block())
-                    for _ in range(self.qmc.nblocks)]
+            rows = [step(b) for b in range(self.qmc.nblocks)]
         if self.verbose:
             self.finalise()
         return np.array(rows)

@@ -262,11 +262,16 @@ class ThermalAFQMC:
         navw = acc[8]
         now = time.time()
         elapsed, self._t0 = now - self._t0, now
+        # Zero guards mirror the zero-T MixedReporter.block_row: a dead
+        # block reports zeros (the driver then aborts) instead of pushing
+        # a NaN row into the h5 output.
+        denom = edenom if abs(edenom) > 0 else 1.0
+        wsum = weight if abs(weight) > 0 else 1.0
         row = np.array(
             [
                 iteration, uweight, weight, enum, edenom,
-                enum / edenom, e1b / edenom, e2b / edenom,
-                ehyb / weight, ovlp / weight, navw / edenom, elapsed,
+                enum / denom, e1b / denom, e2b / denom,
+                ehyb / wsum, ovlp / wsum, navw / denom, elapsed,
             ],
             dtype=np.complex128,
         )
@@ -275,7 +280,7 @@ class ThermalAFQMC:
         self.output.push(row, "energies")
         if self.calc_one_rdm:
             m = self.ham.nbasis
-            rdm = acc[9 : 9 + 2 * m * m].reshape(2, m, m) / edenom
+            rdm = acc[9 : 9 + 2 * m * m].reshape(2, m, m) / denom
             self.output.push(rdm, "one_rdm")
         self.output.increment()
         return row
@@ -296,6 +301,11 @@ class ThermalAFQMC:
             average_gf=self.average_gf,
         )
         self.block += 1
+        # Liveness BEFORE the per-block reset (the reference's pop-control
+        # abort on sum(|w|), walkers/handler.py:236-241).
+        from pauxy_tpu.qmc.afqmc import check_population_alive
+
+        check_population_alive(self.state.weight, "reduce dt or beta")
         row = self._emit_row(acc, self.block)
         # Reset to the trial density matrix for the next independent path
         # (thermal_afqmc.py:235 + handler.py:423-429).
@@ -309,16 +319,5 @@ class ThermalAFQMC:
             measure_state(self.ham, self.trial, self.state,
                           self.calc_one_rdm, self.average_gf), 0
         )]
-        def check_alive(row):
-            # Reference aborts on vanishing total weight
-            # (walkers/handler.py:236-241); Weight is THERMAL_HEADER[2].
-            if abs(complex(row[2])) < 1e-8:
-                raise RuntimeError(
-                    "Total weight is ~0: the walker population died. "
-                    "Something is seriously wrong — reduce dt or beta."
-                )
-            return row
-
-        rows += [check_alive(self.run_block())
-                 for _ in range(self.qmc.nblocks)]
+        rows += [self.run_block() for _ in range(self.qmc.nblocks)]
         return np.array(rows)

@@ -133,3 +133,14 @@ def test_driver_aborts_on_dead_population(tmp_path):
     af.state = af.state.replace(weight=jnp.zeros(4))
     with pytest.raises(RuntimeError, match="population died"):
         af.run()
+
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+
+    ttrial = make_one_body_trial(ham, 0.25, 0.05)
+    tqmc = QMCOpts(nwalkers=4, dt=0.05, nsteps=1, nblocks=1, beta=0.25,
+                   rng_seed=1)
+    taf = ThermalAFQMC(ham, ttrial, tqmc, filename=str(tmp_path / "tdead.h5"))
+    taf.state = taf.state.replace(weight=jnp.zeros(4))
+    with pytest.raises(RuntimeError, match="population died"):
+        taf.run()
