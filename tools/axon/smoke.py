@@ -155,12 +155,33 @@ def main():
         assert np.isfinite(np.asarray(rows).real).all()
         print(f"OK thermal_low_rank ({time.time()-t0:.1f}s)", flush=True)
 
+    def thermal_discrete():
+        from pauxy_tpu.models import make_hubbard
+        from pauxy_tpu.models.thermal_trial import make_one_body_trial
+        from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
+        from pauxy_tpu.qmc import QMCOpts
+
+        t0 = time.time()
+        ham = make_hubbard(nup=2, ndown=2, U=4.0, nx=2, ny=2)
+        beta, dt = 0.5, 0.05
+        trial = make_one_body_trial(ham, beta, dt)
+        qmc = QMCOpts(nwalkers=4, dt=dt, nsteps=1, nblocks=2,
+                      npop_control=2, rng_seed=8, beta=beta)
+        af = ThermalAFQMC(
+            ham, trial, qmc, verbose=False,
+            propagator_options={"hubbard_stratonovich": "discrete"},
+            filename="/tmp/smoke_thermal_discrete.h5")
+        rows = af.run()
+        assert np.isfinite(np.asarray(rows).real).all()
+        print(f"OK thermal_discrete ({time.time()-t0:.1f}s)", flush=True)
+
     for name, fn in [("hubbard", hubbard),
                      ("hubbard_discrete", hubbard_discrete),
                      ("generic", generic), ("ueg", ueg),
                      ("pw_fft", pw_fft), ("thermal", thermal),
                      ("ghf", ghf), ("multi_coherent", multi_coherent),
-                     ("thermal_low_rank", thermal_low_rank)]:
+                     ("thermal_low_rank", thermal_low_rank),
+                     ("thermal_discrete", thermal_discrete)]:
         guard(name, fn)
 
     if failures:
