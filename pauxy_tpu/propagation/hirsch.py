@@ -576,6 +576,14 @@ def make_hirsch(
             [np.exp(-gamma), np.exp(gamma)]
         )
     else:
+        if ham.U < 0:
+            # arccosh(e^{dt U/2}) is complex for attractive U: the SPIN HS
+            # decomposition only exists for repulsive interactions (the
+            # reference silently NaNs here, hubbard.py:63).
+            raise ValueError(
+                "discrete spin decomposition requires U >= 0; use "
+                "propagator {'charge_decomposition': true} for attractive U"
+            )
         gamma = np.arccosh(np.exp(0.5 * dt * ham.U))
         auxf = np.array(
             [

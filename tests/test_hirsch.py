@@ -219,3 +219,33 @@ def test_single_site_update_false_alias(tmp_path):
                 propagator_options={"hubbard_stratonovich": "discrete"},
                 filename=str(tmp_path / "alias2.h5"))
     assert af2.prop.two_body_mode == "single_site"
+
+
+@pytest.mark.unit
+def test_attractive_u_discrete(tmp_path):
+    """Attractive U: the charge decomposition runs (pairing-favored energy
+    below the U=0 value); the spin decomposition raises a clear error
+    instead of NaN-ing (arccosh of e^{dt U/2} < 1 is complex — the
+    reference silently produces NaN fields here)."""
+    import numpy as np
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+
+    ham = make_hubbard(nup=3, ndown=3, U=-4.0, nx=3, ny=3)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=64, dt=0.005, nsteps=5, nblocks=2, rng_seed=1,
+                  npop_control=1)
+    af = AFQMC(ham, trial, qmc,
+               propagator_options={"hubbard_stratonovich": "discrete",
+                                   "charge_decomposition": True},
+               filename=str(tmp_path / "attr.h5"))
+    rows = np.asarray(af.run())
+    assert np.isfinite(rows.real).all()
+    e_free = np.sort(np.linalg.eigvalsh(np.asarray(ham.T)[0]))[:3].sum() * 2
+    assert rows[-1, 5].real < e_free  # attraction lowers the energy
+
+    with pytest.raises(ValueError, match="charge_decomposition"):
+        AFQMC(ham, trial, qmc,
+              propagator_options={"hubbard_stratonovich": "discrete"},
+              filename=str(tmp_path / "attr2.h5"))
