@@ -179,8 +179,13 @@ def test_two_body_direct_driver(tmp_path):
 
     ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
     trial = free_electron_trial(ham)
-    qmc = QMCOpts(nwalkers=40, dt=0.01, nsteps=10, nblocks=40, nstblz=5,
-                  npop_control=5, rng_seed=8)
+    # The direct update is the reference's high-variance sampler
+    # (hubbard.py:222 "dynamic force bias"): per-step pop control (the
+    # CPMC standard) keeps the population alive; sparser control lets a
+    # small population die outright (caught by the driver's liveness
+    # abort).
+    qmc = QMCOpts(nwalkers=64, dt=0.01, nsteps=10, nblocks=40, nstblz=5,
+                  npop_control=1, rng_seed=8)
     means = {}
     for mode in ("single_site", "direct"):
         af = AFQMC(ham, trial, qmc,
