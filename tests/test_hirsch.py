@@ -250,6 +250,24 @@ def test_attractive_u_discrete(tmp_path):
     e_free = np.sort(np.linalg.eigvalsh(np.asarray(ham.T)[0]))[:3].sum() * 2
     assert rows[-1, 5].real < e_free  # attraction lowers the energy
 
+    # Quantitative window vs FCI on a 4-site chain (charge decomposition is
+    # the real-field HS for attractive U): short run, so allow
+    # constrained-path + Trotter bias (~22 mHa measured at dt=0.01).
+    from pauxy_tpu.estimators import ci
+
+    ham4 = make_hubbard(nup=2, ndown=2, U=-4.0, nx=4, xpbc=False)
+    ev, _, _ = ci.simple_fci(ham4)
+    t4 = free_electron_trial(ham4)
+    qmc4 = QMCOpts(nwalkers=128, dt=0.01, nsteps=10, nblocks=60, nstblz=5,
+                   npop_control=1, rng_seed=8)
+    af4 = AFQMC(ham4, t4, qmc4,
+                propagator_options={"hubbard_stratonovich": "discrete",
+                                    "charge_decomposition": True},
+                estimator_options={"mixed": {"energy_eval_freq": 1}},
+                filename=str(tmp_path / "attr_fci.h5"))
+    et = np.asarray(af4.run())[20:, 5].real
+    assert abs(et.mean() - ev[0]) < 0.05, (et.mean(), ev[0])
+
     with pytest.raises(ValueError, match="charge_decomposition"):
         AFQMC(ham, trial, qmc,
               propagator_options={"hubbard_stratonovich": "discrete"},
