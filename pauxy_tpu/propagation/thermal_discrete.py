@@ -228,6 +228,15 @@ def make_thermal_discrete(
             [np.exp(-gamma), np.exp(gamma)]
         )
     else:
+        if u < 0:
+            # Same failure mode as the T=0 path: arccosh(e^{dt U/2}) is
+            # complex for attractive U, so the SPIN HS decomposition does
+            # not exist (the reference silently NaNs here,
+            # thermal_propagation/hubbard.py:33-40).
+            raise ValueError(
+                "discrete spin decomposition requires U >= 0; use "
+                "propagator {'charge_decomposition': true} for attractive U"
+            )
         gamma = np.arccosh(np.exp(0.5 * dt * u))
         auxf = np.array(
             [[np.exp(gamma), np.exp(-gamma)],

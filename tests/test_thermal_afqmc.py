@@ -676,3 +676,18 @@ def test_thermal_discrete_wrap_equals_recompute():
                                    atol=1e-9, err_msg=f"slice {ts}")
         np.testing.assert_allclose(np.asarray(s_wrap.weight),
                                    np.asarray(s_ref.weight), rtol=1e-10)
+
+
+@pytest.mark.unit
+def test_thermal_discrete_attractive_u_needs_charge():
+    """Spin HS at U<0 has no real gamma: a clear error, not silent NaNs
+    (the reference NaNs, thermal_propagation/hubbard.py:33-40)."""
+    from pauxy_tpu.propagation.thermal_discrete import make_thermal_discrete
+
+    ham = make_hubbard(nup=2, ndown=2, U=-4.0, nx=4, ny=1)
+    trial = make_one_body_trial(ham, 0.4, 0.05, stack_size=2)
+    with pytest.raises(ValueError, match="charge_decomposition"):
+        make_thermal_discrete(ham, trial, 0.05)
+    # The charge decomposition builds fine for attractive U.
+    prop = make_thermal_discrete(ham, trial, 0.05, charge_decomposition=True)
+    assert bool(np.isfinite(np.asarray(prop.auxf)).all())
