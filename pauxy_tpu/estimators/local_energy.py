@@ -620,7 +620,12 @@ def local_energy_G_host(ham, G: np.ndarray):
     Used during trial construction; mirrors ``mixed.py:383-437`` dispatch.
     """
     name = ham.name
-    if name == "Hubbard":
+    if name in ("Hubbard", "HubbardHolstein"):
+        # HubbardHolstein: the reference's generic local_energy(system, G)
+        # dispatch sends electron-only callers (e.g. trial construction)
+        # to the electronic Hubbard kernel (mixed.py:404-408); the phonon
+        # terms need walker coordinates and enter via the walker-batched
+        # local_energy_hubbard_holstein instead.
         t = np.asarray(ham.T)
         ke = np.sum(t[0] * G[0] + t[1] * G[1])
         if ham.symmetric:

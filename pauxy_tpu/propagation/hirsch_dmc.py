@@ -310,6 +310,15 @@ def make_hirsch_dmc(ham, trial, dt: float, lang_firsov: bool = False,
     bt_half = np.stack(
         [scipy.linalg.expm(-0.5 * dt * t[0]), scipy.linalg.expm(-0.5 * dt * t[1])]
     )
+    if getattr(trial, "shift", None) is None:
+        # The reference requires trial.shift too (it crashes with
+        # AttributeError on trial.shift.copy(), hubbard_holstein.py:134,
+        # for electron-only trials); fail with a clear message instead.
+        raise ValueError(
+            "Hubbard-Holstein discrete propagation needs a phonon-aware "
+            "trial providing a coherent-state shift (coherent_state, "
+            f"lang_firsov, or multi-coherent); got {type(trial).__name__}"
+        )
     shift_host = np.asarray(to_host(trial.shift))
     eshift_b = float(
         np.asarray(

@@ -425,6 +425,30 @@ class AFQMC:
         # Back propagation configuration (estimators/handler.py:83-107 +
         # back_propagation.py:64-72).
         bp_opts = eopts.get("back_propagation", eopts.get("back_propagated"))
+        itcf_requested = eopts.get("itcf") is not None
+        if bp_opts is not None or itcf_requested:
+            # BP/ITCF back-propagate the TRIAL determinant through the
+            # stored fields; like the reference these paths are single-
+            # determinant only (back_propagation.py:116-127 dispatches
+            # update_uhf; its GHF branch exits "Back Propagation with GHF
+            # is broken", :227-248; no multi-det branch exists). Fail at
+            # setup with a clear message instead of a shape error mid-run.
+            from pauxy_tpu.models.ghf import GHFTrial
+            from pauxy_tpu.models.multi_coherent import MultiCoherentTrial
+
+            what = "back_propagation" if bp_opts is not None else "itcf"
+            if isinstance(trial, (GHFTrial, MultiCoherentTrial)):
+                raise NotImplementedError(
+                    f"{what} supports single-determinant UHF-style trials "
+                    "only (the reference's GHF back propagation is "
+                    "self-declared broken, back_propagation.py:227-248)"
+                )
+            if getattr(trial, "ndets", 1) > 1:
+                raise NotImplementedError(
+                    f"{what} is single-determinant only (like the "
+                    "reference, back_propagation.py:127-225); use a "
+                    "single-det trial or the mixed estimator's RDMs"
+                )
         if bp_opts is not None:
             self.nbp = int(round(bp_opts.get("tau_bp", 0) / qmc.dt))
             self.bp_nsplit = int(bp_opts.get("nsplit", 1))
