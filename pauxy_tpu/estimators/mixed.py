@@ -218,13 +218,21 @@ def update(ham, trial, state, eval_energy, free_projection: bool = False,
         raise NotImplementedError("RDM accumulation not defined for FP")
     if ndms and isinstance(trial, GHFTrial):
         raise NotImplementedError("GHF G is 2M x 2M; one_rdm output is spin-blocked")
-    if ndms and isinstance(trial, MultiCoherentTrial):
-        raise NotImplementedError("RDM accumulation for multi-coherent trials")
+    if calc_two_rdm is not None and isinstance(trial, MultiCoherentTrial):
+        raise NotImplementedError("two_rdm (S(k)) is UEG-only; multi-coherent "
+                                  "trials are Hubbard-Holstein")
 
     def _dms_flat():
         """Weighted per-step density-matrix tail (mixed.py:226-233)."""
         parts = []
-        if isinstance(trial, MultiSlaterTrial):
+        if isinstance(trial, MultiCoherentTrial):
+            # Mixture 1-RDM: the reference pushes w.G where the walker's G
+            # is the component-weighted mixture (multi_coherent.py:360-401);
+            # comp_w is normalized so tr G_s = n_s exactly.
+            gi, comp_w = mc_greens_function(trial, state.phia, state.phib,
+                                            state.X)
+            g2 = jnp.einsum("wp,wpsmn->wsmn", comp_w, gi, optimize=True)
+        elif isinstance(trial, MultiSlaterTrial):
             md = get_md()
             g2 = jnp.einsum("wd,wdsmn->wsmn", md.det_weights, md.Gi,
                             optimize=True)

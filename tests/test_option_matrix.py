@@ -271,6 +271,33 @@ def test_uhf_trial_direct_update_spin_proj(tmp_path):
 
 
 @pytest.mark.driver
+def test_multi_coherent_one_rdm(tmp_path):
+    """Multi-coherent (symmetrized coherent-state) trial + mixed one_rdm:
+    the pushed RDM is the component-weighted mixture G (the reference
+    pushes w.G where the walker G IS that mixture, multi_coherent.py:360)
+    so the per-spin trace equals the electron count exactly."""
+    model = {"name": "HubbardHolstein", "nx": 4, "ny": 1, "nup": 2,
+             "ndown": 2, "U": 1.0, "w0": 1.0, "lambda": 0.25}
+    opts = {
+        "model": model,
+        "qmc": {"timestep": 0.02, "num_steps": 4, "blocks": 3,
+                "nwalkers": 8, "rng_seed": 12, "pop_control_freq": 4,
+                "stabilise_freq": 4},
+        "trial": {"name": "coherent_state", "symmetrize": True},
+        "estimates": {"mixed": {"energy_eval_freq": 1, "one_rdm": True}},
+    }
+    rows, _ = _run(opts, tmp_path)
+    import h5py
+
+    with h5py.File(str(tmp_path / "est.h5"), "r") as fh5:
+        grp = fh5["basic/one_rdm"]
+        g = np.stack([grp[k][:] for k in sorted(grp)])  # [blocks, 2, M, M]
+    assert np.isfinite(g).all()
+    tr = np.trace(g, axis1=-2, axis2=-1)
+    np.testing.assert_allclose(tr, [[2.0, 2.0]] * len(rows), atol=1e-7)
+
+
+@pytest.mark.driver
 def test_generic_stochastic_ri_prop_and_energy(tmp_path):
     """Stochastic-RI in BOTH the kinetic propagator (operations.py:54-90)
     and the local energy (generic.py:293-397) simultaneously."""
