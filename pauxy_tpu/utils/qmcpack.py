@@ -102,7 +102,12 @@ def write_hamiltonian(
 
 def read_fcidump(filename: str, symmetry: int = 8, verbose: bool = False):
     """Read an FCIDUMP file into (h1e, eri [M,M,M,M] in (ik|jl), ecore,
-    nelec, ms2). Counterpart of ``hamiltonian_converter.py:8-100``."""
+    nelec, ms2). Counterpart of ``hamiltonian_converter.py:8-100``.
+
+    The body parse (the setup hot path — molecular files reach 1e6+ lines)
+    runs in the native C++ loader (``pauxy_tpu.native``) when the toolchain
+    is available; this Python parse is the behavioural oracle and fallback.
+    """
     import re
 
     with open(filename) as f:
@@ -114,10 +119,22 @@ def read_fcidump(filename: str, symmetry: int = 8, verbose: bool = False):
     nelec = int(re.search(r"NELEC\s*=\s*(\d+)", header).group(1))
     ms2_m = re.search(r"MS2\s*=\s*(-?\d+)", header)
     ms2 = int(ms2_m.group(1)) if ms2_m else 0
+    nalpha = (nelec + ms2) // 2
+    nbeta = nelec - nalpha
 
     # Complex integrals are written as "(re, im)  i j k l"
     # (``hamiltonian_converter.py:295-360`` / our hubbard.fcidump).
     cplx = "(" in body
+
+    try:
+        from pauxy_tpu import native
+
+        res = native.fcidump_fill(body.encode(), norb, cplx)
+    except ValueError:
+        res = None  # malformed for the strict parser; retry permissively
+    if res is not None:
+        h1e, eri, ecore = res
+        return h1e, eri, ecore.real if cplx else ecore, (nalpha, nbeta), ms2
     dtype = complex if cplx else float
     h1e = np.zeros((norb, norb), dtype=dtype)
     eri = np.zeros((norb, norb, norb, norb), dtype=dtype)
@@ -152,8 +169,6 @@ def read_fcidump(filename: str, symmetry: int = 8, verbose: bool = False):
                 (kk, ll, jj, ii), (ll, kk, jj, ii),
             ):
                 eri[a, b, c, d] = v
-    nalpha = (nelec + ms2) // 2
-    nbeta = nelec - nalpha
     return h1e, eri, ecore, (nalpha, nbeta), ms2
 
 
