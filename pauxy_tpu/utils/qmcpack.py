@@ -181,21 +181,26 @@ def modified_cholesky(eri_mat: np.ndarray, tol: float = 1e-6,
     """
     n = eri_mat.shape[0]
     diag = eri_mat.diagonal().copy().astype(float)
-    vecs = []
-    nmax = cmax * int(np.sqrt(n))
-    for _ in range(min(n, max(nmax, 1))):
+    nmax = min(n, max(cmax * int(np.sqrt(n)), 1))
+    vecs = np.empty((nmax, n))
+    k = 0
+    for _ in range(nmax):
         p = int(np.argmax(diag))
         dmax = diag[p]
         if dmax <= tol:
             break
-        col = eri_mat[:, p].astype(float).copy()
-        for v in vecs:
-            col -= v * v[p]
+        col = eri_mat[:, p].astype(float)
+        # Subtract the projection onto the k factors found so far as ONE
+        # GEMV (the per-vector Python loop is the conversion hot path for
+        # molecular supermatrices, n = M^2 ~ 1e4).
+        if k:
+            col = col - vecs[:k].T @ vecs[:k, p]
         v_new = col / np.sqrt(dmax)
-        vecs.append(v_new)
+        vecs[k] = v_new
+        k += 1
         diag -= v_new * v_new
         diag = np.maximum(diag, 0.0)
-    return np.array(vecs).T if vecs else np.zeros((n, 0))
+    return vecs[:k].T.copy() if k else np.zeros((n, 0))
 
 
 def fcidump_to_system(filename: str, chol_tol: float = 1e-6, precision=None):
