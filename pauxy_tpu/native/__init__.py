@@ -88,8 +88,10 @@ def fcidump_fill(body: bytes, norb: int, cplx: bool):
 
     Returns (h1e [norb, norb], eri [norb]*4, ecore) with float64 or
     complex128 dtype, or None when the native library is unavailable.
-    Raises ValueError on a malformed body (byte offset included) so the
-    caller can surface the file problem rather than silently fall back.
+    Raises ValueError on a malformed body (byte offset included; this
+    covers out-of-range orbital indices, which the C side validates before
+    any array store). The caller (utils/qmcpack.read_fcidump) warns with
+    the offset and retries with the permissive Python parser.
     """
     lib = _load()
     if lib is None:

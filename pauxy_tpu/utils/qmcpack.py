@@ -130,8 +130,20 @@ def read_fcidump(filename: str, symmetry: int = 8, verbose: bool = False):
         from pauxy_tpu import native
 
         res = native.fcidump_fill(body.encode(), norb, cplx)
-    except ValueError:
-        res = None  # malformed for the strict parser; retry permissively
+    except ValueError as e:
+        # Malformed for the strict native parser (which validates every
+        # index and returns the byte offset). The permissive Python parser
+        # below SKIPS unparseable lines, so a truncated/corrupt file can
+        # load partially — warn loudly rather than hide the problem.
+        import warnings
+
+        warnings.warn(
+            f"native FCIDUMP parse of {filename!r} failed ({e}); retrying "
+            "with the permissive Python parser, which silently skips "
+            "unparseable lines — verify the file if this is unexpected",
+            stacklevel=2,
+        )
+        res = None
     if res is not None:
         h1e, eri, ecore = res
         return h1e, eri, ecore.real if cplx else ecore, (nalpha, nbeta), ms2

@@ -74,6 +74,75 @@ def test_malformed_body_falls_back(tmp_path):
 
 
 @pytest.mark.unit
+def test_fallback_warns_with_offset(tmp_path):
+    """The silent-fallback path must be loud: a body the native parser
+    rejects triggers a warning naming the failure before the permissive
+    retry (ADVICE r3)."""
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.load_error()}")
+    norb = 3
+    path = str(tmp_path / "FCIDUMP")
+    with open(path, "w") as f:
+        f.write(f"&FCI NORB={norb},NELEC=2,MS2=0,\n&END\n")
+        f.write("junk\n1.5 1 1 0 0\n")
+    with pytest.warns(UserWarning, match="permissive Python parser"):
+        h1, _, _, _, _ = qmcpack.read_fcidump(path)
+    assert h1[0, 0] == 1.5
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "1.0 4 1 1 1\n",      # index > norb
+        "1.0 -2 1 1 1\n",     # negative index
+        "1.0 99 99 0 0\n",    # one-body out of range
+        "1.0 1 0 1 1\n",      # zero inside a two-body entry
+        "1.0 0 1 0 0\n",      # zero inside a one-body entry
+    ],
+)
+def test_native_rejects_bad_indices(entry):
+    """Orbital indices outside [1, norb] (or invalid zero patterns) must
+    raise, never write out of bounds of the caller's arrays (ADVICE r3
+    high-severity finding)."""
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.load_error()}")
+    body = ("0.5 1 1 0 0\n" + entry).encode()
+    with pytest.raises(ValueError, match="byte"):
+        native.fcidump_fill(body, 3, False)
+
+
+@pytest.mark.unit
+def test_native_parse_locale_independent(tmp_path):
+    """Parsing must not follow LC_NUMERIC (ADVICE r3: a comma-decimal
+    locale silently disabled the native fast path)."""
+    import ctypes
+    import ctypes.util
+    import locale
+
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.load_error()}")
+    # Python's locale.setlocale does not affect the C library's LC_NUMERIC
+    # as seen by the .so reliably across platforms; set it via libc too.
+    libc = ctypes.CDLL(ctypes.util.find_library("c"))
+    target = None
+    for cand in ("de_DE.UTF-8", "fr_FR.UTF-8", "de_DE", "fr_FR"):
+        if libc.setlocale(1, cand.encode()):  # 1 == LC_NUMERIC (glibc)
+            target = cand
+            break
+    if target is None:
+        pytest.skip("no comma-decimal locale available in this image")
+    try:
+        res = native.fcidump_fill(b"2.5 1 1 0 0\n", 2, False)
+        assert res is not None
+        h1, _, _ = res
+        assert h1[0, 0] == 2.5  # strtod under de_DE would stop at the '.'
+    finally:
+        libc.setlocale(1, b"C")
+        locale.setlocale(locale.LC_ALL, "C")
+
+
+@pytest.mark.unit
 def test_no_native_env_disables(tmp_path, monkeypatch):
     """PAUXY_TPU_NO_NATIVE short-circuits the loader (fresh module state)."""
     import importlib
