@@ -173,8 +173,8 @@ def measure(block_mode="fused", nwalkers=None, force_cpu=False):
     # the program), "spread" shows the dispersion. Each rep is
     # readback-fenced — on this backend a device->host readback is the only
     # reliable completion proof.
-    rates = []
-    for _rep in range(3):
+    def run_rep():
+        nonlocal state, key
         t0 = time.perf_counter()
         for b in range(NBLOCKS_MEASURE):
             key, sub = jax.random.split(key)
@@ -182,7 +182,9 @@ def measure(block_mode="fused", nwalkers=None, force_cpu=False):
         vals = _fetch_weights(state.weight)
         elapsed = time.perf_counter() - t0
         _assert_finite(vals)
-        rates.append(nwalkers * NSTEPS * NBLOCKS_MEASURE / elapsed)
+        return nwalkers * NSTEPS * NBLOCKS_MEASURE / elapsed
+
+    rates, dropped = _healthy_reps(run_rep)
     rate = max(rates)
 
     # Amortized long-dispatch rate (nsteps=100 per call): separates fixed
@@ -209,9 +211,27 @@ def measure(block_mode="fused", nwalkers=None, force_cpu=False):
                 "block_mode": block_mode,
                 "fast_block": bool(af.use_fast_block),
                 "spread": [round(r, 1) for r in sorted(rates)],
+                "reps_dropped_wedged": dropped,
                 "rate_nsteps100": round(rate100, 1),
             }
     )
+
+
+def _healthy_reps(run_rep, nreps=3, max_attempts=8):
+    """Collect ``nreps`` healthy rate measurements. The axon tunnel wedges
+    for stretches (rolling libtpu upgrades): a wedged rep measures the
+    tunnel, not the program. Any rep below 5% of the max seen is discarded
+    and retried (VERDICT r3 item 8), so the recorded spread is program
+    variance only. Returns (healthy_rates, n_dropped)."""
+    rates, dropped, attempts = [], 0, 0
+    while len(rates) < nreps and attempts < max_attempts:
+        attempts += 1
+        rates.append(run_rep())
+        mx = max(rates)
+        healthy = [r for r in rates if r >= 0.05 * mx]
+        dropped += len(rates) - len(healthy)
+        rates = healthy
+    return rates, dropped
 
 
 def _fetch_weights(arr):
@@ -290,10 +310,10 @@ def measure_generic():
         energy_eval_freq=1, free_projection=False,
     )
 
-    def one_block(state, sub, step):
+    def one_block(state, sub, step, prop=None):
         st, _acc, _bp, _itcf = afq.run_block(
-            ham, trial, af.prop, state, sub, eshift,
-            jnp.asarray(step, jnp.int32), **statics,
+            ham, trial, prop if prop is not None else af.prop, state, sub,
+            eshift, jnp.asarray(step, jnp.int32), **statics,
         )
         return st
 
@@ -302,8 +322,9 @@ def measure_generic():
     jax.block_until_ready(state.weight)
 
     nsteps_tot = GEN_NSTEPS * GEN_NBLOCKS
-    best = 0.0
-    for _rep in range(3):
+
+    def run_rep():
+        nonlocal state, key
         t0 = time.perf_counter()
         for b in range(GEN_NBLOCKS):
             key, sub = jax.random.split(key)
@@ -311,8 +332,10 @@ def measure_generic():
         vals = _fetch_weights(state.weight)   # readback = the timing fence
         elapsed = time.perf_counter() - t0
         _assert_finite(vals)
-        best = max(best, nw * nsteps_tot / elapsed)
-    rate = best
+        return nw * nsteps_tot / elapsed
+
+    rates, _dropped = _healthy_reps(run_rep)
+    rate = max(rates)
     achieved = _generic_step_flops(nw, nmo, na, nx) * rate / nw
     if achieved > 1.2 * V5E_BF16_PEAK_FLOPS:
         raise RuntimeError(
@@ -321,8 +344,10 @@ def measure_generic():
 
     # Documented precision ladder (README "Precision policy"): the same
     # program under bfloat16_3x matmuls (~f32-accurate 3-pass MXU splits,
-    # error-bound tests in tests/test_generic.py). Reported as a labeled
-    # secondary rate; "value" stays the f32-pinned number.
+    # error-bound tests in tests/test_generic.py), with and without the
+    # fused bf16 Taylor kernel (ops/taylor_pallas.py — the XLA GEMM chain
+    # wins at f32-6pass but the kernel wins in bf16; VERDICT r3 item 4).
+    # Reported as labeled secondary rates; "value" stays the f32 number.
     out_bf16 = {}
     try:
         import pauxy_tpu.config as _cfg
@@ -331,24 +356,37 @@ def measure_generic():
             # set_matmul_precision is a documented no-op on CPU — re-timing
             # the identical f32 program there would mislabel it.
             raise RuntimeError("precision ladder unavailable on this backend")
-        key, sub = jax.random.split(key)
-        state_b = one_block(state, sub, 0)          # recompile at bf16_3x
-        jax.block_until_ready(state_b.weight)
-        best_b = 0.0
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            for b in range(GEN_NBLOCKS):
-                key, sub = jax.random.split(key)
-                state_b = one_block(state_b, sub, (b + 1) * GEN_NSTEPS)
-            vals = _fetch_weights(state_b.weight)
-            elapsed = time.perf_counter() - t0
-            _assert_finite(vals)
-            best_b = max(best_b, nw * nsteps_tot / elapsed)
+
+        def timed_tier(prop):
+            st = state
+            k = jax.random.key(11)
+            k, sub = jax.random.split(k)
+            st = one_block(st, sub, 0, prop=prop)   # recompile at this tier
+            jax.block_until_ready(st.weight)
+            best = 0.0
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                for b in range(GEN_NBLOCKS):
+                    k, sub = jax.random.split(k)
+                    st = one_block(st, sub, (b + 1) * GEN_NSTEPS, prop=prop)
+                vals = _fetch_weights(st.weight)
+                elapsed = time.perf_counter() - t0
+                _assert_finite(vals)
+                best = max(best, nw * nsteps_tot / elapsed)
+            return best
+
+        rate_3x = timed_tier(af.prop)
+        rate_3x_fused = timed_tier(
+            af.prop.replace(inner=af.prop.inner.replace(
+                taylor_impl="pallas_bf16"))
+        )
+        best_b = max(rate_3x, rate_3x_fused)
+        tf_b = _generic_step_flops(nw, nmo, na, nx) * best_b / nw
         out_bf16 = {
-            "rate_bf16_3x": round(best_b, 1),
-            "achieved_tflops_bf16_3x": round(
-                _generic_step_flops(nw, nmo, na, nx) * best_b / nw / 1e12, 2
-            ),
+            "rate_bf16_3x": round(rate_3x, 1),
+            "rate_bf16_3x_fused_taylor": round(rate_3x_fused, 1),
+            "achieved_tflops_bf16_3x": round(tf_b / 1e12, 2),
+            "mfu_vs_bf16_peak_bf16_3x": round(tf_b / V5E_BF16_PEAK_FLOPS, 4),
         }
     except Exception as e:  # noqa: BLE001 — secondary measurement only
         out_bf16 = {"bf16_3x_error": f"{type(e).__name__}: {str(e)[:120]}"}
@@ -418,8 +456,8 @@ def measure_ueg():
     state = one_block(state, sub, 0)
     jax.block_until_ready(state.weight)
 
-    best = 0.0
-    for _rep in range(3):
+    def run_rep():
+        nonlocal state, key
         t0 = time.perf_counter()
         for b in range(UEG_NBLOCKS):
             key, sub = jax.random.split(key)
@@ -427,8 +465,10 @@ def measure_ueg():
         vals = _fetch_weights(state.weight)   # readback = the timing fence
         elapsed = time.perf_counter() - t0
         _assert_finite(vals)
-        best = max(best, nw * UEG_NSTEPS * UEG_NBLOCKS / elapsed)
-    rate = best
+        return nw * UEG_NSTEPS * UEG_NBLOCKS / elapsed
+
+    rates, _dropped = _healthy_reps(run_rep)
+    rate = max(rates)
     out = {
         "metric": "walker_steps_per_sec_ueg_ecut8_M257",
         "value": round(rate, 1),
@@ -495,8 +535,9 @@ def measure_discrete():
         key, sub = jax.random.split(key)
         state = one_block(state, sub, 0)
         jax.block_until_ready(state.weight)
-        best = 0.0
-        for _rep in range(3):
+
+        def run_rep():
+            nonlocal key
             t0 = time.perf_counter()
             s = state
             for b in range(nblocks):
@@ -505,9 +546,11 @@ def measure_discrete():
             vals = _fetch_weights(s.weight)
             elapsed = time.perf_counter() - t0
             _assert_finite(vals)
-            best = max(best, nw * nsteps * nblocks / elapsed)
+            return nw * nsteps * nblocks / elapsed
+
+        rates, _dropped = _healthy_reps(run_rep)
         out[f"rate_{'pallas' if 'pallas' in kernel else 'scan'}"] = round(
-            best, 1
+            max(rates), 1
         )
     out["value"] = out["rate_pallas"]
     out["pallas_speedup"] = round(out["rate_pallas"] / out["rate_scan"], 2)
@@ -543,14 +586,17 @@ def measure_thermal():
     af = ThermalAFQMC(ham, trial, qmc, filename="bench_thermal.h5")
     nslices = af.ntime_slices
     af.run_block()  # compile + warm-up
-    best = 0.0
-    for _rep in range(3):
+
+    def run_rep():
         t0 = time.perf_counter()
         rows = [af.run_block() for _ in range(THERMAL_NBLOCKS)]
         vals = np.asarray([r[2] for r in rows]).real  # weight col readback
         elapsed = time.perf_counter() - t0
         _assert_finite(vals)
-        best = max(best, nw * nslices * THERMAL_NBLOCKS / elapsed)
+        return nw * nslices * THERMAL_NBLOCKS / elapsed
+
+    rates, _dropped = _healthy_reps(run_rep)
+    best = max(rates)
     _emit({
             "metric": "walker_slice_steps_per_sec_thermal_ueg_ecut4",
             "value": round(best, 1),
@@ -564,13 +610,69 @@ def measure_thermal():
         })
 
 
+# Continuous-HS 4x4 Hubbard pinned reference energy (BASELINE.md,
+# pauxy/qmc/tests/test_afqmc.py:186-188) — the equilibrium anchor the
+# measured segment must be statistically consistent with.
+TTE_ANCHOR_ETOTAL = -15.14323385684513
+
+
+def _tte_point(nw, neqlb, nmeasure, filename):
+    """One time-to-1mHa measurement: equilibrate (discarded), then time an
+    equilibrated segment and project t(1mHa) with the AUTOCORR-corrected
+    sigma (VERDICT r3 item 6: the r3 number was taken from an
+    unequilibrated transient with a naive sigma)."""
+    import numpy as np
+
+    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.qmc import AFQMC, QMCOpts
+    from pauxy_tpu.analysis import autocorr, blocking
+
+    nsteps = 10
+    ham = make_hubbard(nup=7, ndown=7, U=4.0, nx=4, ny=4)
+    trial = free_electron_trial(ham)
+    qmc = QMCOpts(nwalkers=nw, dt=0.01, nsteps=nsteps,
+                  nblocks=neqlb + nmeasure + 1, nstblz=10, npop_control=1,
+                  rng_seed=8)
+    af = AFQMC(ham, trial, qmc,
+               estimator_options={"mixed": {"energy_eval_freq": 1}},
+               verbose=False, filename=filename)
+    af.run_block()  # compile warm-up
+    for _ in range(neqlb):  # equilibration, discarded
+        af.run_block()
+    t0 = time.perf_counter()
+    rows = [af.run_block() for _ in range(nmeasure)]
+    elapsed = time.perf_counter() - t0
+    e = np.array([r[5] for r in rows]).real
+    _assert_finite(e)
+    # Autocorrelation-corrected error (Sokal windowing) is the honest
+    # sigma; the plain reblock figure rides along for comparison.
+    ac = autocorr.reblock_by_autocorr(e)
+    sigma_ac = float(ac["ETotal_error_ac"].values[0])
+    tau_blocks = int(ac["ac"].values[0])
+    sigma_rb = float(blocking.reblock_summary(e)["standard error"])
+    mean = float(e.mean())
+    dev_sigma = abs(mean - TTE_ANCHOR_ETOTAL) / max(sigma_ac, 1e-12)
+    return {
+        "nwalkers": nw,
+        "value": round(elapsed * (sigma_ac / 1e-3) ** 2, 1),
+        "sigma_autocorr": round(sigma_ac, 6),
+        "sigma_reblock": round(sigma_rb, 6),
+        "tau_blocks": tau_blocks,
+        "blocks_equilibration": neqlb,
+        "blocks_measured": int(len(e)),
+        "elapsed_s": round(elapsed, 2),
+        "mean_etotal": round(mean, 6),
+        "anchor_etotal": TTE_ANCHOR_ETOTAL,
+        "anchor_dev_sigma": round(dev_sigma, 2),
+    }
+
+
 def measure_time_to_error():
     """Time-to-1mHa statistical error on the 4x4 Hubbard headline config —
-    the second, never-measured half of the BASELINE metric (VERDICT r2
-    item 9). Runs real driver blocks (h5 + reblocking included), measures
-    the reblocked standard error sigma(E) after `nblocks`, and projects
-    t(1mHa) = elapsed * (sigma / 1e-3)^2 (standard 1/sqrt(T) scaling)."""
-    import numpy as np
+    the second half of the BASELINE north star. Projects
+    t(1mHa) = elapsed * (sigma / 1e-3)^2 (1/sqrt(T) scaling) from an
+    EQUILIBRATED segment with an autocorrelation-corrected sigma, and
+    reports the walker-count scaling knob (time-to-error ~ 1/nwalkers)."""
     import jax
 
     if "--cpu" in sys.argv:
@@ -579,37 +681,23 @@ def measure_time_to_error():
     if not on_tpu:
         jax.config.update("jax_enable_x64", False)
 
-    from pauxy_tpu.models import make_hubbard, free_electron_trial
-    from pauxy_tpu.qmc import AFQMC, QMCOpts
-
-    nw, nsteps, nblocks, neqlb = NWALKERS, 10, 40, 5
-    ham = make_hubbard(nup=7, ndown=7, U=4.0, nx=4, ny=4)
-    trial = free_electron_trial(ham)
-    qmc = QMCOpts(nwalkers=nw, dt=0.01, nsteps=nsteps, nblocks=nblocks,
-                  nstblz=10, npop_control=1, rng_seed=8)
-    af = AFQMC(ham, trial, qmc,
-               estimator_options={"mixed": {"energy_eval_freq": 1}},
-               verbose=False, filename="bench_tte.h5")
-    af.run_block()  # warm-up/compile (block 1 also equilibrates)
-    t0 = time.perf_counter()
-    rows = [af.run_block() for _ in range(nblocks - 1)]
-    elapsed = time.perf_counter() - t0
-    e = np.array([r[5] for r in rows]).real[neqlb:]
-    _assert_finite(e)
-    from pauxy_tpu.analysis import blocking
-
-    s = blocking.reblock_summary(e)
-    sigma = float(s["standard error"])
-    t_1mha = elapsed * (sigma / 1e-3) ** 2
-    _emit({
-            "metric": "time_to_1mHa_4x4_hubbard_1k",
-            "value": round(t_1mha, 1),
-            "unit": "s (projected, 1/sqrt(T) scaling)",
-            "sigma_measured": round(sigma, 6),
-            "blocks_measured": int(len(e)),
-            "elapsed_s": round(elapsed, 2),
-            "mean_etotal": round(float(e.mean()), 6),
-        })
+    if on_tpu:
+        # ~10 ms/block at 1k walkers: equilibrating hard is nearly free.
+        out = _tte_point(NWALKERS, neqlb=150, nmeasure=300,
+                         filename="bench_tte.h5")
+        big = _tte_point(8 * NWALKERS, neqlb=150, nmeasure=300,
+                         filename="bench_tte8k.h5")
+        out["walkers_8x"] = big
+        out["walker_scaling_speedup"] = round(
+            out["value"] / max(big["value"], 1e-9), 2
+        )
+    else:
+        out = _tte_point(256, neqlb=30, nmeasure=60, filename="bench_tte.h5")
+    out.update({
+        "metric": "time_to_1mHa_4x4_hubbard_1k",
+        "unit": "s (projected, 1/sqrt(T) scaling)",
+    })
+    _emit(out)
 
 
 def _run_child(args_extra):
@@ -754,6 +842,27 @@ def main():
     # Time-to-1mHa statistical error (VERDICT r2 item 9). Unlike the raw
     # throughput points, this is still meaningful (labeled) on the CPU.
     sub_measure("time_to_1mHa", "--tte", cpu_fallback=True)
+
+    # Pallas kernel x shape-class legality matrix on the chip (VERDICT r3
+    # item 2: interpret-mode CI can't see Mosaic tiling errors).
+    if tunnel_ok:
+        km = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "axon", "kernel_matrix.py")
+        try:
+            out = subprocess.run([sys.executable, km], capture_output=True,
+                                 text=True, timeout=2400)
+            for line in out.stdout.splitlines():
+                if line.startswith("KERNEL_MATRIX "):
+                    result["kernel_matrix"] = json.loads(
+                        line[len("KERNEL_MATRIX "):])
+                    break
+            else:
+                result["kernel_matrix_error"] = (
+                    (out.stderr or out.stdout)[-200:].replace("\n", " "))
+        except subprocess.TimeoutExpired:
+            result["kernel_matrix_error"] = "timeout"
+    else:
+        result["kernel_matrix_error"] = "skipped: tunnel wedged"
 
     # Persist / recall the last successful on-chip measurement: a tunnel
     # wedge at measurement time should not erase the round's real TPU

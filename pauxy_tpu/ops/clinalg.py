@@ -35,10 +35,13 @@ def _real_dtype(cdtype):
     return jnp.zeros((), cdtype).real.dtype
 
 
-# VMEM budget of the [n, 2n, lane-block] augmented GJ tile; the lane block
-# adapts down with n (batchla_pallas._lane_block), so full-rank thermal
-# stacks (M ~ 100) still qualify.
+# Routing bound for the lanes-kernel family. Direct VMEM kernels take
+# n <= batchla_pallas.LANES_DIRECT_MAX_N (48, the [n, 2n, 128] augmented-GJ
+# VMEM budget at the Mosaic-mandated 128-lane block); 48 < n <= 128 runs
+# the blocked Schur-complement composition below (lanes leaves + batched
+# MXU matmuls), which covers full-rank thermal stacks (M ~ 100).
 _LANES_MAX_N = 128
+_DIRECT_MAX_N = 48
 
 
 def _lanes_mode(s: jax.Array) -> str | None:
@@ -89,6 +92,14 @@ def _lanes_mode(s: jax.Array) -> str | None:
 
 
 def _lanes_inv_logdet(s: jax.Array, mode: str, want_inv: bool = True):
+    """Inverse + complex log-det of [B, n, n] via the lanes kernels:
+    directly for n <= 48, else the blocked Schur composition."""
+    if s.shape[-1] > _DIRECT_MAX_N:
+        return _schur_inv_logdet(s, mode, want_inv=want_inv)
+    return _lanes_leaf(s, mode, want_inv=want_inv)
+
+
+def _lanes_leaf(s: jax.Array, mode: str, want_inv: bool = True):
     from pauxy_tpu.ops import batchla_pallas as bp
 
     if mode == "single":
@@ -99,6 +110,43 @@ def _lanes_inv_logdet(s: jax.Array, mode: str, want_inv: bool = True):
         s, pmesh.active_mesh(), want_inv=want_inv,
         interpret=(mode == "shard_interpret"),
     )
+
+
+def _schur_inv_logdet(s: jax.Array, mode: str, want_inv: bool = True):
+    """Blocked inverse + log-det by recursive 2x2 Schur complement.
+
+    s = [[A, B], [C, D]]: inv and det come from inv(A), the Schur
+    complement S = D - C A^-1 B, and inv(S) —
+        det(s)  = det(A) det(S)
+        inv(s)  = [[A^-1 + A^-1 B S^-1 C A^-1,  -A^-1 B S^-1],
+                   [-S^-1 C A^-1,                S^-1       ]]
+    Leaves (n <= 48) run the VMEM lanes Gauss-Jordan (pivoted WITHIN each
+    leaf); the glue is batched complex matmuls the MXU eats directly. No
+    cross-block pivoting: fine for the AFQMC matrices this sees (stabilized
+    Green's-function factors, QDT cores — never near-singular leading
+    blocks by construction), same caveat as any blocked LU-without-pivoting.
+    Reference being replaced: per-walker scipy inv/det on the thermal stack
+    (``pauxy/walkers/thermal.py:472``, ``pauxy/walkers/stack.py:326``).
+    """
+    n = s.shape[-1]
+    m = (n + 1) // 2
+    a, b = s[:, :m, :m], s[:, :m, m:]
+    c, d = s[:, m:, :m], s[:, m:, m:]
+    lda, ainv = _lanes_inv_logdet(a, mode, want_inv=True)
+    ainv_b = jnp.matmul(ainv, b)
+    schur = d - jnp.matmul(c, ainv_b)
+    lds, sinv = _lanes_inv_logdet(schur, mode, want_inv=want_inv)
+    ld = lda + lds
+    if not want_inv:
+        return ld, None
+    c_ainv = jnp.matmul(c, ainv)
+    sinv_c_ainv = jnp.matmul(sinv, c_ainv)
+    top = jnp.concatenate(
+        [ainv + jnp.matmul(ainv_b, sinv_c_ainv), -jnp.matmul(ainv_b, sinv)],
+        axis=-1,
+    )
+    bot = jnp.concatenate([-sinv_c_ainv, sinv], axis=-1)
+    return ld, jnp.concatenate([top, bot], axis=-2)
 
 
 # ----------------------------------------------------------------------------
@@ -215,7 +263,10 @@ def cholesky_qr(phi: jax.Array) -> tuple[jax.Array, jax.Array]:
         # 0-column determinant blocks: Q empty, log det R = 0.
         return phi, jnp.zeros(phi.shape[:-2] + (1,), phi.real.dtype)
     s = jnp.einsum("...mi,...mj->...ij", phi.conj(), phi)
-    mode = _lanes_mode(s)
+    # The chol lanes kernel is direct-only (n = orbital count per spin,
+    # <= 48 in every driver path); larger n takes the interleaved-embedding
+    # XLA route below rather than an illegal narrow lane block.
+    mode = _lanes_mode(s) if s.shape[-1] <= _DIRECT_MAX_N else None
     if mode:
         from pauxy_tpu.ops import batchla_pallas as bp
 

@@ -239,19 +239,29 @@ def load_walkers_sharded(template, dirname: str, mesh=None):
                     f"{name!r} missing from {nmiss} of "
                     f"{len(files)} shard files"
                 )
+            shape = (sum(p.shape[0] for p in raw),) + raw[0].shape[1:]
+            # Each process uploads ONLY the shards whose device it
+            # addresses — on a multi-process (DCN) mesh device_put to
+            # another host's device is impossible, and
+            # make_array_from_single_device_arrays wants exactly the
+            # addressable pieces.
+            pidx = jax.process_index()
             parts_re, parts_im = [], []
-            for arr in raw:
+            local_devices = []
+            for arr, dev in zip(raw, devices):
+                if dev.process_index != pidx:
+                    continue
                 arr = arr.astype(t.dtype)
                 parts_re.append(np.ascontiguousarray(arr.real))
                 parts_im.append(
                     np.ascontiguousarray(arr.imag)
                     if np.iscomplexobj(arr) else None
                 )
-            shape = (sum(p.shape[0] for p in parts_re),) + parts_re[0].shape[1:]
+                local_devices.append(dev)
 
             def assemble(parts):
                 bufs = [jax.device_put(p, d)
-                        for p, d in zip(parts, devices)]
+                        for p, d in zip(parts, local_devices)]
                 return jax.make_array_from_single_device_arrays(
                     shape, sharded, bufs
                 )

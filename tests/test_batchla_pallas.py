@@ -36,19 +36,81 @@ def test_inv_logdet_lanes_matches_numpy():
 
 
 @pytest.mark.unit
-def test_inv_logdet_lanes_narrow_lane_block():
-    """n > 48 shrinks the lane block (batchla_pallas._lane_block) to fit
-    the augmented GJ in scoped VMEM; results must be unchanged."""
+def test_lane_block_is_mosaic_legal():
+    """The lane block is always 128 — Mosaic rejects narrower lane tiles
+    on real hardware (VERDICT r3 weak #1: wb∈{64,32} passed interpret mode
+    but crashed every thermal M>48 run on the chip). n beyond the direct
+    VMEM budget must raise, not shrink the block."""
     from pauxy_tpu.ops.batchla_pallas import _lane_block
 
-    assert _lane_block(16) == 128 and _lane_block(50) == 64
-    rng = np.random.default_rng(8)
-    w, n = 5, 50
-    s = rand_c(rng, w, n, n) + 4 * np.eye(n, dtype=np.complex64)
-    ld, inv = inv_logdet_lanes(jnp.asarray(s), interpret=True)
-    assert np.abs(np.asarray(inv) - np.linalg.inv(s)).max() < 1e-3
+    assert _lane_block(16) == 128 and _lane_block(48) == 128
+    with pytest.raises(ValueError, match="Schur"):
+        _lane_block(50)
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("n", [50, 93, 128])
+def test_schur_blocked_inv_logdet_math(monkeypatch, n):
+    """48 < n <= 128 (full-rank thermal stacks, M~100) routes through the
+    blocked Schur composition; its math must match numpy at every
+    thermal-reachable size class. Leaves are faked with an exact numpy
+    inverse so the test isolates the COMPOSITION (leaf-kernel correctness
+    is covered by the direct interpret tests above; composed Mosaic
+    legality by tools/axon/kernel_matrix.py on the chip)."""
+    from pauxy_tpu.ops import clinalg
+
+    calls = []
+
+    def fake_leaf(s, mode, want_inv=True):
+        calls.append(s.shape[-1])
+        assert s.shape[-1] <= 48, "leaf larger than the direct VMEM budget"
+        host = np.asarray(s).astype(np.complex128)
+        sign, logabs = np.linalg.slogdet(host)
+        ld = (logabs + 1j * np.angle(sign)).astype(np.complex64)
+        inv = np.linalg.inv(host).astype(np.complex64) if want_inv else None
+        return jnp.asarray(ld), None if inv is None else jnp.asarray(inv)
+
+    monkeypatch.setattr(clinalg, "_lanes_leaf", fake_leaf)
+    rng = np.random.default_rng(n)
+    w = 3
+    # Diagonally-dominated like the stabilized thermal factors (the Schur
+    # path assumes a nonsingular leading block, as they guarantee).
+    s = rand_c(rng, w, n, n) + 6 * np.eye(n, dtype=np.complex64)
+    ld, x = clinalg._schur_inv_logdet(jnp.asarray(s), "single")
+    ld, x = np.asarray(ld), np.asarray(x)
+    assert np.abs(x - np.linalg.inv(s)).max() < 1e-3
     sign, logabs = np.linalg.slogdet(s)
-    np.testing.assert_allclose(np.asarray(ld).real, logabs, atol=1e-3)
+    np.testing.assert_allclose(ld.real, logabs, rtol=2e-5)
+    np.testing.assert_allclose(np.exp(1j * ld.imag), sign, atol=1e-3)
+    assert calls and max(calls) <= 48
+    # logdet-only variant skips the Schur-inverse assembly.
+    ld2, none = clinalg._schur_inv_logdet(jnp.asarray(s), "single",
+                                          want_inv=False)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(ld2).real, logabs, rtol=2e-5)
+
+
+@pytest.mark.unit
+def test_clinalg_schur_dispatch_interpret(monkeypatch):
+    """One end-to-end 48<n run through the REAL lanes leaves in interpret
+    mode (small shapes — interpret compile cost grows fast with n)."""
+    import functools
+
+    from pauxy_tpu.ops import batchla_pallas as bp
+    from pauxy_tpu.ops import clinalg
+
+    monkeypatch.setenv("PAUXY_TPU_BATCHLA", "pallas")
+    # Keep the kernel JITTED (interpret=True is a static arg): the eager
+    # unjitted interpreter is pathologically slow beyond tiny n.
+    monkeypatch.setattr(
+        bp, "inv_logdet_lanes",
+        functools.partial(bp.inv_logdet_lanes, interpret=True),
+    )
+    rng = np.random.default_rng(4)
+    w, n = 2, 50
+    s = rand_c(rng, w, n, n) + 6 * np.eye(n, dtype=np.complex64)
+    x = np.asarray(clinalg.inv(jnp.asarray(s)))
+    assert np.abs(x - np.linalg.inv(s)).max() < 1e-3
 
 
 @pytest.mark.unit

@@ -1,0 +1,227 @@
+"""On-chip Pallas kernel x shape-class sweep (VERDICT r3 item 2).
+
+Interpret-mode CI validates kernel MATH but not Mosaic tiling/VMEM
+legality — exactly the blind spot that let r3 ship lane blocks the real
+chip rejects (every thermal M>48 run crashed). This sweep runs EVERY
+Pallas kernel at EVERY shape class a driver can dispatch, on the ambient
+backend (the axon TPU when run without overrides), readback-fenced, and
+validates each result against a host/numpy reference.
+
+Run: python tools/axon/kernel_matrix.py
+Prints one line per cell and a final ``KERNEL_MATRIX {json}`` summary that
+bench.py embeds in the bench artifact.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def _rc(rng, *shape):
+    return (rng.normal(size=shape)
+            + 1j * rng.normal(size=shape)).astype(np.complex64)
+
+
+# The axon tunnel cannot run EAGER complex primitives or complex transfers
+# (cf. tools/axon/smoke.py): every cell ships complex data via
+# utils.transfer (split re/im + jitted combine), runs the op under jit, and
+# reads back via to_host. The final np comparison is the readback fence.
+
+
+def cell_batchla_inv(n, w=256):
+    """clinalg.inv/slogdet dispatch: direct lanes (n<=48) or blocked Schur
+    (48<n<=128) — the thermal full-rank size classes."""
+    import jax
+    from pauxy_tpu.ops import clinalg
+    from pauxy_tpu.utils.transfer import to_device, to_host
+
+    rng = np.random.default_rng(n)
+    s = _rc(rng, w, n, n) + 5 * np.eye(n, dtype=np.complex64)
+    out = jax.jit(lambda x: (clinalg.inv(x), clinalg.slogdet(x)))(
+        to_device(s))
+    inv, ld = to_host(out)
+    err = np.abs(np.einsum("wij,wjk->wik", s, inv)
+                 - np.eye(n, dtype=np.complex64)).max()
+    sign, logabs = np.linalg.slogdet(s)
+    lderr = max(np.abs(ld.real - logabs).max(),
+                np.abs(np.exp(1j * ld.imag) - sign).max())
+    assert err < 5e-3 and lderr < 5e-3, (err, lderr)
+
+
+def cell_batchla_chol(n, w=256):
+    """cholesky_qr lanes kernel at the T=0 electron-count classes."""
+    import jax
+    from pauxy_tpu.ops import clinalg
+    from pauxy_tpu.utils.transfer import to_device, to_host
+
+    rng = np.random.default_rng(n + 1)
+    phi = _rc(rng, w, 4 * n, n)
+    q, logr = to_host(jax.jit(clinalg.cholesky_qr2)(to_device(phi)))
+    qtq = np.einsum("wmi,wmj->wij", q.conj(), q)
+    err = np.abs(qtq - np.eye(n, dtype=np.complex64)).max()
+    _, ldref = np.linalg.slogdet(
+        np.einsum("wmi,wmj->wij", phi.conj(), phi))
+    assert err < 5e-3 and np.abs(logr - 0.5 * ldref).max() < 5e-3
+
+
+def cell_greens(m, n, w=256):
+    """greens lanes kernel at every (M, ne) class the drivers dispatch."""
+    from pauxy_tpu.ops.greens_pallas import greens_lanes_pallas
+    from pauxy_tpu.utils.transfer import to_device, to_host
+
+    rng = np.random.default_rng(m + n)
+    psi = _rc(rng, m, n)
+    phi = _rc(rng, m, n, w) * 0.3
+    phi[:, :, :] += psi[:, :, None]  # overlap not near-singular
+    ld, ght = to_host(greens_lanes_pallas(to_device(psi), to_device(phi)))
+    s = np.einsum("mnw,mk->wnk", phi, psi.conj())  # S = phi^T conj(psi)
+    _, ldref = np.linalg.slogdet(s)
+    assert np.abs(ld.real - ldref).max() < 5e-3
+    gh_ref = np.einsum("wni,miw->wnm", np.linalg.inv(s),
+                       np.transpose(phi, (0, 1, 2)))
+    gh = np.transpose(ght, (2, 1, 0))  # ghT[q, i, w] -> [w, i, q]
+    assert np.abs(gh - gh_ref).max() < 5e-2
+
+
+def cell_sweep(nx, ny, na, w=256):
+    """Hirsch site-sweep kernel at the lattice classes (4x4, 3x3)."""
+    import jax.numpy as jnp
+    from pauxy_tpu.ops.sweep_pallas import hirsch_sweep_real
+
+    m = nx * ny
+    rng = np.random.default_rng(m)
+    psia = rng.normal(size=(m, na)).astype(np.float32)
+    psib = rng.normal(size=(m, na)).astype(np.float32)
+    phia = np.repeat(psia[None], w, 0) + 0.05 * rng.normal(
+        size=(w, m, na)).astype(np.float32)
+    phib = np.repeat(psib[None], w, 0) + 0.05 * rng.normal(
+        size=(w, m, na)).astype(np.float32)
+    inva = np.linalg.inv(np.einsum("mi,wmj->wij", psia, phia))
+    invb = np.linalg.inv(np.einsum("mi,wmj->wij", psib, phib))
+    gamma = np.arccosh(np.exp(0.5 * 0.01 * 4.0))
+    auxf = np.array([[np.exp(gamma), np.exp(-gamma)],
+                     [np.exp(-gamma), np.exp(gamma)]]) * np.exp(-0.5 * 0.01 * 4.0)
+    delta = (auxf - 1).astype(np.float32)
+    wfac = np.ones(2, np.float32)
+    rs = rng.uniform(size=(m, w)).astype(np.float32)
+    weight = np.ones(w, np.float32)
+    outs = hirsch_sweep_real(
+        jnp.asarray(psia), jnp.asarray(psib), jnp.asarray(delta),
+        jnp.asarray(wfac), jnp.asarray(phia), jnp.asarray(phib),
+        jnp.asarray(inva.astype(np.float32)),
+        jnp.asarray(invb.astype(np.float32)),
+        jnp.asarray(rs), jnp.asarray(weight))
+    host = [np.asarray(o) for o in outs]                   # readback fence
+    assert all(np.isfinite(h).all() for h in host[:4])
+
+
+def cell_exx(x, n, m, w=64):
+    """Exchange-energy kernel at the generic bench class + a small class."""
+    import jax.numpy as jnp
+    from pauxy_tpu.ops.exx_pallas import exx_pallas
+    from pauxy_tpu.utils.transfer import to_device, to_host
+
+    rng = np.random.default_rng(x)
+    rchol = rng.normal(size=(x, n, m)).astype(np.float32)
+    ghalf = _rc(rng, w, n, m) * 0.1
+    out = to_host(exx_pallas(jnp.asarray(rchol), to_device(ghalf)))
+    t = np.einsum("xim,wjm->wxij", rchol, ghalf)
+    ref = np.einsum("wxij,wxji->w", t, t)
+    assert np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6) < 2e-2
+
+
+def cell_taylor(m, n, w=64):
+    """Fused Taylor expm-apply kernel at the generic/hubbard classes."""
+    from pauxy_tpu.ops.taylor_pallas import apply_taylor_pallas
+    from pauxy_tpu.utils.transfer import to_device, to_host
+
+    rng = np.random.default_rng(m)
+    vhs = _rc(rng, w, m, m) * (0.3 / np.sqrt(m))
+    phi = _rc(rng, w, m, n)
+    out = to_host(apply_taylor_pallas(to_device(vhs), to_device(phi)))
+    ref = phi.copy()
+    term = phi.copy()
+    for k in range(1, 7):
+        term = np.einsum("wpq,wqn->wpn", vhs, term) / k
+        ref = ref + term
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-2
+
+
+CELLS = [
+    # (name, callable) — every Pallas kernel x every driver-dispatchable
+    # shape class. batchla n: T=0 electron counts (8..48 direct) and the
+    # thermal full-rank M classes (50, 93, 128 -> blocked Schur).
+    ("batchla_inv_n8", lambda: cell_batchla_inv(8)),
+    ("batchla_inv_n30", lambda: cell_batchla_inv(30)),
+    ("batchla_inv_n48", lambda: cell_batchla_inv(48)),
+    ("batchla_inv_n50", lambda: cell_batchla_inv(50)),
+    ("batchla_inv_n93", lambda: cell_batchla_inv(93, w=64)),
+    ("batchla_inv_n128", lambda: cell_batchla_inv(128, w=64)),
+    ("batchla_chol_n7", lambda: cell_batchla_chol(7)),
+    ("batchla_chol_n16", lambda: cell_batchla_chol(16)),
+    ("batchla_chol_n48", lambda: cell_batchla_chol(48)),
+    ("greens_m9_n3", lambda: cell_greens(9, 3)),        # 3x3 Hubbard
+    ("greens_m16_n7", lambda: cell_greens(16, 7)),      # 4x4 Hubbard
+    ("greens_m128_n16", lambda: cell_greens(128, 16)),  # generic bench
+    ("greens_m257_n7", lambda: cell_greens(257, 7, w=128)),  # UEG ecut=8
+    ("sweep_4x4", lambda: cell_sweep(4, 4, 7, w=256)),
+    ("sweep_3x3", lambda: cell_sweep(3, 3, 3, w=256)),
+    ("exx_generic", lambda: cell_exx(512, 16, 128)),
+    ("exx_small", lambda: cell_exx(30, 3, 12)),
+    ("taylor_m128_n16", lambda: cell_taylor(128, 16)),
+    ("taylor_m16_n7", lambda: cell_taylor(16, 7, w=256)),
+]
+
+
+def main(only=None):
+    import jax
+
+    import pauxy_tpu.config as cfg
+
+    # Pin the driver's default matmul policy: jax's DEFAULT on TPU is a
+    # single bf16 pass even for f32, which fails the numeric tolerances
+    # here for reasons that have nothing to do with kernel legality.
+    cfg.set_matmul_precision("float32")
+    print("devices:", jax.devices(), flush=True)
+    platform = jax.devices()[0].platform
+    results = {}
+    for name, fn in CELLS:
+        if only and only not in name:
+            continue
+        t0 = time.time()
+        for attempt in range(3):
+            try:
+                fn()
+                results[name] = "ok"
+                print(f"OK   {name} ({time.time()-t0:.1f}s)", flush=True)
+                break
+            except Exception as e:  # noqa: BLE001 — matrix records every cell
+                msg = f"{type(e).__name__}: {str(e)[:120]}"
+                # The axon remote-compile helper 500s transiently (observed
+                # same shape failing then passing minutes apart); retry
+                # before recording a legality failure.
+                transient = "remote_compile" in str(e) or "HTTP 50" in str(e)
+                if transient and attempt < 2:
+                    print(f"RETRY {name} (transient: {msg[:80]})", flush=True)
+                    time.sleep(20)
+                    continue
+                results[name] = msg
+                print(f"FAIL {name}: {msg}", flush=True)
+                break
+    summary = {
+        "platform": platform,
+        "cells": results,
+        "n_fail": sum(v != "ok" for v in results.values()),
+    }
+    print("KERNEL_MATRIX " + json.dumps(summary), flush=True)
+    return summary["n_fail"]
+
+
+if __name__ == "__main__":
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    sys.exit(1 if main(only) else 0)
