@@ -29,6 +29,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 WB = 128  # walker lane block
 
+# Unroll the site loops only for small lattices: the unrolled program is
+# marginally faster per step, but its code size (and Mosaic compile time)
+# grows as O(m*n) — a 10x10 lattice took minutes to compile and wedged the
+# axon remote-compile helper. Larger m runs the fori_loop body (compiled
+# once, O(n) code).
+UNROLL_MAX_M = 32
+
+
+def vmem_ok(m: int, n: int) -> bool:
+    """Whether one lane block of the kernel fits scoped VMEM: fr/fi inputs
+    and ghT outputs ([m, n, 128] f32 re+im each), the augmented
+    Gauss-Jordan working set (~4 live [n, 2n, 128] f32 arrays, which also
+    caps n at the 48 of ops/batchla_pallas.LANES_DIRECT_MAX_N), and the
+    overlap accumulators. Callers route anything larger to the XLA lanes
+    path (qmc/afqmc.fast_greens_impl)."""
+    f = 4  # f32 bytes per element
+    io = 2 * 2 * m * n * WB * f          # fr/fi in + ghT out, re+im
+    gj = 4 * n * (2 * n) * WB * f        # augmented GJ live arrays
+    s = 2 * n * n * WB * f               # overlap accumulators
+    return n <= 48 and (io + gj + s) < 12 * 2**20
+
 
 def _greens_kernel(m, n, want_gh,
                    psr_ref, psi_ref,
@@ -39,21 +60,39 @@ def _greens_kernel(m, n, want_gh,
     else:
         ldr_out, ldi_out = refs
 
+    from jax import lax
+
     w = fr_ref.shape[-1]
     f32 = fr_ref.dtype
+    unroll = m <= UNROLL_MAX_M
 
     # ---- S[i, j] = sum_m phi[m, i] conj(psi[m, j]) ----------------------
     sr = jnp.zeros((n, n, w), f32)
     si = jnp.zeros((n, n, w), f32)
-    for mm in range(m):
-        fr = fr_ref[mm]                                   # [n, W]
-        fi = fi_ref[mm]
-        wr = jnp.stack([psr_ref[mm, j] for j in range(n)])     # [n]
-        wi = jnp.stack([-psi_ref[mm, j] for j in range(n)])    # conj
+
+    def s_update(sr, si, fr, fi, wr, wi):
         sr = sr + fr[:, None, :] * wr[None, :, None] \
             - fi[:, None, :] * wi[None, :, None]
         si = si + fr[:, None, :] * wi[None, :, None] \
             + fi[:, None, :] * wr[None, :, None]
+        return sr, si
+
+    if unroll:
+        for mm in range(m):
+            fr = fr_ref[mm]                               # [n, W]
+            fi = fi_ref[mm]
+            wr = jnp.stack([psr_ref[mm, j] for j in range(n)])   # [n]
+            wi = jnp.stack([-psi_ref[mm, j] for j in range(n)])  # conj
+            sr, si = s_update(sr, si, fr, fi, wr, wi)
+    else:
+        def s_body(mm, carry):
+            fr = fr_ref[pl.ds(mm, 1)][0]
+            fi = fi_ref[pl.ds(mm, 1)][0]
+            wr = jnp.stack([psr_ref[mm, j] for j in range(n)])
+            wi = jnp.stack([-psi_ref[mm, j] for j in range(n)])
+            return s_update(*carry, fr, fi, wr, wi)
+
+        sr, si = lax.fori_loop(0, m, s_body, (sr, si))
 
     # ---- Gauss-Jordan with partial pivoting on the augmented [S | I] ----
     # Shared elimination (ops/batchla_pallas.gauss_jordan_lanes): inverse
@@ -68,9 +107,7 @@ def _greens_kernel(m, n, want_gh,
     if not want_gh:
         return
     # ---- ghT[q] = inv @ phi[q] per site row q ---------------------------
-    for q in range(m):
-        fqr = fr_ref[q]                                   # [n, W]
-        fqi = fi_ref[q]
+    def gh_row(fqr, fqi):
         accr = jnp.zeros((n, w), f32)
         acci = jnp.zeros((n, w), f32)
         for j in range(n):
@@ -78,8 +115,22 @@ def _greens_kernel(m, n, want_gh,
             bi = fqi[j : j + 1]
             accr = accr + invr[:, j] * br - invi[:, j] * bi
             acci = acci + invr[:, j] * bi + invi[:, j] * br
-        ghr_out[q] = accr
-        ghi_out[q] = acci
+        return accr, acci
+
+    if unroll:
+        for q in range(m):
+            accr, acci = gh_row(fr_ref[q], fi_ref[q])
+            ghr_out[q] = accr
+            ghi_out[q] = acci
+    else:
+        def gh_body(q, _):
+            qs = pl.ds(q, 1)
+            accr, acci = gh_row(fr_ref[qs][0], fi_ref[qs][0])
+            ghr_out[qs] = accr[None]
+            ghi_out[qs] = acci[None]
+            return 0
+
+        lax.fori_loop(0, m, gh_body, 0)
 
 
 @functools.partial(

@@ -621,6 +621,17 @@ class AFQMC:
             return self._greens_impl_override
         if jax.default_backend() == "cpu":
             return "xla"
+        from pauxy_tpu.ops import greens_pallas
+
+        psia = getattr(self.trial, "psia", None)
+        if psia is not None and psia.ndim == 2:
+            m, na = psia.shape
+            nb = self.state.phib.shape[-1] if self.state.phib is not None \
+                else 0
+            if not greens_pallas.vmem_ok(m, max(na, nb)):
+                # Large lattices (e.g. 12x12 half-filled) exceed the
+                # kernel's per-lane-block VMEM budget; XLA lanes path.
+                return "xla"
         if len(jax.devices()) == 1:
             return "pallas"
         from pauxy_tpu.parallel import mesh as pmesh

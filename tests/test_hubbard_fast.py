@@ -122,6 +122,40 @@ def test_fast_block_pallas_greens_matches_xla(tmp_path):
 
 
 @pytest.mark.unit
+def test_greens_pallas_fori_loop_large_lattice():
+    """Lattices beyond UNROLL_MAX_M sites run the fori_loop kernel body
+    (the unrolled program's code size is O(m*n) and wedged Mosaic compiles
+    at 8x8+); math must match numpy on both sides of the threshold, and
+    the VMEM guard must route oversized problems to XLA."""
+    import jax.numpy as jnp
+
+    from pauxy_tpu.ops.greens_pallas import (UNROLL_MAX_M,
+                                             greens_lanes_pallas, vmem_ok)
+
+    rng = np.random.default_rng(5)
+    for m, n in [(16, 7), (36, 18), (64, 28)]:
+        w = 8
+        psi = (rng.normal(size=(m, n))
+               + 1j * rng.normal(size=(m, n))).astype(np.complex64)
+        phi = 0.3 * (rng.normal(size=(m, n, w)) + 1j * rng.normal(
+            size=(m, n, w))).astype(np.complex64) + psi[:, :, None]
+        ld, ght = greens_lanes_pallas(jnp.asarray(psi), jnp.asarray(phi),
+                                      interpret=True)
+        s = np.einsum("mnw,mk->wnk", phi, psi.conj())
+        _, ldref = np.linalg.slogdet(s)
+        gh_ref = np.einsum("wni,miw->wnm", np.linalg.inv(s), phi)
+        gh = np.transpose(np.asarray(ght), (2, 1, 0))
+        assert np.abs(np.asarray(ld).real - ldref).max() < 1e-3
+        assert np.abs(gh - gh_ref).max() < 1e-3
+        assert vmem_ok(m, n)
+    assert UNROLL_MAX_M < 36  # the loop above covered both kernel bodies
+    # Oversized: 12x12 half-filled exceeds VMEM; 10x10 n=50 exceeds the GJ
+    # n-budget. fast_greens_impl falls back to 'xla' for these.
+    assert not vmem_ok(144, 72)
+    assert not vmem_ok(100, 50)
+
+
+@pytest.mark.unit
 def test_eligible_classifies_every_propagator_option():
     """Drift catcher for the fast-path gate: every config field of
     Continuous / HubbardContinuous must be classified here as either

@@ -165,10 +165,13 @@ CELLS = [
     ("batchla_chol_n7", lambda: cell_batchla_chol(7)),
     ("batchla_chol_n16", lambda: cell_batchla_chol(16)),
     ("batchla_chol_n48", lambda: cell_batchla_chol(48)),
-    ("greens_m9_n3", lambda: cell_greens(9, 3)),        # 3x3 Hubbard
-    ("greens_m16_n7", lambda: cell_greens(16, 7)),      # 4x4 Hubbard
-    ("greens_m128_n16", lambda: cell_greens(128, 16)),  # generic bench
-    ("greens_m257_n7", lambda: cell_greens(257, 7, w=128)),  # UEG ecut=8
+    # greens lanes dispatches ONLY from the Hubbard fast block
+    # (qmc/afqmc.fast_greens_impl guards on greens_pallas.vmem_ok);
+    # classes = lattice sizes. m>32 exercises the fori_loop body.
+    ("greens_m9_n3", lambda: cell_greens(9, 3)),        # 3x3
+    ("greens_m16_n7", lambda: cell_greens(16, 7)),      # 4x4 headline
+    ("greens_m36_n18", lambda: cell_greens(36, 18)),    # 6x6 half-filled
+    ("greens_m64_n28", lambda: cell_greens(64, 28)),    # 8x8
     ("sweep_4x4", lambda: cell_sweep(4, 4, 7, w=256)),
     ("sweep_3x3", lambda: cell_sweep(3, 3, 3, w=256)),
     ("exx_generic", lambda: cell_exx(512, 16, 128)),
