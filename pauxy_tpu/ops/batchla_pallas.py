@@ -39,15 +39,15 @@ from jax.experimental import pallas as pl
 
 WB = 128  # walker lane block — Mosaic requires 128-wide lane tiles
 
-# Largest n the direct kernels accept: the augmented GJ holds ~4 live
-# [n, 2n, 128] f32 arrays in scoped VMEM (~16 MB budget), which caps n at
-# ~48 with the lane block pinned at 128. Narrower lane blocks are NOT an
-# option — Mosaic rejects BlockSpecs whose lane dimension is < 128 on real
-# hardware (VERDICT r3 weak #1: wb∈{64,32} compiled in interpret mode but
-# crashed every thermal M>48 run on the chip). Callers with 48 < n <= 128
-# go through clinalg's blocked Schur-complement composition of these
-# kernels instead.
-LANES_DIRECT_MAX_N = 48
+# Largest n the direct kernels accept. Two hard constraints, both probed
+# on the real chip (2026-08-19): (1) the lane block must be 128 — Mosaic
+# rejects narrower lane tiles on hardware (VERDICT r3 weak #1: wb∈{64,32}
+# compiled in interpret mode but crashed every thermal M>48 run on the
+# chip); (2) the unrolled augmented-GJ program stops compiling between
+# n=44 (101 s compile) and n=46 (tpu_compile_helper abort). 40 keeps the
+# compile under ~20 s with margin. Callers with larger n go through
+# clinalg's blocked Schur-complement composition of these kernels.
+LANES_DIRECT_MAX_N = 40
 
 
 def _lane_block(n: int) -> int:
@@ -78,16 +78,18 @@ def gauss_jordan_lanes(sr, si, n, w):
     phr = jnp.ones((w,), f32)
     phi2 = jnp.zeros((w,), f32)
     rows = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    rows2d = rows[:, 0]                                   # [n, 1] iota
     for k in range(n):
         mag = ar[:, k] * ar[:, k] + ai[:, k] * ai[:, k]   # [n, W]
-        # Pivot = argmax |S[i, k]|^2 over rows i >= k (unrolled compare
-        # chain; no argmax primitive in Mosaic).
-        best = mag[k]
-        piv = jnp.full((w,), k, jnp.int32)
-        for i in range(k + 1, n):
-            better = mag[i] > best
-            best = jnp.where(better, mag[i], best)
-            piv = jnp.where(better, jnp.int32(i), piv)
+        # Pivot = argmax |S[i, k]|^2 over rows i >= k, as two sublane
+        # reductions (max, then lowest index attaining it). The former
+        # unrolled compare chain made the kernel's code size O(n^2) and
+        # blew up the Mosaic compile just below n=48.
+        eligible = jnp.where(rows2d >= k, mag, -1.0)      # mag >= 0
+        best = jnp.max(eligible, axis=0)                  # [W]
+        piv = jnp.min(
+            jnp.where(eligible == best[None, :], rows2d, n), axis=0
+        ).astype(jnp.int32)
         # Swap rows k <-> piv per lane (selects; no scatter).
         is_piv = rows[:, 0] == piv[None, :]               # [n, W]
         selr = jnp.sum(jnp.where(is_piv[:, None, :], ar, 0.0), axis=0)

@@ -36,12 +36,13 @@ def _real_dtype(cdtype):
 
 
 # Routing bound for the lanes-kernel family. Direct VMEM kernels take
-# n <= batchla_pallas.LANES_DIRECT_MAX_N (48, the [n, 2n, 128] augmented-GJ
-# VMEM budget at the Mosaic-mandated 128-lane block); 48 < n <= 128 runs
-# the blocked Schur-complement composition below (lanes leaves + batched
-# MXU matmuls), which covers full-rank thermal stacks (M ~ 100).
+# n <= batchla_pallas.LANES_DIRECT_MAX_N (40 — the chip-probed Mosaic
+# compile ceiling of the unrolled augmented GJ at the mandated 128-lane
+# block); larger n up to 128 runs the blocked Schur-complement
+# composition below (lanes leaves + batched MXU matmuls), which covers
+# full-rank thermal stacks (M ~ 100).
 _LANES_MAX_N = 128
-_DIRECT_MAX_N = 48
+_DIRECT_MAX_N = 40
 
 
 def _lanes_mode(s: jax.Array) -> str | None:

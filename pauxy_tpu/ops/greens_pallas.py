@@ -38,17 +38,20 @@ UNROLL_MAX_M = 32
 
 
 def vmem_ok(m: int, n: int) -> bool:
-    """Whether one lane block of the kernel fits scoped VMEM: fr/fi inputs
-    and ghT outputs ([m, n, 128] f32 re+im each), the augmented
-    Gauss-Jordan working set (~4 live [n, 2n, 128] f32 arrays, which also
-    caps n at the 48 of ops/batchla_pallas.LANES_DIRECT_MAX_N), and the
-    overlap accumulators. Callers route anything larger to the XLA lanes
-    path (qmc/afqmc.fast_greens_impl)."""
+    """Whether one lane block of the kernel fits scoped VMEM AND compiles:
+    fr/fi inputs and ghT outputs ([m, n, 128] f32 re+im each), the
+    augmented Gauss-Jordan working set (~4 live [n, 2n, 128] f32 arrays;
+    the embedded unrolled GJ shares the chip-probed Mosaic compile
+    ceiling of ops/batchla_pallas.LANES_DIRECT_MAX_N), and the overlap
+    accumulators. Callers route anything larger to the XLA lanes path
+    (qmc/afqmc.fast_greens_impl)."""
+    from pauxy_tpu.ops.batchla_pallas import LANES_DIRECT_MAX_N
+
     f = 4  # f32 bytes per element
     io = 2 * 2 * m * n * WB * f          # fr/fi in + ghT out, re+im
     gj = 4 * n * (2 * n) * WB * f        # augmented GJ live arrays
     s = 2 * n * n * WB * f               # overlap accumulators
-    return n <= 48 and (io + gj + s) < 12 * 2**20
+    return n <= LANES_DIRECT_MAX_N and (io + gj + s) < 12 * 2**20
 
 
 def _greens_kernel(m, n, want_gh,

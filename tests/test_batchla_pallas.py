@@ -43,9 +43,11 @@ def test_lane_block_is_mosaic_legal():
     VMEM budget must raise, not shrink the block."""
     from pauxy_tpu.ops.batchla_pallas import _lane_block
 
-    assert _lane_block(16) == 128 and _lane_block(48) == 128
+    from pauxy_tpu.ops.batchla_pallas import LANES_DIRECT_MAX_N
+
+    assert _lane_block(16) == 128 and _lane_block(LANES_DIRECT_MAX_N) == 128
     with pytest.raises(ValueError, match="Schur"):
-        _lane_block(50)
+        _lane_block(LANES_DIRECT_MAX_N + 1)
 
 
 @pytest.mark.unit
@@ -63,7 +65,9 @@ def test_schur_blocked_inv_logdet_math(monkeypatch, n):
 
     def fake_leaf(s, mode, want_inv=True):
         calls.append(s.shape[-1])
-        assert s.shape[-1] <= 48, "leaf larger than the direct VMEM budget"
+        from pauxy_tpu.ops.batchla_pallas import LANES_DIRECT_MAX_N
+        assert s.shape[-1] <= LANES_DIRECT_MAX_N, \
+            "leaf larger than the direct VMEM budget"
         host = np.asarray(s).astype(np.complex128)
         sign, logabs = np.linalg.slogdet(host)
         ld = (logabs + 1j * np.angle(sign)).astype(np.complex64)
@@ -82,7 +86,8 @@ def test_schur_blocked_inv_logdet_math(monkeypatch, n):
     sign, logabs = np.linalg.slogdet(s)
     np.testing.assert_allclose(ld.real, logabs, rtol=2e-5)
     np.testing.assert_allclose(np.exp(1j * ld.imag), sign, atol=1e-3)
-    assert calls and max(calls) <= 48
+    from pauxy_tpu.ops.batchla_pallas import LANES_DIRECT_MAX_N
+    assert calls and max(calls) <= LANES_DIRECT_MAX_N
     # logdet-only variant skips the Schur-inverse assembly.
     ld2, none = clinalg._schur_inv_logdet(jnp.asarray(s), "single",
                                           want_inv=False)
