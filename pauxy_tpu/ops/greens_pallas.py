@@ -51,7 +51,11 @@ def vmem_ok(m: int, n: int) -> bool:
     io = 2 * 2 * m * n * WB * f          # fr/fi in + ghT out, re+im
     gj = 4 * n * (2 * n) * WB * f        # augmented GJ live arrays
     s = 2 * n * n * WB * f               # overlap accumulators
-    return n <= LANES_DIRECT_MAX_N and (io + gj + s) < 12 * 2**20
+    # io counts twice: Pallas double-buffers the pipelined in/out blocks.
+    # The 10 MB budget is chip-probed (2026-08-19): (48,28)=9.5 MB and
+    # (100,18)=9.0 MB compile and validate; (64,28)=11.3 MB aborts the
+    # Mosaic compile.
+    return n <= LANES_DIRECT_MAX_N and (2 * io + gj + s) < 10 * 2**20
 
 
 def _greens_kernel(m, n, want_gh,

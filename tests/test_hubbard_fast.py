@@ -133,7 +133,7 @@ def test_greens_pallas_fori_loop_large_lattice():
                                              greens_lanes_pallas, vmem_ok)
 
     rng = np.random.default_rng(5)
-    for m, n in [(16, 7), (36, 18), (64, 28)]:
+    for m, n in [(16, 7), (36, 18), (64, 24)]:
         w = 8
         psi = (rng.normal(size=(m, n))
                + 1j * rng.normal(size=(m, n))).astype(np.complex64)
@@ -149,8 +149,10 @@ def test_greens_pallas_fori_loop_large_lattice():
         assert np.abs(gh - gh_ref).max() < 1e-3
         assert vmem_ok(m, n)
     assert UNROLL_MAX_M < 36  # the loop above covered both kernel bodies
-    # Oversized: 12x12 half-filled exceeds VMEM; 10x10 n=50 exceeds the GJ
-    # n-budget. fast_greens_impl falls back to 'xla' for these.
+    # Oversized: chip-probed (64, 28) aborts the Mosaic compile; 12x12
+    # half-filled exceeds VMEM; 10x10 n=50 exceeds the GJ n-budget.
+    # fast_greens_impl falls back to 'xla' for these.
+    assert not vmem_ok(64, 28)
     assert not vmem_ok(144, 72)
     assert not vmem_ok(100, 50)
 

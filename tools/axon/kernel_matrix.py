@@ -176,7 +176,7 @@ CELLS = [
     ("greens_m9_n3", lambda: cell_greens(9, 3)),        # 3x3
     ("greens_m16_n7", lambda: cell_greens(16, 7)),      # 4x4 headline
     ("greens_m36_n18", lambda: cell_greens(36, 18)),    # 6x6 half-filled
-    ("greens_m64_n28", lambda: cell_greens(64, 28)),    # 8x8
+    ("greens_m64_n24", lambda: cell_greens(64, 24)),    # 8x8 doped
     ("sweep_4x4", lambda: cell_sweep(4, 4, 7, w=256)),
     ("sweep_3x3", lambda: cell_sweep(3, 3, 3, w=256)),
     ("exx_generic", lambda: cell_exx(512, 16, 128)),
