@@ -21,6 +21,9 @@ from pauxy_tpu.ops import clinalg, greens
 
 
 def _apply_bh1_dagger(bh1, phia, phib):
+    if bh1.ndim == 2:                                     # diagonal B_{T/2}
+        return (bh1[0].conj()[None, :, None] * phia,
+                bh1[1].conj()[None, :, None] * phib)
     phia = jnp.einsum("mp,wmn->wpn", bh1[0].conj(), phia, optimize=True)
     phib = jnp.einsum("mp,wmn->wpn", bh1[1].conj(), phib, optimize=True)
     return phia, phib

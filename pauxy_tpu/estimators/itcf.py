@@ -49,6 +49,10 @@ def dense_propagators(prop, configs_t, discrete: bool):
     eye = jnp.broadcast_to(jnp.eye(m, dtype=bh1.dtype), (nw, m, m))
     # exp(VHS) as a dense matrix: apply the exponential to the identity.
     ev_a, ev_b = inner.apply_vhs(eye, eye, configs_t)
+    if bh1.ndim == 2:                                     # diagonal B_{T/2}
+        ba = bh1[0][None, :, None] * ev_a * bh1[0][None, None, :]
+        bb = bh1[1][None, :, None] * ev_b * bh1[1][None, None, :]
+        return ba, bb
     ba = jnp.einsum("pm,wmq,qn->wpn", bh1[0], ev_a, bh1[0], optimize=True)
     bb = jnp.einsum("pm,wmq,qn->wpn", bh1[1], ev_b, bh1[1], optimize=True)
     return ba, bb

@@ -443,21 +443,23 @@ def exchange_greens_function_ueg(ham, G: jax.Array, q_chunk: int | None = None,
 def fft_coulomb_terms(psi, gh, gmap, qmap, qmesh):
     """(Gkpq, Gpmq)[w, nq] by FFT correlations (the Coulomb part of
     ``_fft_spin_terms``); also the propagator's force-bias expectations:
-    <rho_q> = factor * Gkpq, <rho_q^T> = factor * Gpmq."""
-    from pauxy_tpu.propagation.pw_fft import fft3, ifft3
+    <rho_q> = factor * Gkpq, <rho_q^T> = factor * Gpmq.
+
+    One correlation cube serves both terms: C(Q) = sum_G ct(G) th(G-Q)
+    gives Gkpq at Q and Gpmq at -Q exactly (rho_q^T = rho_{-q}), so the
+    second [w, n, Ng] transform chain of the old formulation is a gather."""
+    from pauxy_tpu.propagation.pw_fft import fft3, ifft3, neg_perm
 
     qmesh = tuple(qmesh)
     ng = int(np.prod(qmesh))
     ct = _pw_cubes(jnp.swapaxes(psi.conj(), 0, 1), gmap, ng)
     th = _pw_cubes(gh, gmap, ng)
-    gkpq = ifft3(
+    cube = ifft3(
         jnp.einsum("ig,wig->wg", fft3(ct, qmesh), ifft3(th, qmesh),
                    optimize=True) * ng, qmesh
-    )[..., qmap]
-    gpmq = ifft3(
-        jnp.einsum("wig,ig->wg", fft3(th, qmesh), ifft3(ct, qmesh),
-                   optimize=True) * ng, qmesh
-    )[..., qmap]
+    )
+    gkpq = cube[..., qmap]
+    gpmq = cube[..., jnp.asarray(neg_perm(qmesh))[qmap]]
     return gkpq, gpmq
 
 
@@ -472,7 +474,7 @@ def _fft_spin_terms(psi, gh, gmap, qmap, qmesh, pair_chunk: int = 8):
     [w, nc, n, ngrid] is chunked over the first occupied index to bound
     memory.
     """
-    from pauxy_tpu.propagation.pw_fft import fft3, ifft3
+    from pauxy_tpu.propagation.pw_fft import fft3, ifft3, neg_perm
 
     qmesh = tuple(qmesh)
     if psi.shape[-1] == 0:
@@ -483,25 +485,38 @@ def _fft_spin_terms(psi, gh, gmap, qmap, qmesh, pair_chunk: int = 8):
     wbra = psi.ndim == 3                                       # per-walker bra
     ct = _pw_cubes(jnp.swapaxes(psi.conj(), -1, -2), gmap, ng)  # [(w,) n, Ng]
     th = _pw_cubes(gh, gmap, ng)                               # [w, n, Ng]
-    ct_f, ct_if = fft3(ct, qmesh), ifft3(ct, qmesh)
-    th_f, th_if = fft3(th, qmesh), ifft3(th, qmesh)
+    ct_f, th_if = fft3(ct, qmesh), ifft3(th, qmesh)
+    n = psi.shape[-1]
+    # Conventions match the gather kernels / reference (ueg.py:336-428):
+    # with P[i,j](Q) = sum_G CT_i(G+Q) theta_j(G), the Coulomb terms are
+    # Gpmq(q) = sum_i P[i,i](Q), Gkpq(q) = sum_i P[i,i](-Q) (the
+    # theta*CT correlation at -Q; rho_q^T = rho_{-q}). The q-resolved
+    # S(k) depends on the labeling even though the energy is invariant
+    # under q -> -q. The exchange partner R[i,j](Q) = sum_G CT_j(G-Q)
+    # theta_i(G) equals P[j,i](-Q), so ONE pair tensor serves
+    # Gprod(Q) = sum_ij P[i,j](Q) R[i,j](Q) — the second [w, n, n, Ng]
+    # transform chain of the old formulation is a transposed gather.
+    nperm = jnp.asarray(neg_perm(qmesh))
+    if n <= pair_chunk:
+        pair = (ct_f[:, :, None] if wbra else ct_f[None, :, None]) \
+            * th_if[:, None]
+        p = ifft3(pair * ng, qmesh)                 # [w, i, j, Ng] complex
+        diag = jnp.einsum("wiig->wg", p)
+        gpmq = diag[..., qmap]
+        gkpq = diag[..., nperm[qmap]]
+        gprod = jnp.einsum("wijg,wjig->wg", p, p[..., nperm],
+                           optimize=True)[..., qmap]
+        return gkpq, gpmq, gprod
+    # Chunked path for large occupations: bounds the pair-tensor memory
+    # at [w, pair_chunk, n, Ng] by re-deriving R from its own transforms.
+    ct_if, th_f = ifft3(ct, qmesh), fft3(th, qmesh)
     e_kpq = "wig,wig->wg" if wbra else "ig,wig->wg"
     e_pmq = "wig,wig->wg" if wbra else "wig,ig->wg"
-    # Conventions match the gather kernels / reference (ueg.py:336-428):
-    # Gkpq(q) = sum_i G[i, k_i + q] is the theta*CT correlation evaluated
-    # at -Q on the cube, i.e. the second expression below (the first is
-    # Gpmq). The q-resolved S(k) depends on the labeling even though the
-    # energy is invariant under q -> -q.
-    gpmq = ifft3(
+    cube = ifft3(
         jnp.einsum(e_kpq, ct_f, th_if, optimize=True) * ng, qmesh
-    )[..., qmap]
-    gkpq = ifft3(
-        jnp.einsum(e_pmq, th_f, ct_if, optimize=True) * ng, qmesh
-    )[..., qmap]
-    # Exchange: P[i,j](Q) = sum_G CT_i(G+Q) theta_j(G),
-    #           R[i,j](Q) = sum_G CT_j(G-Q) theta_i(G);
-    # Gprod(Q) = sum_ij P[i,j](Q) R[i,j](Q).
-    n = psi.shape[-1]
+    )
+    gpmq = cube[..., qmap]
+    gkpq = cube[..., nperm[qmap]]
     gprod = None
     for i0 in range(0, n, pair_chunk):
         i1 = min(i0 + pair_chunk, n)

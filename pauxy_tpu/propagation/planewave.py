@@ -29,7 +29,7 @@ from pauxy_tpu.propagation.generic import apply_exponential_taylor
 class PlaneWave:
     """Inner propagator for the UEG."""
 
-    BH1: jax.Array        # [2, M, M]
+    BH1: jax.Array        # [2, M] DIAGONAL of expm(-dt/2 h1e_mod)
     mf_shift: jax.Array   # [2 nq] zeros (planewave.py:25)
     sp: ueg_sparse.SparseRho
     gmap: jax.Array = None       # FFT-cube embeddings for the pseudo-
@@ -37,6 +37,7 @@ class PlaneWave:
     dt: float = struct.field(pytree_node=False, default=0.0)
     qmesh: tuple = struct.field(pytree_node=False, default=None)
     exp_order: int = struct.field(pytree_node=False, default=6)
+    taylor_impl: str = struct.field(pytree_node=False, default="xla")
 
     @property
     def sqrt_dt(self):
@@ -82,9 +83,17 @@ class PlaneWave:
         # Spin-independent VHS: one Taylor series on the column-concatenated
         # walker matrix (cf. propagation/generic.py).
         na = phia.shape[-1]
-        phi = apply_exponential_taylor(
-            vhs, jnp.concatenate([phia, phib], axis=-1), self.exp_order
-        )
+        phi_in = jnp.concatenate([phia, phib], axis=-1)
+        if self.taylor_impl.startswith("pallas"):
+            from pauxy_tpu.ops.taylor_pallas import apply_taylor_pallas
+
+            phi = apply_taylor_pallas(
+                vhs, phi_in, self.exp_order,
+                lowp=self.taylor_impl == "pallas_bf16",
+                interpret=self.taylor_impl == "pallas_interpret",
+            )
+        else:
+            phi = apply_exponential_taylor(vhs, phi_in, self.exp_order)
         return phi[..., :na], phi[..., na:]
 
     def bp_dagger_fields(self, x):
@@ -94,15 +103,22 @@ class PlaneWave:
         return jnp.concatenate([-xa.conj(), xb.conj()], axis=-1)
 
 
-def make_planewave(ham, trial, dt: float, precision=None, exp_order=6) -> PlaneWave:
+def make_planewave(ham, trial, dt: float, precision=None, exp_order=6,
+                   taylor_impl: str | None = None) -> PlaneWave:
     """BH1 = expm(-dt/2 h1e_mod) (planewave.py:39-55; h1e_mod is diagonal so
-    this is an exact diagonal exponential)."""
+    this is an exact diagonal exponential, stored as a [2, M] diagonal and
+    applied elementwise — the dense [M, M] matmul form cost a full MXU
+    GEMM per half-step for a multiply)."""
     prec = config.get_precision(precision)
+    if taylor_impl is None:
+        import os
+
+        taylor_impl = os.environ.get("PAUXY_TPU_TAYLOR_UEG", "xla")
     h1 = np.asarray(ham.h1e_mod)
     bh1 = np.stack(
         [
-            np.diag(np.exp(-0.5 * dt * np.diagonal(h1[0]))),
-            np.diag(np.exp(-0.5 * dt * np.diagonal(h1[1]))),
+            np.exp(-0.5 * dt * np.diagonal(h1[0])),
+            np.exp(-0.5 * dt * np.diagonal(h1[1])),
         ]
     )
     from pauxy_tpu.utils.transfer import to_device, device_zeros
@@ -120,5 +136,6 @@ def make_planewave(ham, trial, dt: float, precision=None, exp_order=6) -> PlaneW
         sp=ueg_sparse.make_sparse_rho(ham, prec.real),
         dt=float(dt),
         exp_order=int(exp_order),
+        taylor_impl=str(taylor_impl),
         **fft_kw,
     )

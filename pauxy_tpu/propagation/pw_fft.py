@@ -33,14 +33,101 @@ def to_cube(arr, idx, ngrid: int):
     return cube.at[..., idx].set(arr)
 
 
+# Dimension bound for the matmul-DFT path. UEG/PW_FFT cubes are always
+# odd-sized ((4 nmax + 1)^3), and XLA's TPU FFT for non-power-of-2 lengths
+# falls back to a slow Bluestein-style lowering — measured to dominate the
+# UEG step at ecut=8 (force bias 18.7 ms, exchange energy 194 ms at w=512
+# on a v5e). A dense [d, d] DFT-matrix contraction per axis is exact,
+# pure-MXU, and bandwidth-bound (3 passes over the cube): the same terms
+# drop ~5-10x. Power-of-2 sizes keep the native FFT.
+_MATMUL_DFT_MAX = 128
+
+_DFT_MATS: dict = {}
+
+
+def _dft_mat(n: int, inverse: bool) -> np.ndarray:
+    """Dense 1-D DFT matrix with jnp.fft conventions (host numpy, cached;
+    kept as numpy so jit embeds it as a constant without a device->host
+    transfer — the axon tunnel rejects those)."""
+    key = (n, inverse)
+    mat = _DFT_MATS.get(key)
+    if mat is None:
+        k = np.arange(n)
+        sign = 2j if inverse else -2j
+        mat = np.exp((sign * np.pi / n) * np.outer(k, k))
+        if inverse:
+            mat = mat / n
+        _DFT_MATS[key] = mat
+    return mat
+
+
+def _dft_mat2(d1: int, d2: int, inverse: bool) -> np.ndarray:
+    """kron(F_d1, F_d2): one [d1 d2, d1 d2] matrix transforms two cube
+    axes per MXU pass. At d=17 a 1-D pass runs the MXU at (17/128)^2 ~ 2%
+    tile utilization; the 289-wide kron pass runs at (289/384)^2 ~ 57%."""
+    key = (d1, d2, inverse)
+    mat = _DFT_MATS.get(key)
+    if mat is None:
+        mat = np.kron(_dft_mat(d1, inverse), _dft_mat(d2, inverse))
+        _DFT_MATS[key] = mat
+    return mat
+
+
+def _use_matmul_dft(qmesh) -> bool:
+    return all(d <= _MATMUL_DFT_MAX and (d & (d - 1)) != 0 for d in qmesh)
+
+
+def _dft3(cube_flat, qmesh, inverse: bool):
+    """3-D DFT as two matmuls: axes (-2, -1) through the kron'd matrix,
+    axis -3 through the 1-D matrix. Matmul precision INHERITS the ambient
+    policy (config.set_matmul_precision): the f32 tier transforms at
+    6-pass f32 accuracy, the documented bfloat16_3x/bfloat16 speed tiers
+    at their own accuracy — same semantics as every other contraction in
+    the program."""
+    d0, d1, d2 = tuple(qmesh)
+    x = cube_flat.reshape(cube_flat.shape[:-1] + (d0, d1 * d2))
+    f12 = jnp.asarray(_dft_mat2(d1, d2, inverse).astype(x.dtype))
+    x = jnp.matmul(x, f12)
+    f0 = jnp.asarray(_dft_mat(d0, inverse).astype(x.dtype))
+    x = jnp.moveaxis(jnp.matmul(jnp.moveaxis(x, -2, -1), f0), -1, -2)
+    return x.reshape(cube_flat.shape)
+
+
+_NEG_PERMS: dict = {}
+
+
+def neg_perm(qmesh) -> np.ndarray:
+    """Flat cube index of -G for every G (host numpy, cached).
+
+    Correlation cubes obey C2(Q) = C1(-Q) exactly (rho_q^T = rho_{-q}:
+    the transposed density operator IS the negated-momentum one), so the
+    second FFT chain of every Coulomb/exchange pair is a gather of the
+    first through this permutation."""
+    key = tuple(qmesh)
+    perm = _NEG_PERMS.get(key)
+    if perm is None:
+        d0, d1, d2 = key
+        a, b, c = np.meshgrid(
+            np.arange(d0), np.arange(d1), np.arange(d2), indexing="ij"
+        )
+        perm = (((-a) % d0) * d1 + ((-b) % d1)) * d2 + ((-c) % d2)
+        perm = perm.reshape(-1).astype(np.int32)
+        _NEG_PERMS[key] = perm
+    return perm
+
+
 def fft3(cube_flat, qmesh):
-    x = cube_flat.reshape(cube_flat.shape[:-1] + qmesh)
+    if _use_matmul_dft(qmesh):
+        return _dft3(cube_flat, qmesh, inverse=False)
+    x = cube_flat.reshape(cube_flat.shape[:-1] + tuple(qmesh))
     x = jnp.fft.fftn(x, axes=(-3, -2, -1))
     return x.reshape(cube_flat.shape)
 
 
 def ifft3(cube_flat, qmesh):
-    x = cube_flat.reshape(cube_flat.shape[:-1] + qmesh)
+    if _use_matmul_dft(qmesh):
+        return _dft3(cube_flat, qmesh, inverse=True)
+    x = cube_flat.reshape(cube_flat.shape[:-1] + tuple(qmesh))
     x = jnp.fft.ifftn(x, axes=(-3, -2, -1))
     return x.reshape(cube_flat.shape)
 

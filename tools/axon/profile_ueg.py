@@ -61,7 +61,10 @@ def main():
             to_device(a), to_device(b))
 
     # Walker Slater matrices near the trial (well-conditioned overlaps).
-    psia_h = np.asarray(trial.psia)
+    # Reconstructed on host: rhf_identity_trial is eye(M)[:, :na] by
+    # definition, and the axon tunnel rejects some device->host transfers
+    # (UNIMPLEMENTED) that a plain TPU runtime allows.
+    psia_h = np.eye(m, dtype=np.complex64)[:, :na]
     phi = jax.jit(lambda d, p: p[None] + 0.1 * d)(
         dev_c((w, m, na)), to_device(psia_h.astype(np.complex64)))
     psi = to_device(psia_h.astype(np.complex64))
@@ -94,29 +97,35 @@ def main():
               flush=True)
         return best
 
+    # NOTE: trial/prop/ham are passed as jit OPERANDS, never closed over —
+    # closure capture inlines their device arrays as MLIR constants, which
+    # forces a device->host copy the axon tunnel rejects (UNIMPLEMENTED).
     res = {}
     res["greens_full"] = timed(
         "greens_full", lambda p, ps: greens.greens_function(p, ps).Ghalf,
         phi, psi)
-    g_obj = greens.greens_function(phi, psi)
+    g_obj = jax.jit(greens.greens_function)(phi, psi)
     res["force_bias_fft"] = timed(
         "force_bias_fft",
-        lambda ga: prop.force_bias(trial, ga, ga), g_obj)
+        lambda pr, tr, ga: pr.force_bias(tr, ga, ga), prop, trial, g_obj)
     res["vhs_assemble"] = timed(
-        "vhs_assemble", lambda x: prop.build_vhs(x), xs)
-    vhs = jax.jit(lambda x: prop.build_vhs(x))(xs)
+        "vhs_assemble", lambda pr, x: pr.build_vhs(x), prop, xs)
+    vhs = jax.jit(lambda pr, x: pr.build_vhs(x))(prop, xs)
     res["taylor_xla"] = timed(
         "taylor_xla", lambda v, p: apply_exponential_taylor(v, p),
         vhs, phi_cat)
-    res["one_body_half"] = timed(
-        "one_body_half",
-        lambda p: jnp.einsum("pq,wqn->wpn", prop.BH1[0], p), phi)
+    def one_body(pr, p):
+        if pr.BH1.ndim == 2:                              # diagonal B_{T/2}
+            return pr.BH1[0][None, :, None] * p
+        return jnp.einsum("pq,wqn->wpn", pr.BH1[0], p)
+
+    res["one_body_half"] = timed("one_body_half", one_body, prop, phi)
     res["cholesky_qr2"] = timed(
         "cholesky_qr2", lambda p: clinalg.cholesky_qr2(p)[0], phi)
     res["energy_fft"] = timed(
         "energy_fft",
-        lambda ga, gb: le.local_energy_ueg_half(ham, trial, ga, gb),
-        g_obj.Ghalf, g_obj.Ghalf)
+        lambda h, tr, ga, gb: le.local_energy_ueg_half(h, tr, ga, gb),
+        ham, trial, g_obj.Ghalf, g_obj.Ghalf)
 
     # The bench step: 1 greens + FB + VHS + taylor + 2 one-body halves per
     # step, QR every 5 steps, energy every 10.
