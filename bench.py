@@ -39,7 +39,11 @@ GEN_NMO = 128
 GEN_NAUX = 512
 GEN_NA = 16
 GEN_NWALKERS = 1024
-GEN_NSTEPS = 5
+GEN_NSTEPS = 10          # reference default block depth (qmc.py:90-91)
+GEN_NSTEPS_DEEP = 25     # deep-dispatch point: the axon tunnel costs
+                         # ~5 ms per dispatch, ~1.3 ms/step at nsteps=5;
+                         # production TPU runtimes don't pay it (same
+                         # precedent as the Hubbard rate_nsteps100)
 GEN_NBLOCKS = 3
 
 # v5e peak dense-matmul throughput (bf16). The complex64 program runs f32
@@ -310,10 +314,13 @@ def measure_generic():
         energy_eval_freq=1, free_projection=False,
     )
 
-    def one_block(state, sub, step, prop=None):
+    statics_deep = dict(statics, nsteps=GEN_NSTEPS_DEEP)
+
+    def one_block(state, sub, step, prop=None, deep=False):
         st, _acc, _bp, _itcf = afq.run_block(
             ham, trial, prop if prop is not None else af.prop, state, sub,
-            eshift, jnp.asarray(step, jnp.int32), **statics,
+            eshift, jnp.asarray(step, jnp.int32),
+            **(statics_deep if deep else statics),
         )
         return st
 
@@ -342,6 +349,36 @@ def measure_generic():
             f"implausible achieved FLOPs {achieved/1e12:.0f} TF/s > peak"
         )
 
+    def timed_tier(prop):
+        """Deep-dispatch rate (nsteps=GEN_NSTEPS_DEEP per block): the axon
+        tunnel costs ~5 ms per dispatch (~1.3 ms/step at the old nsteps=5),
+        which is a harness artifact, not program time — the per-step
+        compute figures (and MFU) come from here; the primary 'value'
+        stays at the reference-default nsteps=10."""
+        st = state
+        k = jax.random.key(11)
+        k, sub = jax.random.split(k)
+        st = one_block(st, sub, 0, prop=prop, deep=True)  # recompile
+        jax.block_until_ready(st.weight)
+        best = 0.0
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            for b in range(GEN_NBLOCKS):
+                k, sub = jax.random.split(k)
+                st = one_block(st, sub, (b + 1) * GEN_NSTEPS_DEEP,
+                               prop=prop, deep=True)
+            vals = _fetch_weights(st.weight)
+            elapsed = time.perf_counter() - t0
+            _assert_finite(vals)
+            best = max(best, nw * GEN_NSTEPS_DEEP * GEN_NBLOCKS / elapsed)
+        return best
+
+    out_deep = {}
+    try:
+        out_deep["rate_nsteps25"] = round(timed_tier(af.prop), 1)
+    except Exception as e:  # noqa: BLE001 — secondary measurement only
+        out_deep = {"nsteps25_error": f"{type(e).__name__}: {str(e)[:120]}"}
+
     # Documented precision ladder (README "Precision policy"): the same
     # program under bfloat16_3x matmuls (~f32-accurate 3-pass MXU splits,
     # error-bound tests in tests/test_generic.py), with and without the
@@ -357,24 +394,6 @@ def measure_generic():
             # the identical f32 program there would mislabel it.
             raise RuntimeError("precision ladder unavailable on this backend")
 
-        def timed_tier(prop):
-            st = state
-            k = jax.random.key(11)
-            k, sub = jax.random.split(k)
-            st = one_block(st, sub, 0, prop=prop)   # recompile at this tier
-            jax.block_until_ready(st.weight)
-            best = 0.0
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                for b in range(GEN_NBLOCKS):
-                    k, sub = jax.random.split(k)
-                    st = one_block(st, sub, (b + 1) * GEN_NSTEPS, prop=prop)
-                vals = _fetch_weights(st.weight)
-                elapsed = time.perf_counter() - t0
-                _assert_finite(vals)
-                best = max(best, nw * nsteps_tot / elapsed)
-            return best
-
         rate_3x = timed_tier(af.prop)
         rate_3x_fused = timed_tier(
             af.prop.replace(inner=af.prop.inner.replace(
@@ -387,6 +406,7 @@ def measure_generic():
             "rate_bf16_3x_fused_taylor": round(rate_3x_fused, 1),
             "achieved_tflops_bf16_3x": round(tf_b / 1e12, 2),
             "mfu_vs_bf16_peak_bf16_3x": round(tf_b / V5E_BF16_PEAK_FLOPS, 4),
+            "ladder_nsteps_per_dispatch": GEN_NSTEPS_DEEP,
         }
     except Exception as e:  # noqa: BLE001 — secondary measurement only
         out_bf16 = {"bf16_3x_error": f"{type(e).__name__}: {str(e)[:120]}"}
@@ -406,6 +426,7 @@ def measure_generic():
                 "flops_convention": "effective (reference-algorithm FLOPs)",
                 "matmul_precision": af.matmul_precision,
                 "nwalkers": nw,
+                **out_deep,
                 **out_bf16,
             }
     )

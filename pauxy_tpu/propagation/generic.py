@@ -23,6 +23,13 @@ def apply_exponential_taylor(vhs: jax.Array, phi: jax.Array, order: int = 6):
 
     vhs: [w, M, M], phi: [w, M, n]. Reference: ``continuous.py:82-111``
     (exp_nmax default 6, ``continuous.py:37``).
+
+    Kept as the plain complex batched einsum: a 3M (Karatsuba) split was
+    probed on a v5e and is SLOWER here — the batched [w,M,M]x[w,M,n]
+    GEMM is per-batch-element overhead-bound (~2 TF/s for a single real
+    pass), so cutting MXU passes buys nothing while the extra pointwise
+    recombines cost real time. The fused VMEM kernel
+    (ops/taylor_pallas.py, ``taylor_impl='pallas*'``) is the fast path.
     """
 
     def body(n, carry):
@@ -92,13 +99,15 @@ class GenericContinuous:
         from pauxy_tpu.ops.contract import cr_einsum
 
         m = phia.shape[1]
+        # The i sqrt(dt) scalar rides on the [w, X] fields, not on the
+        # [w, M, M] product — same contraction, one less full-size
+        # pointwise pass over VHS.
         vhs = cr_einsum(
             "pqx,wx->wpq",
             self.chol.reshape(m, m, -1),
-            xshifted,
+            (1j * self.sqrt_dt) * xshifted,
             optimize=True,
         )
-        vhs = (1j * self.sqrt_dt) * vhs
         # VHS is spin-independent: apply one Taylor series to the
         # column-concatenated [w, M, na+nb] matrix — halves the number of
         # (narrow-n) batched matmuls vs per-spin application.
