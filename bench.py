@@ -67,13 +67,32 @@ UEG_NBLOCKS = 3
 # the serial oracle, 100 walkers x 20 steps in 2.25 s.
 REFERENCE_DISCRETE_WALKER_STEPS_PER_SEC = 889.0
 
-# Reference thermal UEG (rs=1, ecut=4 -> M=93, (7,7), mu=0.9, beta=1,
-# dt=0.05, pop control every slice): measured 2026-08-17 via the serial
-# oracle, 16 walkers x 20 slices x 4 blocks in 34.5 s.
-REFERENCE_THERMAL_WALKER_SLICES_PER_SEC = 37.1
-THERMAL_NWALKERS = 64
-THERMAL_BETA = 1.0
+# Reference thermal UEG (rs=1, ecut=4 -> M=93, (7,7), mu=0.9, beta=2,
+# dt=0.05 -> 40 slices, pop control every slice): measured 2026-08-20 via
+# the serial oracle at this exact production-scale config — 16 walkers x
+# 40 slices x 2 blocks in 83.3 s = 15.37 walker-slice-steps/s. The old
+# beta=1 smoke point (37.1/s) is retired per VERDICT r4 item 3.
+REFERENCE_THERMAL_WALKER_SLICES_PER_SEC = 15.4
+THERMAL_NWALKERS = 256   # probe-selected (tools/axon/profile_thermal.py)
+THERMAL_BETA = 2.0       # 40 slices at dt=0.05
 THERMAL_NBLOCKS = 3
+
+# Global wall-clock budget for the orchestrating run (VERDICT r4 item 1a):
+# every tunnel wait, child timeout and sub-measure decision derives from
+# the time remaining, and the cumulative result JSON is re-printed after
+# the headline and after EVERY completed sub-measure, so a mid-run
+# overrun can never erase measurements that already succeeded.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+
+# Children inherit an absolute deadline so in-child rep loops stop early
+# instead of being killed mid-measurement.
+_CHILD_DEADLINE_TS = float(os.environ.get("BENCH_CHILD_DEADLINE_TS", "0"))
+
+
+def _child_time_left():
+    if _CHILD_DEADLINE_TS <= 0:
+        return float("inf")
+    return _CHILD_DEADLINE_TS - time.time()
 
 
 def _emit(out):
@@ -226,9 +245,14 @@ def _healthy_reps(run_rep, nreps=3, max_attempts=8):
     for stretches (rolling libtpu upgrades): a wedged rep measures the
     tunnel, not the program. Any rep below 5% of the max seen is discarded
     and retried (VERDICT r3 item 8), so the recorded spread is program
-    variance only. Returns (healthy_rates, n_dropped)."""
+    variance only. Stops early (keeping what it has) when the inherited
+    child deadline approaches, so a budget squeeze degrades rep count
+    instead of losing the whole measurement. Returns
+    (healthy_rates, n_dropped)."""
     rates, dropped, attempts = [], 0, 0
     while len(rates) < nreps and attempts < max_attempts:
+        if rates and _child_time_left() < 60:
+            break
         attempts += 1
         rates.append(run_rep())
         mx = max(rates)
@@ -653,9 +677,11 @@ def measure_discrete():
 
 
 def measure_thermal():
-    """Finite-temperature UEG bench point (rs=1, ecut=4 -> M=93, (7,7),
-    beta=1): walker-slice-steps/s vs the serial oracle. Exercises the
-    stabilized-product stack + per-slice pop control path."""
+    """Finite-temperature UEG bench point at production scale (rs=1,
+    ecut=4 -> M=93, (7,7), beta=2 -> 40 slices, probe-selected walker
+    count): walker-slice-steps/s vs the serial oracle at the identical
+    config. Exercises the stabilized-product stack + per-slice pop
+    control path (VERDICT r4 item 3)."""
     import numpy as np
     import jax
 
@@ -690,15 +716,21 @@ def measure_thermal():
     rates, _dropped = _healthy_reps(run_rep)
     best = max(rates)
     _emit({
-            "metric": "walker_slice_steps_per_sec_thermal_ueg_ecut4",
+            "metric": "walker_slice_steps_per_sec_thermal_ueg_ecut4_beta2",
             "value": round(best, 1),
             "unit": "walker-slice-steps/s/chip",
             "vs_baseline": round(
                 best / REFERENCE_THERMAL_WALKER_SLICES_PER_SEC, 2
             ),
+            "baseline_rate": REFERENCE_THERMAL_WALKER_SLICES_PER_SEC,
             "nwalkers": nw,
+            "beta": beta,
             "nbasis": int(ham.nbasis),
             "nslices": int(nslices),
+            "nbins": int(trial.nbins),
+            "stack_size": int(trial.stack_size),
+            "spread": [round(r, 1) for r in sorted(rates)],
+            "ms_per_block": round(1e3 * nw * nslices / best, 1),
         })
 
 
@@ -708,11 +740,14 @@ def measure_thermal():
 TTE_ANCHOR_ETOTAL = -15.14323385684513
 
 
-def _tte_point(nw, neqlb, nmeasure, filename):
+def _tte_point(nw, neqlb, nmeasure, filename, time_budget_s=None):
     """One time-to-1mHa measurement: equilibrate (discarded), then time an
     equilibrated segment and project t(1mHa) with the AUTOCORR-corrected
     sigma (VERDICT r3 item 6: the r3 number was taken from an
-    unequilibrated transient with a naive sigma)."""
+    unequilibrated transient with a naive sigma). ``time_budget_s`` shrinks
+    nmeasure (never below 60 blocks, and never neqlb below 100) so a slow
+    tunnel degrades statistics instead of losing the measurement
+    (VERDICT r4 item 4)."""
     import numpy as np
 
     from pauxy_tpu.models import make_hubbard, free_electron_trial
@@ -729,6 +764,15 @@ def _tte_point(nw, neqlb, nmeasure, filename):
                estimator_options={"mixed": {"energy_eval_freq": 1}},
                verbose=False, filename=filename)
     af.run_block()  # compile warm-up
+    if time_budget_s is not None:
+        t0 = time.perf_counter()
+        for _ in range(3):
+            af.run_block()
+        per_block = max((time.perf_counter() - t0) / 3, 1e-4)
+        affordable = int(time_budget_s / per_block)
+        if affordable < neqlb + nmeasure:
+            nmeasure = max(60, affordable - neqlb)
+            neqlb = max(100, min(neqlb, affordable - nmeasure))
     for _ in range(neqlb):  # equilibration, discarded
         af.run_block()
     t0 = time.perf_counter()
@@ -746,6 +790,9 @@ def _tte_point(nw, neqlb, nmeasure, filename):
     dev_sigma = abs(mean - TTE_ANCHOR_ETOTAL) / max(sigma_ac, 1e-12)
     return {
         "nwalkers": nw,
+        # The number only counts when the measured segment is statistically
+        # consistent with the pinned reference anchor (VERDICT r4 item 4).
+        "valid": bool(dev_sigma <= 2.0),
         "value": round(elapsed * (sigma_ac / 1e-3) ** 2, 1),
         "sigma_autocorr": round(sigma_ac, 6),
         "sigma_reblock": round(sigma_rb, 6),
@@ -775,10 +822,15 @@ def measure_time_to_error():
 
     if on_tpu:
         # ~10 ms/block at 1k walkers: equilibrating hard is nearly free.
+        # Split the inherited child deadline between the two points.
+        left = _child_time_left()
+        budget1 = None if left == float("inf") else max(90.0, 0.45 * left)
         out = _tte_point(NWALKERS, neqlb=150, nmeasure=300,
-                         filename="bench_tte.h5")
+                         filename="bench_tte.h5", time_budget_s=budget1)
+        left = _child_time_left()
+        budget8 = None if left == float("inf") else max(60.0, left - 60.0)
         big = _tte_point(8 * NWALKERS, neqlb=150, nmeasure=300,
-                         filename="bench_tte8k.h5")
+                         filename="bench_tte8k.h5", time_budget_s=budget8)
         out["walkers_8x"] = big
         out["walker_scaling_speedup"] = round(
             out["value"] / max(big["value"], 1e-9), 2
@@ -792,12 +844,17 @@ def measure_time_to_error():
     _emit(out)
 
 
-def _run_child(args_extra):
+def _run_child(args_extra, timeout=900):
     here = os.path.abspath(__file__)
     args = [sys.executable, here, "--measure"] + args_extra
+    env = dict(os.environ)
+    # Absolute deadline for in-child rep loops: leave 30 s of slack under
+    # the hard subprocess kill so children finish and print RESULT.
+    env["BENCH_CHILD_DEADLINE_TS"] = str(time.time() + max(timeout - 30, 30))
     try:
         out = subprocess.run(args, capture_output=True, text=True,
-                             timeout=900, cwd=os.path.dirname(here))
+                             timeout=timeout, cwd=os.path.dirname(here),
+                             env=env)
     except subprocess.TimeoutExpired:
         return None, "timeout"
     for line in out.stdout.splitlines():
@@ -835,6 +892,40 @@ def _wait_for_tunnel(budget_s):
         time.sleep(60)
 
 
+def _write_tpu_record(result):
+    """Refresh the committed on-chip record (BENCH_TPU.json, VERDICT r4
+    item 2 — the old gitignored bench_last_tpu.json cache is retired as
+    the authoritative name but still read as a legacy fallback). Only
+    genuinely-on-TPU results are recorded; sub-results that silently fell
+    back to the CPU backend are dropped from the record."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    to_cache = dict(result)
+    for k, v in list(to_cache.items()):
+        if (isinstance(v, dict)
+                and v.get("exec_platform", "") in ("cpu",)
+                and not v.get("platform", "").startswith("cpu-fallback")):
+            to_cache[k] = {"dropped": "executed on the CPU backend"}
+    try:
+        with open(os.path.join(here, "BENCH_TPU.json"), "w") as fh:
+            json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
+                                                    time.gmtime()),
+                       **to_cache}, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+
+
+def _read_tpu_record():
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("BENCH_TPU.json", "bench_last_tpu.json"):
+        try:
+            with open(os.path.join(here, name)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            continue
+    return None
+
+
 def main():
     if "--measure" in sys.argv:
         if "--generic" in sys.argv:
@@ -860,89 +951,148 @@ def main():
         measure(mode, nw, force_cpu="--cpu" in sys.argv)
         return
 
+    # ---- budgeted orchestration (VERDICT r4 item 1) --------------------
+    t_start = time.time()
+
+    def remaining():
+        return BENCH_BUDGET_S - (time.time() - t_start)
+
+    result = {}
+
+    def snapshot(on_tpu):
+        """Print the CUMULATIVE result as one JSON line after every
+        completed measurement: the driver keeps the output tail, so the
+        last complete line survives any mid-run kill or overrun — a
+        budget blowout can no longer erase already-landed numbers."""
+        result["bench_budget_s"] = BENCH_BUDGET_S
+        result["bench_elapsed_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(result), flush=True)
+        if on_tpu:
+            _write_tpu_record(result)
+
     last_err = ""
-    # Wait out a tunnel wedge up to 30 min before burning 15-min child
-    # timeouts on a dead tunnel (and so a wedge at measurement time doesn't
-    # silently demote the round's record to the CPU fallback).
-    tunnel_ok, waited = _wait_for_tunnel(budget_s=1800)
+    # Wait out a tunnel wedge before burning child timeouts on a dead
+    # tunnel — but never more than a third of the whole budget.
+    tunnel_ok, waited = _wait_for_tunnel(
+        budget_s=min(900.0, 0.33 * remaining()))
     plans = [
         [],                    # fused, 1k walkers (the headline config)
         [],
         ["--split"],
         ["--nw=256"],          # smaller program as a last resort
     ]
-    result = None
+    headline = None
     if tunnel_ok:
         for plan in plans:
-            result, err = _run_child(plan)
-            if result is not None:
+            tmo = min(900.0, remaining() - 120.0)
+            if tmo < 120:
+                last_err = last_err or "budget exhausted before headline"
+                break
+            headline, err = _run_child(plan, timeout=tmo)
+            if headline is not None:
                 break
             last_err = err
     else:
         last_err = f"tunnel wedged (probe failed for {waited:.0f}s)"
-    if result is None:
+    if headline is None:
         # The axon tunnel wedges for stretches of tens of minutes (rolling
         # libtpu upgrades); fall back to an honest CPU measurement rather
         # than recording 0, clearly labeled.
-        result, err = _run_child(["--cpu", "--nw=256"])
-        if result is not None:
-            result["platform"] = "cpu-fallback (TPU tunnel unavailable)"
-            result["tpu_error"] = last_err[-200:]
+        headline, err = _run_child(["--cpu", "--nw=256"],
+                                   timeout=max(120.0, min(900.0, remaining())))
+        if headline is not None:
+            headline["platform"] = "cpu-fallback (TPU tunnel unavailable)"
+            headline["tpu_error"] = last_err[-200:]
         else:
-            print(json.dumps({
+            headline = {
                 "metric": "walker_steps_per_sec_4x4_hubbard_1k",
                 "value": 0.0,
                 "unit": "walker-steps/s/chip",
                 "vs_baseline": 0.0,
                 "error": f"all attempts failed: {last_err[-200:]}",
-            }))
-            return
+            }
+    result.update(headline)
     if waited > 0:
         result["tunnel_wait_s"] = round(waited, 1)
 
+    ran_on_tpu = (result.get("exec_platform", "") not in ("", "cpu")
+                  and not result.get("platform", "").startswith("cpu-fallback"))
+    if not ran_on_tpu:
+        if not result.get("platform"):
+            result["platform"] = "cpu (silent backend fallback)"
+        prev = _read_tpu_record()
+        if prev is not None:
+            result["last_tpu_result"] = prev
+    snapshot(ran_on_tpu)
+
+    def ensure_tunnel():
+        """Re-probe between sub-measures (VERDICT r4 item 1c): a tunnel
+        that wedges mid-run gets ONE bounded re-wait; afterwards every
+        remaining TPU sub-measure skips fast instead of serially burning
+        its full child timeout."""
+        nonlocal tunnel_ok
+        if remaining() < 150:
+            return False
+        if _probe_tunnel(timeout=min(90, max(30, remaining() - 60))):
+            tunnel_ok = True
+            return True
+        ok, _w = _wait_for_tunnel(budget_s=min(300.0, 0.25 * remaining()))
+        tunnel_ok = ok
+        return ok
+
     def sub_measure(key, flag, cpu_fallback=False):
-        """Run a secondary TPU measurement; skip fast if the tunnel is
-        known-wedged instead of burning 2x15-min child timeouts.
-        ``cpu_fallback``: measure on CPU (labeled) rather than skip."""
-        if not tunnel_ok:
-            if cpu_fallback:
-                sub, err = _run_child([flag, "--cpu"])
+        """Run a secondary TPU measurement with a budget-derived timeout;
+        skip fast when the budget or the tunnel is gone. ``cpu_fallback``:
+        measure on CPU (labeled) rather than skip."""
+        if remaining() < 150:
+            result[key + "_error"] = "skipped: bench budget exhausted"
+            return
+        if not ensure_tunnel():
+            if cpu_fallback and remaining() > 150:
+                sub, err = _run_child(
+                    [flag, "--cpu"],
+                    timeout=max(120.0, min(900.0, remaining() - 30.0)))
                 if sub is not None:
                     sub["platform"] = "cpu-fallback (TPU tunnel unavailable)"
                     result[key] = sub
+                    snapshot(ran_on_tpu)
                     return
             result[key + "_error"] = "skipped: tunnel wedged"
+            snapshot(ran_on_tpu)
             return
         err = ""
-        for _ in range(2):
-            sub, err = _run_child([flag])
+        for attempt in range(2):
+            tmo = min(900.0, remaining() - 30.0)
+            if tmo < 120:
+                err = err or "budget exhausted"
+                break
+            sub, err = _run_child([flag], timeout=tmo)
             if sub is not None:
                 result[key] = sub
+                snapshot(ran_on_tpu)
                 return
         result[key + "_error"] = err[-200:]
+        snapshot(ran_on_tpu)
 
-    # Secondary ab-initio measurement (VERDICT r1 item 3c); folded into the
-    # same single JSON line under "generic".
+    # Sub-bench order (VERDICT r4 item 1d): the never-yet-recorded
+    # families (thermal, tte) land right after the two headliners; the
+    # previously-recorded ueg/discrete points and the kernel matrix come
+    # last so a budget squeeze costs re-confirmation, not first evidence.
     sub_measure("generic", "--generic")
-    # Tertiary UEG-at-scale measurement (VERDICT r1 item 4: sparse rho at
-    # ecut >= 4 on one chip without OOM).
-    sub_measure("ueg", "--ueg")
-    # Discrete-CPMC point (BASELINE configs[0]; VERDICT r2 item 2).
-    sub_measure("hubbard_discrete", "--discrete")
-    # Thermal UEG point (stabilized stack + per-slice pop control).
     sub_measure("thermal", "--thermal")
-    # Time-to-1mHa statistical error (VERDICT r2 item 9). Unlike the raw
-    # throughput points, this is still meaningful (labeled) on the CPU.
     sub_measure("time_to_1mHa", "--tte", cpu_fallback=True)
+    sub_measure("ueg", "--ueg")
+    sub_measure("hubbard_discrete", "--discrete")
 
     # Pallas kernel x shape-class legality matrix on the chip (VERDICT r3
     # item 2: interpret-mode CI can't see Mosaic tiling errors).
-    if tunnel_ok:
+    if tunnel_ok and remaining() > 240:
         km = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "axon", "kernel_matrix.py")
         try:
-            out = subprocess.run([sys.executable, km], capture_output=True,
-                                 text=True, timeout=2400)
+            out = subprocess.run(
+                [sys.executable, km], capture_output=True, text=True,
+                timeout=min(2400.0, remaining() - 30.0))
             for line in out.stdout.splitlines():
                 if line.startswith("KERNEL_MATRIX "):
                     result["kernel_matrix"] = json.loads(
@@ -954,45 +1104,11 @@ def main():
         except subprocess.TimeoutExpired:
             result["kernel_matrix_error"] = "timeout"
     else:
-        result["kernel_matrix_error"] = "skipped: tunnel wedged"
+        result["kernel_matrix_error"] = (
+            "skipped: tunnel wedged" if not tunnel_ok
+            else "skipped: bench budget exhausted")
 
-    # Persist / recall the last successful on-chip measurement: a tunnel
-    # wedge at measurement time should not erase the round's real TPU
-    # numbers — the cached result rides along, clearly labeled with its
-    # timestamp, whenever the live measurement had to fall back to CPU.
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_last_tpu.json")
-    ran_on_tpu = (result.get("exec_platform", "") not in ("", "cpu")
-                  and not result.get("platform", "").startswith("cpu-fallback"))
-    if not ran_on_tpu:
-        # Either an explicit CPU fallback or a child that silently ended up
-        # on the CPU backend (exec_platform stamped by _emit): never cache
-        # it as an on-chip number; surface the last real one instead.
-        if not result.get("platform"):
-            result["platform"] = "cpu (silent backend fallback)"
-        try:
-            with open(cache) as fh:
-                result["last_tpu_result"] = json.load(fh)
-        except (OSError, ValueError):
-            pass
-    else:
-        # Sub-measurements that silently ended up on the CPU backend must
-        # not be cached as on-chip numbers either (the headline guard only
-        # sees the top-level exec_platform).
-        to_cache = dict(result)
-        for k, v in list(to_cache.items()):
-            if (isinstance(v, dict)
-                    and v.get("exec_platform", "") in ("cpu",)
-                    and not v.get("platform", "").startswith("cpu-fallback")):
-                to_cache[k] = {"dropped": "executed on the CPU backend"}
-        try:
-            with open(cache, "w") as fh:
-                json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
-                                                        time.gmtime()),
-                           **to_cache}, fh)
-        except OSError:
-            pass
-    print(json.dumps(result))
+    snapshot(ran_on_tpu)
 
 
 if __name__ == "__main__":

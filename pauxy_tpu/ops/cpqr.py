@@ -12,18 +12,73 @@ chip busy.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
-def cpqr(a: jax.Array, pivot: bool = True):
+def _use_lanes(a: jax.Array, pivot: bool) -> bool:
+    """Route to the VMEM lanes kernel (ops/cpqr_pallas.py) when it is
+    legal AND profitable: pivoted, batched, m <= CPQR_AUTO_MAX_M,
+    single-precision, on a real TPU backend. Chip-probed 2026-08-20
+    (tools/axon/probe_cpqr.py): the lanes kernel wins 1.20x at
+    [256,16,16] and 1.55x at [128,48,48], loses at m=64, and fails
+    Mosaic compilation at m >= 80 — so the auto cap is 48. Opt out with
+    PAUXY_TPU_CPQR=xla; force with =lanes (e.g. interpret-mode tests use
+    the explicit impl= argument instead)."""
+    from pauxy_tpu.ops.cpqr_pallas import CPQR_AUTO_MAX_M
+
+    mode = os.environ.get("PAUXY_TPU_CPQR", "auto")
+    if mode == "xla":
+        return False
+    if mode != "lanes":
+        try:
+            if jax.default_backend() == "cpu":
+                return False
+        except RuntimeError:
+            return False
+    return (
+        pivot
+        and a.ndim >= 3
+        and a.shape[-1] <= CPQR_AUTO_MAX_M
+        and a.dtype in (jnp.complex64, jnp.float32)
+    )
+
+
+def cpqr(a: jax.Array, pivot: bool = True, impl: str | None = None):
     """Column-pivoted QR: A[..., :, perm] = Q R.
 
     Returns (q, r, perm) with q unitary [..., m, m], r upper triangular,
     perm [..., m] int32 such that a[..., :, perm] = q @ r (i.e. column j of
     the pivoted A is original column perm[j] — scipy.linalg.qr(pivoting=True)
     convention).
+
+    ``impl``: None (auto: lanes kernel on TPU when legal, else the XLA
+    fori_loop below), 'xla', 'lanes', or 'lanes_interpret'.
     """
+    if impl is None:
+        impl = "lanes" if _use_lanes(a, pivot) else "xla"
+    if impl.startswith("lanes"):
+        from pauxy_tpu.ops.cpqr_pallas import cpqr_lanes
+
+        *batch, mrow, m = a.shape
+        flat = a.reshape((-1, mrow, m))
+        q, r, perm = cpqr_lanes(flat, interpret=impl == "lanes_interpret")
+        if not jnp.iscomplexobj(a):
+            # Real input -> real factorization (the kernel's imaginary
+            # planes are identically zero); keep the caller's dtype.
+            q, r = q.real.astype(a.dtype), r.real.astype(a.dtype)
+        return (
+            q.reshape(a.shape),
+            r.reshape(a.shape),
+            perm.reshape((*batch, m)),
+        )
+    return _cpqr_xla(a, pivot)
+
+
+def _cpqr_xla(a: jax.Array, pivot: bool = True):
+    """Pure-XLA fori_loop implementation (all backends, any precision)."""
     *batch, mrow, m = a.shape
     assert mrow == m, "square matrices only"
     cdtype = a.dtype

@@ -3,13 +3,20 @@
 Why: the finite-temperature QDT stratification re-factorizes the
 propagator stack every slice (``pauxy/walkers/thermal.py:472-545``), and
 the pure-XLA fallback (ops/cpqr.py) is a fori_loop whose every column
-step reads AND writes the full [B, m, m] working pair from HBM — ~3.3 GB
-of traffic per call at the thermal bench shape ([128, 93, 93] c64),
-measured ~40 ms/call on a v5e and FLAT in walker count (the thermal
-family's throughput ceiling, tools/axon/profile_thermal.py). This kernel
-keeps the matrix resident in VMEM with the batch axis on the 128-wide
-lane dimension, so each of the m sequential Householder steps is a short
-chain of VPU vector ops across 128 walkers with no HBM round-trip.
+step reads AND writes the full [B, m, m] working pair from HBM. This
+kernel keeps the matrix resident in VMEM with the batch axis on the
+128-wide lane dimension, so each of the m sequential Householder steps
+is a short chain of VPU vector ops across 128 walkers with no HBM
+round-trip.
+
+Outcome (chip probes 2026-08-20, tools/axon/probe_cpqr.py): Mosaic
+compiles the factor pass only up to m = 64 (CPQR_MAX_M below; m >= 80
+consistently fails remote compilation). Where it compiles: 1.20x over
+the XLA fori_loop at [256, 16, 16], 1.55x at [128, 48, 48], 0.73x at
+[128, 64, 64] (the always-recompute pivot norms grow O(m^2 W)/step and
+overtake the saved HBM traffic). The kernel is therefore the auto route
+for m <= CPQR_AUTO_MAX_M = 48 (the lattice-model thermal classes); the
+UEG-class stratification (M = 93) stays on the XLA path.
 
 Two passes (the full Q does not fit VMEM next to the working matrix at
 m ~ 100):
@@ -42,8 +49,14 @@ instead of being carried for the same reason.
 
 Semantics match ops/cpqr.cpqr (scipy.linalg.qr(pivoting=True)
 convention): a[..., :, perm] = q @ r. Validated against it in
-tests/test_cpqr_pallas.py; Mosaic legality on the chip via
-tools/axon/kernel_matrix.py.
+tests/test_cpqr_pallas.py; Mosaic legality on the chip via the cpqr_*
+cells of tools/axon/kernel_matrix.py; on-chip XLA-vs-lanes timings via
+tools/axon/probe_cpqr.py.
+
+Integration: the thermal QDT stratification and low-rank walkers reach
+this kernel through ops/cpqr.cpqr's auto dispatch (lanes on TPU for
+pivoted, batched, m <= CPQR_AUTO_MAX_M, single-precision inputs; the
+XLA fori_loop otherwise). Override with PAUXY_TPU_CPQR=xla|lanes.
 """
 
 from __future__ import annotations
@@ -58,9 +71,17 @@ from jax.experimental import pallas as pl
 WB = 128   # batch lane block — Mosaic requires 128-wide lane tiles
 QCB = 16   # form-Q column block
 
-# Factor-pass ceiling: the resident [m, m, W] re/im pair is
-# 2 m^2 * 128 * 4 B (8.9 MB at m = 93); chip-probe sets the real bound.
-CPQR_MAX_M = 128
+# Factor-pass ceiling, chip-probed 2026-08-20: with the input/output
+# blocks aliased the kernel compiles and validates on a v5e up to m = 64;
+# m >= 80 consistently fails Mosaic compilation (remote_compile exit 1,
+# reproduced across sessions/ports — not a transient). Larger m routes to
+# the XLA fori_loop via ops/cpqr.cpqr's dispatch.
+CPQR_MAX_M = 64
+# Auto-dispatch profitability cap (same probe): 1.20x at [256,16,16],
+# 1.55x at [128,48,48], but 0.73x at [128,64,64] — the always-recompute
+# pivot norms grow O(m^2 W) per step and overtake the saved HBM traffic
+# past m ~ 48. ops/cpqr.cpqr routes here only for m <= this.
+CPQR_AUTO_MAX_M = 48
 
 
 def _factor_kernel(m, ar_ref, ai_ref,
@@ -216,6 +237,12 @@ def cpqr_lanes(a: jax.Array, interpret: bool = False):
     """
     b, m, m2 = a.shape
     assert m == m2, "square matrices only"
+    if m > CPQR_MAX_M:
+        raise ValueError(
+            f"cpqr_lanes: m={m} exceeds the factor-pass VMEM ceiling "
+            f"CPQR_MAX_M={CPQR_MAX_M} (the resident [m, m, 128] re/im pair "
+            "no longer fits); use ops/cpqr.cpqr (impl='xla') instead"
+        )
     f32 = jnp.float32
     ar = jnp.transpose(a.real, (1, 2, 0)).astype(f32)      # [m, m, B]
     ai = jnp.transpose(a.imag, (1, 2, 0)).astype(f32)
@@ -229,6 +256,11 @@ def cpqr_lanes(a: jax.Array, interpret: bool = False):
         return pl.BlockSpec(shape[:-1] + (WB,),
                             lambda i, _n=nd: (0,) * (_n - 1) + (i,))
 
+    # The working [m, m, WB] re/im pair is read fully into the loop carry
+    # up front and the packed factor is written once at the end, so the
+    # input blocks can alias the output blocks — without this the factor
+    # pass holds 4 full-size VMEM buffers (17.8 MB at m = 93 > 16 MB) and
+    # Mosaic rejects the kernel on real hardware at every thermal M class.
     vr, vi, tau, piv = pl.pallas_call(
         functools.partial(_factor_kernel, m),
         grid=(wp // WB,),
@@ -241,6 +273,7 @@ def cpqr_lanes(a: jax.Array, interpret: bool = False):
             jax.ShapeDtypeStruct((1, m, wp), f32),
             jax.ShapeDtypeStruct((1, m, wp), jnp.int32),
         ),
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
     )(ar, ai)
 

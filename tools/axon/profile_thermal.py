@@ -23,6 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nw", type=int, nargs="+", default=[64, 256, 512])
     ap.add_argument("--nblocks", type=int, default=3)
+    ap.add_argument("--beta", type=float, default=1.0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -36,7 +37,7 @@ def main():
     from pauxy_tpu.qmc import QMCOpts
     from pauxy_tpu.qmc.thermal_afqmc import ThermalAFQMC
 
-    beta, dt = 1.0, 0.05
+    beta, dt = args.beta, 0.05
     ham = make_ueg(nup=7, ndown=7, rs=1.0, ecut=4.0)
     trial = make_one_body_trial(ham, beta, dt, mu=0.9)
     print({"M": int(ham.nbasis), "nbins": int(trial.nbins),
