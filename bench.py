@@ -1026,10 +1026,11 @@ def main():
     snapshot(ran_on_tpu)
 
     def ensure_tunnel():
-        """Re-probe between sub-measures (VERDICT r4 item 1c): a tunnel
-        that wedges mid-run gets ONE bounded re-wait; afterwards every
-        remaining TPU sub-measure skips fast instead of serially burning
-        its full child timeout."""
+        """Re-probe after a failed sub-measure (VERDICT r4 item 1c): a
+        tunnel that wedges mid-run gets ONE bounded re-wait; afterwards
+        every remaining TPU sub-measure skips fast instead of serially
+        burning its full child timeout. (The healthy path never probes —
+        a completed child IS the liveness proof.)"""
         nonlocal tunnel_ok
         if remaining() < 150:
             return False
@@ -1044,30 +1045,31 @@ def main():
         """Run a secondary TPU measurement with a budget-derived timeout;
         skip fast when the budget or the tunnel is gone. ``cpu_fallback``:
         measure on CPU (labeled) rather than skip."""
-        if remaining() < 150:
-            result[key + "_error"] = "skipped: bench budget exhausted"
-            return
-        if not ensure_tunnel():
-            if cpu_fallback and remaining() > 150:
-                sub, err = _run_child(
-                    [flag, "--cpu"],
-                    timeout=max(120.0, min(900.0, remaining() - 30.0)))
-                if sub is not None:
-                    sub["platform"] = "cpu-fallback (TPU tunnel unavailable)"
-                    result[key] = sub
-                    snapshot(ran_on_tpu)
-                    return
-            result[key + "_error"] = "skipped: tunnel wedged"
-            snapshot(ran_on_tpu)
-            return
         err = ""
         for attempt in range(2):
-            tmo = min(900.0, remaining() - 30.0)
-            if tmo < 120:
-                err = err or "budget exhausted"
+            if remaining() < 150:
+                err = err or "skipped: bench budget exhausted"
                 break
+            if not tunnel_ok and not ensure_tunnel():
+                err = err or "skipped: tunnel wedged"
+                break
+            tmo = min(900.0, remaining() - 30.0)
             sub, err = _run_child([flag], timeout=tmo)
             if sub is not None:
+                result[key] = sub
+                snapshot(ran_on_tpu)
+                return
+            # Distinguish a wedged tunnel from a program failure before
+            # burning the retry; a wedge flips tunnel_ok for everyone.
+            if not ensure_tunnel():
+                err = f"{err[-150:]} (tunnel wedged after failure)"
+                break
+        if not tunnel_ok and cpu_fallback and remaining() > 150:
+            sub, cerr = _run_child(
+                [flag, "--cpu"],
+                timeout=max(120.0, min(900.0, remaining() - 30.0)))
+            if sub is not None:
+                sub["platform"] = "cpu-fallback (TPU tunnel unavailable)"
                 result[key] = sub
                 snapshot(ran_on_tpu)
                 return

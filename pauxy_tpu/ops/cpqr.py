@@ -22,9 +22,10 @@ def _use_lanes(a: jax.Array, pivot: bool) -> bool:
     """Route to the VMEM lanes kernel (ops/cpqr_pallas.py) when it is
     legal AND profitable: pivoted, batched, m <= CPQR_AUTO_MAX_M,
     single-precision, on a real TPU backend. Chip-probed 2026-08-20
-    (tools/axon/probe_cpqr.py): the lanes kernel wins 1.20x at
-    [256,16,16] and 1.55x at [128,48,48], loses at m=64, and fails
-    Mosaic compilation at m >= 80 — so the auto cap is 48. Opt out with
+    (tools/axon/probe_cpqr.py, two tunnel windows): the lanes kernel
+    wins 1.09-1.20x at [256,16,16] and 1.11-1.55x at [128,48,48], is
+    neutral-to-losing at m=64, and fails Mosaic compilation at m >= 80
+    — so the auto cap is 48. Opt out with
     PAUXY_TPU_CPQR=xla; force with =lanes (e.g. interpret-mode tests use
     the explicit impl= argument instead)."""
     from pauxy_tpu.ops.cpqr_pallas import CPQR_AUTO_MAX_M

@@ -11,10 +11,11 @@ round-trip.
 
 Outcome (chip probes 2026-08-20, tools/axon/probe_cpqr.py): Mosaic
 compiles the factor pass only up to m = 64 (CPQR_MAX_M below; m >= 80
-consistently fails remote compilation). Where it compiles: 1.20x over
-the XLA fori_loop at [256, 16, 16], 1.55x at [128, 48, 48], 0.73x at
-[128, 64, 64] (the always-recompute pivot norms grow O(m^2 W)/step and
-overtake the saved HBM traffic). The kernel is therefore the auto route
+consistently fails remote compilation). Where it compiles (two tunnel
+windows): 1.09-1.20x over the XLA fori_loop at [256, 16, 16],
+1.11-1.55x at [128, 48, 48], neutral-to-0.73x at [128, 64, 64] (the
+always-recompute pivot norms grow O(m^2 W)/step and overtake the saved
+HBM traffic). The kernel is therefore the auto route
 for m <= CPQR_AUTO_MAX_M = 48 (the lattice-model thermal classes); the
 UEG-class stratification (M = 93) stays on the XLA path.
 
@@ -77,10 +78,11 @@ QCB = 16   # form-Q column block
 # reproduced across sessions/ports — not a transient). Larger m routes to
 # the XLA fori_loop via ops/cpqr.cpqr's dispatch.
 CPQR_MAX_M = 64
-# Auto-dispatch profitability cap (same probe): 1.20x at [256,16,16],
-# 1.55x at [128,48,48], but 0.73x at [128,64,64] — the always-recompute
-# pivot norms grow O(m^2 W) per step and overtake the saved HBM traffic
-# past m ~ 48. ops/cpqr.cpqr routes here only for m <= this.
+# Auto-dispatch profitability cap (same probes, two tunnel windows):
+# 1.09-1.20x at [256,16,16], 1.11-1.55x at [128,48,48], but neutral-to-
+# losing at [128,64,64] — the always-recompute pivot norms grow
+# O(m^2 W) per step and overtake the saved HBM traffic past m ~ 48.
+# ops/cpqr.cpqr routes here only for m <= this.
 CPQR_AUTO_MAX_M = 48
 
 

@@ -41,6 +41,37 @@ def apply_exponential_taylor(vhs: jax.Array, phi: jax.Array, order: int = 6):
     return phi
 
 
+def apply_exponential_taylor_3m(vhs: jax.Array, phi: jax.Array,
+                                order: int = 6):
+    """Same series with the complex product done as an explicit 3M
+    (Karatsuba) split: p1 = Vr Tr, p2 = Vi Ti, p3 = (Vr+Vi)(Tr+Ti) — three
+    real batched GEMMs instead of XLA's complex lowering (four).
+
+    Chip-probed 2026-08-20 (tools/axon/probe_taylor_generic.py) at the
+    Generic bench shape [1024, 128, 128] x [128, 32]: in a HEALTHY tunnel
+    window the split is within noise of the complex einsum (5.7 vs 5.6
+    ms/order-6 chain at f32/HIGHEST) — XLA's own complex lowering already
+    avoids the 4th product at this shape. (An earlier probe that showed a
+    1.46x win was taken in a tunnel slow phase, where every number was
+    ~18x inflated; within-wedge relative timings are unreliable too.) At
+    the UEG shape (M = 257) the split LOSES outright (docs/PERFORMANCE.md
+    UEG ledger). Kept as an explicitly-selectable variant, not a default.
+    """
+    vr, vi = vhs.real, vhs.imag
+
+    def body(k, carry):
+        tr, ti, ar, ai = carry
+        p1 = jnp.einsum("wpq,wqn->wpn", vr, tr, optimize=True)
+        p2 = jnp.einsum("wpq,wqn->wpn", vi, ti, optimize=True)
+        p3 = jnp.einsum("wpq,wqn->wpn", vr + vi, tr + ti, optimize=True)
+        tr, ti = (p1 - p2) / k, (p3 - p1 - p2) / k
+        return tr, ti, ar + tr, ai + ti
+
+    tr, ti = phi.real, phi.imag
+    _, _, ar, ai = jax.lax.fori_loop(1, order + 1, body, (tr, ti, tr, ti))
+    return (ar + 1j * ai).astype(phi.dtype)
+
+
 @struct.dataclass
 class GenericContinuous:
     """Inner propagator for the ab-initio Hamiltonian."""
@@ -51,9 +82,11 @@ class GenericContinuous:
     dt: float = struct.field(pytree_node=False)
     exp_order: int = struct.field(pytree_node=False, default=6)
     # Taylor expm-apply kernel: 'xla' (lax.fori_loop, re-reads VHS from
-    # HBM each order), 'pallas' (fused VMEM kernel, VHS read once —
-    # ops/taylor_pallas.py), 'pallas_bf16' (same with bf16 multiplicands /
-    # f32 accumulation), 'pallas_interpret' (tests).
+    # HBM each order), 'xla_3m' (explicit 3-real-GEMM Karatsuba complex
+    # product — within noise of 'xla' at the bench shape, see
+    # apply_exponential_taylor_3m), 'pallas' (fused VMEM kernel, VHS read
+    # once — ops/taylor_pallas.py), 'pallas_bf16' (same with bf16
+    # multiplicands / f32 accumulation), 'pallas_interpret' (tests).
     taylor_impl: str = struct.field(pytree_node=False, default="xla")
 
     @property
@@ -121,6 +154,8 @@ class GenericContinuous:
                 lowp=self.taylor_impl == "pallas_bf16",
                 interpret=self.taylor_impl == "pallas_interpret",
             )
+        elif self.taylor_impl == "xla_3m":
+            phi = apply_exponential_taylor_3m(vhs, phi_in, self.exp_order)
         else:
             phi = apply_exponential_taylor(vhs, phi_in, self.exp_order)
         return phi[..., :na], phi[..., na:]

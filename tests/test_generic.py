@@ -348,6 +348,12 @@ def test_taylor_pallas_matches_xla():
                                           lowp=True, interpret=True))
     # bf16 multiplicands / f32 accumulation: ~8-bit mantissa per product.
     assert np.abs(outb - ref).max() / scale < 5e-3
+    # 3M (Karatsuba) split: algebraically identical complex product.
+    from pauxy_tpu.propagation.generic import apply_exponential_taylor_3m
+
+    out3 = np.asarray(apply_exponential_taylor_3m(jnp.asarray(vhs),
+                                                  jnp.asarray(phi)))
+    assert np.abs(out3 - ref).max() / scale < 1e-6
 
 
 @pytest.mark.unit
@@ -395,6 +401,10 @@ def test_generic_driver_taylor_pallas_trajectory(tmp_path):
     np.testing.assert_allclose(np.asarray(r_x).real[:, :-1],
                                np.asarray(r_p).real[:, :-1],
                                rtol=2e-4, atol=2e-4)
+    r_3 = run("xla_3m", "t3.h5")
+    np.testing.assert_allclose(np.asarray(r_x).real[:, :-1],
+                               np.asarray(r_3).real[:, :-1],
+                               rtol=1e-8, atol=1e-10)
 
 
 @pytest.mark.unit

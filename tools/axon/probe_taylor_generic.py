@@ -18,6 +18,13 @@ and at the bfloat16_3x ladder tier:
 
 Results land in docs/PERFORMANCE.md's probe ledger.
 
+TUNNEL-PHASE CAVEAT (measured 2026-08-20): the axon tunnel has slow
+phases where every rate is uniformly ~18x down AND relative orderings
+shift (a wedged run showed realsplit "1.46x faster"; a healthy rerun
+minutes later showed the two within 2%). Each tier therefore re-times
+``base`` at the END as ``base2`` — if base2 deviates from base by more
+than ~20%, discard the whole tier's ordering and rerun.
+
 Usage: python tools/axon/probe_taylor_generic.py [--w 1024] [--cpu]
 """
 
@@ -163,6 +170,8 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"pallas_bf16: {type(e).__name__}: {str(e)[:100]}",
                       flush=True)
+        # Tunnel-phase control (see module docstring): base re-timed last.
+        timed("base2", chain(base_body), vhs, phi)
     config.set_matmul_precision("float32")
 
 
