@@ -432,6 +432,19 @@ def measure_generic():
             "mfu_vs_bf16_peak_bf16_3x": round(tf_b / V5E_BF16_PEAK_FLOPS, 4),
             "ladder_nsteps_per_dispatch": GEN_NSTEPS_DEEP,
         }
+        # Top rung of the documented ladder: plain bfloat16 (ONE MXU pass
+        # per matmul, ~4e-3 relative on the order-6 Taylor propagator —
+        # README "Precision policy"). VERDICT r5 item 6: the MFU ceiling
+        # hunt reported at every documented accuracy tier.
+        if (_cfg.set_matmul_precision("bfloat16") == "bfloat16"
+                and _child_time_left() > 90):
+            rate_1x = timed_tier(af.prop.replace(
+                inner=af.prop.inner.replace(taylor_impl="pallas_bf16")))
+            tf_1 = _generic_step_flops(nw, nmo, na, nx) * rate_1x / nw
+            out_bf16["rate_bf16_1x_fused_taylor"] = round(rate_1x, 1)
+            out_bf16["achieved_tflops_bf16_1x"] = round(tf_1 / 1e12, 2)
+            out_bf16["mfu_vs_bf16_peak_bf16_1x"] = round(
+                tf_1 / V5E_BF16_PEAK_FLOPS, 4)
     except Exception as e:  # noqa: BLE001 — secondary measurement only
         out_bf16 = {"bf16_3x_error": f"{type(e).__name__}: {str(e)[:120]}"}
     finally:
@@ -705,13 +718,26 @@ def measure_thermal():
     nslices = af.ntime_slices
     af.run_block()  # compile + warm-up
 
+    # The compile above can eat most of a squeezed child window; derive
+    # the blocks-per-rep from the measured per-block time and the time
+    # actually left, so a slow tunnel degrades statistics (fewer blocks
+    # per rep) instead of losing the measurement to the subprocess kill.
+    t0 = time.perf_counter()
+    af.run_block()
+    per_block = max(time.perf_counter() - t0, 1e-3)
+    nblocks = THERMAL_NBLOCKS
+    left = _child_time_left()
+    if left != float("inf"):
+        affordable = max(1, int((left - 30.0) / (3 * per_block)))
+        nblocks = min(THERMAL_NBLOCKS, affordable)
+
     def run_rep():
         t0 = time.perf_counter()
-        rows = [af.run_block() for _ in range(THERMAL_NBLOCKS)]
+        rows = [af.run_block() for _ in range(nblocks)]
         vals = np.asarray([r[2] for r in rows]).real  # weight col readback
         elapsed = time.perf_counter() - t0
         _assert_finite(vals)
-        return nw * nslices * THERMAL_NBLOCKS / elapsed
+        return nw * nslices * nblocks / elapsed
 
     rates, _dropped = _healthy_reps(run_rep)
     best = max(rates)
@@ -731,6 +757,7 @@ def measure_thermal():
             "stack_size": int(trial.stack_size),
             "spread": [round(r, 1) for r in sorted(rates)],
             "ms_per_block": round(1e3 * nw * nslices / best, 1),
+            "blocks_per_rep": nblocks,
         })
 
 
@@ -851,6 +878,10 @@ def _run_child(args_extra, timeout=900):
     # Absolute deadline for in-child rep loops: leave 30 s of slack under
     # the hard subprocess kill so children finish and print RESULT.
     env["BENCH_CHILD_DEADLINE_TS"] = str(time.time() + max(timeout - 30, 30))
+    # Persistent compilation cache: a child that times out mid-compile (the
+    # thermal scan costs minutes to build) hits the cache on retry, so the
+    # second attempt spends its window measuring instead of recompiling.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pauxy_tpu_jax_cache")
     try:
         out = subprocess.run(args, capture_output=True, text=True,
                              timeout=timeout, cwd=os.path.dirname(here),
