@@ -761,10 +761,32 @@ def measure_thermal():
         })
 
 
-# Continuous-HS 4x4 Hubbard pinned reference energy (BASELINE.md,
-# pauxy/qmc/tests/test_afqmc.py:186-188) — the equilibrium anchor the
-# measured segment must be statistically consistent with.
-TTE_ANCHOR_ETOTAL = -15.14323385684513
+# Equilibrium anchor for the tte validity gate: the ORACLE's (reference
+# implementation, serial, identical UHF trial orbitals) equilibrated mean
+# from the committed golden series tests/data/hubbard4x4_uhf_continuous.npz
+# — the same phaseless fixed point this bench's equilibrated segment
+# estimates. The reference's pinned -15.14323385684513
+# (pauxy/qmc/tests/test_afqmc.py:186-188) is a 10-block TRANSIENT mean
+# (tau = 1 from the trial state) of the same family, listed for context;
+# an equilibrated segment must NOT be gated on it, and the phaseless
+# fixed point is trial-dependent, so the trial must be the golden
+# orbitals, not free_electron (that mismatch made r5's first tte attempt
+# read 39 sigma off).
+TTE_ANCHOR_ETOTAL = -15.14323385684513  # transient 10-block ref (context)
+
+
+def _tte_golden_anchor():
+    """(psi, anchor_mean, anchor_sigma) from the oracle golden series:
+    equilibrated (last 2/3) mean +- stderr with the identical trial."""
+    import numpy as np
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    g = np.load(os.path.join(here, "tests", "data",
+                             "hubbard4x4_uhf_continuous.npz"))
+    et = np.asarray(g["etotal_blocks"]).real
+    eq = et[len(et) // 3:]
+    return (np.asarray(g["psi"]), float(eq.mean()),
+            float(eq.std(ddof=1) / np.sqrt(len(eq))))
 
 
 def _tte_point(nw, neqlb, nmeasure, filename, time_budget_s=None):
@@ -777,13 +799,15 @@ def _tte_point(nw, neqlb, nmeasure, filename, time_budget_s=None):
     (VERDICT r4 item 4)."""
     import numpy as np
 
-    from pauxy_tpu.models import make_hubbard, free_electron_trial
+    from pauxy_tpu.models import make_hubbard
+    from pauxy_tpu.models.trial import trial_from_orbitals
     from pauxy_tpu.qmc import AFQMC, QMCOpts
     from pauxy_tpu.analysis import autocorr, blocking
 
     nsteps = 10
     ham = make_hubbard(nup=7, ndown=7, U=4.0, nx=4, ny=4)
-    trial = free_electron_trial(ham)
+    psi, anchor_mean, anchor_sigma = _tte_golden_anchor()
+    trial = trial_from_orbitals(ham, psi)
     qmc = QMCOpts(nwalkers=nw, dt=0.01, nsteps=nsteps,
                   nblocks=neqlb + nmeasure + 1, nstblz=10, npop_control=1,
                   rng_seed=8)
@@ -814,11 +838,14 @@ def _tte_point(nw, neqlb, nmeasure, filename, time_budget_s=None):
     tau_blocks = int(ac["ac"].values[0])
     sigma_rb = float(blocking.reblock_summary(e)["standard error"])
     mean = float(e.mean())
-    dev_sigma = abs(mean - TTE_ANCHOR_ETOTAL) / max(sigma_ac, 1e-12)
+    # Combined-sigma deviation vs the oracle's equilibrated mean at the
+    # IDENTICAL trial (the anchor carries its own Monte-Carlo error).
+    comb = max(float(np.hypot(sigma_ac, anchor_sigma)), 1e-12)
+    dev_sigma = abs(mean - anchor_mean) / comb
     return {
         "nwalkers": nw,
         # The number only counts when the measured segment is statistically
-        # consistent with the pinned reference anchor (VERDICT r4 item 4).
+        # consistent with the oracle anchor (VERDICT r4 item 4).
         "valid": bool(dev_sigma <= 2.0),
         "value": round(elapsed * (sigma_ac / 1e-3) ** 2, 1),
         "sigma_autocorr": round(sigma_ac, 6),
@@ -828,7 +855,10 @@ def _tte_point(nw, neqlb, nmeasure, filename, time_budget_s=None):
         "blocks_measured": int(len(e)),
         "elapsed_s": round(elapsed, 2),
         "mean_etotal": round(mean, 6),
-        "anchor_etotal": TTE_ANCHOR_ETOTAL,
+        "anchor_etotal": round(anchor_mean, 6),
+        "anchor_sigma": round(anchor_sigma, 6),
+        "anchor_source": "oracle golden equilibrated (identical UHF trial)",
+        "anchor_transient_ref": TTE_ANCHOR_ETOTAL,
         "anchor_dev_sigma": round(dev_sigma, 2),
     }
 
