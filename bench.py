@@ -958,7 +958,12 @@ def _write_tpu_record(result):
     item 2 — the old gitignored bench_last_tpu.json cache is retired as
     the authoritative name but still read as a legacy fallback). Only
     genuinely-on-TPU results are recorded; sub-results that silently fell
-    back to the CPU backend are dropped from the record."""
+    back to the CPU backend are dropped from the record.
+
+    The record is MONOTONE across runs: a sub-measure family the current
+    run failed to land (tunnel wedge mid-run) keeps the previous run's
+    entry, stamped ``carried_from`` — one wedged window can no longer
+    erase a previously-evidenced family from the committed record."""
     here = os.path.dirname(os.path.abspath(__file__))
     to_cache = dict(result)
     for k, v in list(to_cache.items()):
@@ -966,6 +971,21 @@ def _write_tpu_record(result):
                 and v.get("exec_platform", "") in ("cpu",)
                 and not v.get("platform", "").startswith("cpu-fallback")):
             to_cache[k] = {"dropped": "executed on the CPU backend"}
+    prev = _read_tpu_record() or {}
+    for fam in ("generic", "thermal", "ueg", "hubbard_discrete",
+                "time_to_1mHa", "kernel_matrix"):
+        cur = to_cache.get(fam)
+        cur_ok = isinstance(cur, dict) and "dropped" not in cur
+        old = prev.get(fam)  # may itself be a carried entry; chain is fine
+        old_ok = isinstance(old, dict) and "dropped" not in old
+        if not cur_ok and old_ok:
+            carried = dict(old)
+            carried.setdefault("carried_from",
+                              prev.get("measured_at", "earlier run"))
+            to_cache[fam] = carried
+            err = to_cache.pop(fam + "_error", None)
+            if err:
+                to_cache[fam + "_skip_reason"] = err
     try:
         with open(os.path.join(here, "BENCH_TPU.json"), "w") as fh:
             json.dump({"measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
