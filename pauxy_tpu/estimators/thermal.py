@@ -27,17 +27,21 @@ def fermi_factor(ek, beta, mu):
     return 1.0 / (np.exp(beta * (ek - mu)) + 1.0)
 
 
-def qdt_product(stack: jax.Array):
-    """Stable QDT factorization of A = B[n-1] ... B[1] B[0].
+def qdt_identity(batch_shape, m: int, dtype):
+    """The empty QDT fold carry: Q = I, d = 1, T = I (folding a bin into it
+    reproduces a direct factorization of that bin)."""
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (*batch_shape, m, m))
+    return eye, jnp.ones((*batch_shape, m), dtype), eye
 
-    stack: [..., nbins, m, m] with index 0 applied FIRST (rightmost factor).
-    Returns (q, d, t, perm_logdet_sign_unused) with A ~= Q diag(d) T.
+
+def qdt_fold(stack: jax.Array, carry, start, stop):
+    """Fold bins [start, stop) of the stack into a QDT carry (q, d, t).
+
+    The incremental step of the stratified product (thermal.py:147-168):
+    C = (B_i Q) D -> pivoted QR -> new (Q, D, T). ``start``/``stop`` may be
+    traced (the per-slice prefix-cached Green's function uses a dynamic
+    lower bound); the loop lowers to a while_loop in that case.
     """
-    nbins = stack.shape[-3]
-    b0 = stack[..., 0, :, :]
-    q, r, perm = cpqr.cpqr(b0)
-    d = jnp.diagonal(r, axis1=-2, axis2=-1)               # [..., m]
-    t = cpqr.unpermute_columns(r / d[..., :, None], perm)
 
     def body(i, carry):
         q, d, t = carry
@@ -49,8 +53,21 @@ def qdt_product(stack: jax.Array):
         t = jnp.einsum("...pm,...mn->...pn", tmp, t)
         return q, dnew, t
 
-    q, d, t = jax.lax.fori_loop(1, nbins, body, (q, d, t))
-    return q, d, t
+    return jax.lax.fori_loop(start, stop, body, carry)
+
+
+def qdt_product(stack: jax.Array):
+    """Stable QDT factorization of A = B[n-1] ... B[1] B[0].
+
+    stack: [..., nbins, m, m] with index 0 applied FIRST (rightmost factor).
+    Returns (q, d, t) with A ~= Q diag(d) T.
+    """
+    nbins = stack.shape[-3]
+    b0 = stack[..., 0, :, :]
+    q, r, perm = cpqr.cpqr(b0)
+    d = jnp.diagonal(r, axis1=-2, axis2=-1)               # [..., m]
+    t = cpqr.unpermute_columns(r / d[..., :, None], perm)
+    return qdt_fold(stack, (q, d, t), 1, nbins)
 
 
 def _assemble_qdt(q, d, t, want_logdet: bool):
@@ -111,6 +128,12 @@ def greens_function_qdt(stack: jax.Array):
 def greens_function_qdt_logdet(stack: jax.Array):
     """(G, log det G) from the stack's QDT factors (:func:`_assemble_qdt`)."""
     q, d, t = qdt_product(stack)
+    return _assemble_qdt(q, d, t, want_logdet=True)
+
+
+def inverse_one_plus_qdt_logdet(q, d, t):
+    """(G, log det G) = stabilized (1 + Q D T)^-1 from explicit factors
+    (the prefix-cached per-slice path, propagation/thermal.py)."""
     return _assemble_qdt(q, d, t, want_logdet=True)
 
 

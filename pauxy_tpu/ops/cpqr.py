@@ -75,11 +75,116 @@ def cpqr(a: jax.Array, pivot: bool = True, impl: str | None = None):
             r.reshape(a.shape),
             perm.reshape((*batch, m)),
         )
+    if impl == "xla_swaps":
+        return _cpqr_xla_swaps(a, pivot)
     return _cpqr_xla(a, pivot)
 
 
 def _cpqr_xla(a: jax.Array, pivot: bool = True):
-    """Pure-XLA fori_loop implementation (all backends, any precision)."""
+    """Pure-XLA implementation: deferred-pivot Householder + compact WY.
+
+    Two HBM-traffic optimizations over the textbook loop
+    (:func:`_cpqr_xla_swaps`), chip-probed 2026-08-20 at the thermal fold
+    shape [512, 93, 93] c64 (tools/axon/probe_thermal_phases.py):
+
+    * No physical column swaps: the pivot is selected by masking processed
+      columns (LAPACK xGEQP3-style deferred permutation), the reflection is
+      applied to ALL columns (processed columns are provably invariant:
+      they are zero on rows >= k, the support of v_k), and the columns are
+      put in pivot order by ONE one-hot matmul at the end — removing a
+      full-matrix lane-axis gather per step.
+    * Q is never carried through the loop. The Householder vectors V and
+      scalars tau accumulate in-place, and Q = I - V T V^H is formed once
+      at the end via the compact-WY identity T^{-1} = diag(1/tau) +
+      striu(V^H V) — two MXU matmuls plus one small triangular solve
+      replace 2 rank-1 full-matrix updates per step.
+    """
+    *batch, mrow, m = a.shape
+    assert mrow == m, "square matrices only"
+    cdtype = a.dtype
+    rdtype = jnp.zeros((), cdtype).real.dtype
+    rows = jnp.arange(m)
+
+    r0 = a
+    v0 = jnp.zeros_like(a)                                # columns = v_k
+    tau0 = jnp.zeros((*batch, m), cdtype)
+    perm0 = jnp.broadcast_to(rows, (*batch, m))
+    done0 = jnp.zeros((*batch, m), bool)
+
+    def body(k, carry):
+        r, vmat, tau, perm, done = carry
+        active_row = (rows >= k)                           # [m]
+
+        if pivot:
+            norms = jnp.sum(
+                jnp.abs(r) ** 2 * active_row[..., :, None].astype(rdtype),
+                axis=-2,
+            )
+            norms = jnp.where(done, -1.0, norms)
+            p = jnp.argmax(norms, axis=-1)                 # [...]
+        else:
+            p = jnp.broadcast_to(jnp.asarray(k), tuple(batch))
+        pb = p[..., None]
+
+        # Householder vector from pivot column p, rows >= k.
+        x = jnp.take_along_axis(r, pb[..., None, :], axis=-1)[..., 0]
+        x = x * active_row.astype(rdtype)                  # [..., m]
+        normx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-1))
+        x0 = jnp.sum(x * (rows == k).astype(rdtype), axis=-1)
+        absx0 = jnp.abs(x0)
+        phase = jnp.where(absx0 > 0, x0 / jnp.where(absx0 > 0, absx0, 1.0), 1.0)
+        alpha = -phase * normx.astype(cdtype)
+        v = x - alpha[..., None] * (rows == k).astype(cdtype)
+        vsq = jnp.sum(jnp.abs(v) ** 2, axis=-1)
+        ok = vsq > 1e-300
+        tk = jnp.where(ok, 2.0 / jnp.where(ok, vsq, 1.0), 0.0).astype(cdtype)
+        v = v * ok[..., None]          # tau=0 column must be exactly zero
+
+        # r <- (I - tau v v^H) r ; processed columns are unchanged by this
+        # (their rows >= k vanish), so no column mask is needed.
+        w = jnp.einsum("...m,...mn->...n", v.conj(), r) * tk[..., None]
+        r = r - v[..., :, None] * w[..., None, :]
+
+        vmat = vmat + v[..., :, None] * (rows == k).astype(cdtype)
+        tau = tau + tk[..., None] * (rows == k).astype(cdtype)
+        perm = jnp.where(rows == k, pb, perm)
+        done = done | (rows == pb)
+        return r, vmat, tau, perm, done
+
+    r, vmat, tau, perm, _done = jax.lax.fori_loop(
+        0, m, body, (r0, v0, tau0, perm0, done0)
+    )
+
+    # Q = H_0 H_1 ... H_{m-1} = I - V T V^H (compact WY), with
+    # T^{-1} = diag(1/tau) + striu(V^H V); tau = 0 columns carry v = 0, so
+    # a unit diagonal entry there leaves Q untouched.
+    from pauxy_tpu.ops import clinalg
+
+    g = jnp.einsum("...mk,...mn->...kn", vmat.conj(), vmat)
+    abst = jnp.abs(tau)
+    safe_diag = jnp.where(abst > 0, 1.0 / jnp.where(abst > 0, tau, 1.0), 1.0)
+    eye = jnp.eye(m, dtype=cdtype)
+    tinv = jnp.triu(g, 1) + safe_diag[..., :, None] * eye
+    vh = jnp.swapaxes(vmat.conj(), -1, -2)
+    if jnp.iscomplexobj(a):
+        tvh = clinalg.solve(tinv, vh)
+    else:
+        tvh = jnp.linalg.solve(tinv, vh)
+    q = jnp.broadcast_to(eye, a.shape) - jnp.einsum(
+        "...mk,...kn->...mn", vmat, tvh
+    )
+
+    # One deferred column permutation: r_piv[:, j] = r[:, perm[j]].
+    sel = (perm[..., None, :] == rows[:, None]).astype(cdtype)  # [..., m, m]
+    r = jnp.einsum("...mk,...kn->...mn", r, sel)
+    tri = (rows[:, None] <= rows[None, :]).astype(cdtype)
+    return q, r * tri, perm.astype(jnp.int32)
+
+
+def _cpqr_xla_swaps(a: jax.Array, pivot: bool = True):
+    """Textbook fori_loop implementation (all backends, any precision):
+    physical column swaps + per-step rank-1 Q accumulation. Kept for A/B
+    probing against :func:`_cpqr_xla`."""
     *batch, mrow, m = a.shape
     assert mrow == m, "square matrices only"
     cdtype = a.dtype
@@ -136,6 +241,14 @@ def _cpqr_xla(a: jax.Array, pivot: bool = True):
 
 def unpermute_columns(t: jax.Array, perm: jax.Array) -> jax.Array:
     """Given T acting on pivoted columns, return T' with T'[:, perm[j]] =
-    T[:, j] (undo the pivoting; thermal.py:160-162)."""
-    inv = jnp.argsort(perm, axis=-1)
-    return jnp.take_along_axis(t, inv[..., None, :], axis=-1)
+    T[:, j] (undo the pivoting; thermal.py:160-162).
+
+    Implemented as one one-hot MXU matmul rather than argsort + lane-axis
+    take_along_axis: per-batch dynamic gathers along the 128-lane axis are
+    serialized scalar loads on TPU, while T @ P is a native matmul tile.
+    """
+    m = t.shape[-1]
+    cols = jnp.arange(m)
+    # P[j, i] = 1 iff i == perm[j]  ->  (T @ P)[:, i] = T[:, j=perm^-1(i)].
+    p = (perm[..., :, None] == cols).astype(t.dtype)      # [..., m, m]
+    return jnp.einsum("...mk,...kn->...mn", t, p)

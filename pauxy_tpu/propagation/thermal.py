@@ -213,15 +213,42 @@ class ThermalContinuous:
         (thermal_propagation/continuous.py:202-257)."""
         if isinstance(state, lrw.LowRankWalkerState):
             return self.propagate_low_rank(trial, state, key, ts)
+        from pauxy_tpu.estimators import thermal as th
+
         cdtype = state.log_m0.dtype
         b, cfb, cmf = self._sample_b(state, key, cdtype)
 
         state = tws.update_stack(trial, state, b, ts)
-        g_new, log_m0_new = tws.greens_function(state.stack)
+        extra = {}
+        if state.pq is None:
+            # Legacy state (e.g. restored from an old checkpoint): full
+            # re-stratification over all bins every slice.
+            g_new, log_m0_new = tws.greens_function(state.stack)
+        else:
+            # Prefix-cached re-stratification: bins below the active one
+            # are final for the rest of this beta sweep, so their QDT fold
+            # is refreshed once per bin entry and each slice only folds
+            # bins block..nbins-1 on top of it — (nbins+1)/2 average cpqr
+            # folds per slice instead of nbins, same numbers (the fold
+            # sequence is identical, merely cached).
+            ss = trial.stack_size
+            block = ts // ss
+            counter = ts % ss
+            s = jnp.swapaxes(state.stack, 1, 2)           # [w, 2, bins, M, M]
+            prefix = jax.lax.cond(
+                (counter == 0) & (block > 0),
+                lambda p: th.qdt_fold(s, p, block - 1, block),
+                lambda p: p,
+                (state.pq, state.pd, state.pt),
+            )
+            q, d, t = th.qdt_fold(s, prefix, block, state.nbins)
+            g_new, log_m0_new = th.inverse_one_plus_qdt_logdet(q, d, t)
+            extra = {"pq": prefix[0], "pd": prefix[1], "pt": prefix[2]}
 
         log_oratio = jnp.sum(state.log_m0 - log_m0_new, axis=-1)
         return self._update_weight(
-            state, log_oratio, cfb, cmf, {"G": g_new, "log_m0": log_m0_new}
+            state, log_oratio, cfb, cmf,
+            {"G": g_new, "log_m0": log_m0_new, **extra},
         )
 
 

@@ -35,6 +35,15 @@ class ThermalWalkerState:
     # (thermal_propagation/continuous.py:241), leaving its EHybrid column 0;
     # here it is reported.
     hybrid_energy: jax.Array | None = None
+    # Prefix-cached QDT fold over the FINALIZED bins 0..block-1 of the
+    # current beta sweep ([w, 2, M, M] / [w, 2, M] / [w, 2, M, M]). Bins
+    # below the active one never change until the next sweep, so their
+    # fold is computed once per bin entry instead of once per slice —
+    # (nbins+1)/2 average folds per slice instead of nbins. None until
+    # the propagator opts in (propagation/thermal.py:propagate).
+    pq: jax.Array | None = None
+    pd: jax.Array | None = None
+    pt: jax.Array | None = None
 
     @property
     def nwalkers(self) -> int:
@@ -81,6 +90,7 @@ def init_thermal_walkers(trial, nwalkers: int) -> ThermalWalkerState:
         jnp.eye(m, dtype=cdtype), (nwalkers, 2, m, m)
     )
     g, log_m0 = greens_function(stack)
+    pq, pd, pt = th.qdt_identity((nwalkers, 2), m, cdtype)
     return ThermalWalkerState(
         stack=stack,
         right=right,
@@ -91,6 +101,9 @@ def init_thermal_walkers(trial, nwalkers: int) -> ThermalWalkerState:
         phase=jnp.ones((nwalkers,), cdtype),
         total_weight=jnp.asarray(float(nwalkers), rdtype),
         hybrid_energy=jnp.zeros((nwalkers,), cdtype),
+        pq=pq,
+        pd=pd,
+        pt=pt,
     )
 
 

@@ -195,3 +195,86 @@ def test_thermal_average_gf(tmp_path):
     # Nav agrees too.
     assert abs(rows[True][1:, 10].real.mean()
                - rows[False][1:, 10].real.mean()) < 0.2
+
+
+@pytest.mark.unit
+def test_cpqr_deferred_pivot_matches_swaps():
+    """The WY/deferred-pivot default (_cpqr_xla) applies the exact same
+    reflection sequence as the textbook swaps loop: identical pivot order,
+    bit-level-close R, and Q equal to working precision."""
+    rng = np.random.default_rng(11)
+    a = rand_c(rng, 4, 33, 33)
+    a[1] *= np.logspace(0, -8, 33)[None, :]               # ill-conditioned
+    ad = jnp.asarray(a)
+    q1, r1, p1 = map(np.asarray, cpqr._cpqr_xla(ad))
+    q2, r2, p2 = map(np.asarray, cpqr._cpqr_xla_swaps(ad))
+    assert (p1 == p2).all()
+    np.testing.assert_allclose(r1, r2, atol=1e-10)
+    np.testing.assert_allclose(q1, q2, atol=1e-8)
+    # And the identities hold independently.
+    for b in range(4):
+        np.testing.assert_allclose(a[b][:, p1[b]], q1[b] @ r1[b], atol=1e-7)
+        np.testing.assert_allclose(
+            q1[b].conj().T @ q1[b], np.eye(33), atol=1e-9
+        )
+
+
+@pytest.mark.unit
+def test_cpqr_nopivot():
+    rng = np.random.default_rng(12)
+    a = rand_c(rng, 2, 9, 9)
+    q, r, perm = cpqr.cpqr(jnp.asarray(a), pivot=False)
+    q, r, perm = np.asarray(q), np.asarray(r), np.asarray(perm)
+    assert (perm == np.arange(9)).all()
+    for b in range(2):
+        np.testing.assert_allclose(a[b], q[b] @ r[b], atol=1e-9)
+        assert np.abs(np.tril(r[b], -1)).max() < 1e-9
+
+
+@pytest.mark.unit
+def test_unpermute_columns_onehot():
+    rng = np.random.default_rng(13)
+    t = rand_c(rng, 3, 7, 7)
+    perm = np.stack([rng.permutation(7) for _ in range(3)])
+    out = np.asarray(
+        cpqr.unpermute_columns(jnp.asarray(t), jnp.asarray(perm))
+    )
+    for b in range(3):
+        want = np.empty_like(t[b])
+        want[:, perm[b]] = t[b]
+        np.testing.assert_allclose(out[b], want, atol=1e-12)
+
+
+@pytest.mark.unit
+def test_prefix_cached_propagation_matches_full_refold():
+    """The prefix-cached per-slice Green's function (walker pq/pd/pt carry)
+    is bit-identical to the legacy full re-stratification over all bins."""
+    import jax
+
+    from pauxy_tpu.models import make_hubbard
+    from pauxy_tpu.models.thermal_trial import make_one_body_trial
+    from pauxy_tpu.propagation.thermal import make_thermal_propagator
+    from pauxy_tpu.walkers import thermal_state as tws
+
+    ham = make_hubbard(nup=3, ndown=3, U=4.0, nx=3, ny=3)
+    beta, dt = 1.0, 0.05
+    trial = make_one_body_trial(ham, beta, dt, mu=1.0, stack_size=5)
+    assert trial.nbins == 4
+    prop = make_thermal_propagator(ham, trial, dt)
+
+    state = tws.init_thermal_walkers(trial, 4)
+    legacy = state.replace(pq=None, pd=None, pt=None)
+    key = jax.random.PRNGKey(3)
+    for ts in range(int(round(beta / dt))):
+        key, k = jax.random.split(key)
+        state = prop.propagate(trial, state, k, ts)
+        legacy = prop.propagate(trial, legacy, k, ts)
+    np.testing.assert_allclose(
+        np.asarray(state.G), np.asarray(legacy.G), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.log_m0), np.asarray(legacy.log_m0), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.weight), np.asarray(legacy.weight), atol=1e-12
+    )

@@ -1,5 +1,6 @@
 """On-chip probe: pivoted-QR lanes kernel (ops/cpqr_pallas.py) vs the
-XLA fori_loop (ops/cpqr._cpqr_xla) at the thermal stratification shape
+XLA implementations (ops/cpqr._cpqr_xla deferred-pivot/WY default and
+the textbook _cpqr_xla_swaps loop) at the thermal stratification shape
 classes, readback-fenced, numerics validated against host numpy. Decides
 the ops/cpqr auto-dispatch default (PAUXY_TPU_CPQR).
 
@@ -44,7 +45,7 @@ def main():
         a *= np.exp(rng.normal(scale=2.0, size=(1, 1, m))).astype(np.float32)
         ad = to_device(a)
         row = {"shape": f"[{b},{m},{m}]"}
-        for impl in ("xla", "lanes"):
+        for impl in ("xla", "xla_swaps", "lanes"):
             try:
                 fn = jax.jit(lambda x, _i=impl: cpqr.cpqr(x, impl=_i))
                 q, r, perm = fn(ad)

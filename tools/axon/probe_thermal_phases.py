@@ -1,13 +1,18 @@
 """Per-phase breakdown of one thermal UEG slice at the bench shape.
 
-Times, on the real chip, the four candidate hot phases of
+Times, on the real chip, the candidate hot phases of
 ThermalContinuous.propagate at the bench config (M=93, nw=256, beta=2,
 stack_size=10 -> nbins=4):
 
-  sample_b   force bias + dense_bv Taylor + BH1 sandwich
-  stack      update_stack einsums
-  cpqr x4    the stratified qdt_product (4 sequential cpqr folds)
-  assemble   greens_function_qdt_logdet minus the qdt_product part
+  sample_b      force bias + dense_bv Taylor + BH1 sandwich
+  update_stack  stack push einsums
+  qdt_product   the stratified fold (nbins sequential cpqr + matmuls)
+  greens        qdt_product + assembly/inversion + logdet
+  one cpqr      a single fold-shape factorization
+
+Each phase is timed as jit(checksum(phase(...))) with a HOST READBACK of
+the scalar checksum — on the axon tunnel ``block_until_ready`` does not
+fence, so the readback is the only honest timing barrier.
 
 Usage: python tools/axon/probe_thermal_phases.py [--nw 256] [--cpu]
 """
@@ -22,18 +27,27 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
-def timeit(fn, *args, reps=3):
+def checksum(out):
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    return sum(
+        jnp.sum(jnp.abs(leaf))
+        for leaf in jax.tree_util.tree_leaves(out)
+        if hasattr(leaf, "dtype")
+    )
+
+
+def timeit(fn, *args, reps=3):
+    """fn must return a scalar; float() readback is the fence."""
+    val = float(fn(*args))  # compile + warm
+    assert np.isfinite(val), val
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best
 
 
 def main():
@@ -68,39 +82,40 @@ def main():
     state = tws.init_thermal_walkers(trial, nw)
     key = jax.random.PRNGKey(0)
 
-    # Full slice (the unit the bench rate counts).
-    full = jax.jit(lambda s, k: prop.propagate(trial, s, k, 3))
-    t_full, state2 = timeit(full, state, key)
+    full = jax.jit(
+        lambda pr, tr, s, k: checksum(pr.propagate(tr, s, k, 3)))
+    t_full = timeit(full, prop, trial, state, key)
     print(f"full slice        : {1e3 * t_full:8.1f} ms", flush=True)
 
-    # Phase 1: sample_b.
     sample = jax.jit(
-        lambda s, k: prop._sample_b(s, k, s.log_m0.dtype))
-    t_sb, (b, cfb, cmf) = timeit(sample, state, key)
+        lambda pr, s, k: checksum(pr._sample_b(s, k, s.log_m0.dtype)))
+    t_sb = timeit(sample, prop, state, key)
     print(f"  sample_b        : {1e3 * t_sb:8.1f} ms", flush=True)
 
-    # Phase 2: stack push.
-    upd = jax.jit(lambda s, bb: tws.update_stack(trial, s, bb, 3))
-    t_st, state3 = timeit(upd, state, b)
+    b, _cfb, _cmf = jax.jit(
+        lambda pr, s, k: pr._sample_b(s, k, s.log_m0.dtype))(
+            prop, state, key)
+    upd = jax.jit(
+        lambda tr, s, bb: checksum(tws.update_stack(tr, s, bb, 3)))
+    t_st = timeit(upd, trial, state, b)
     print(f"  update_stack    : {1e3 * t_st:8.1f} ms", flush=True)
 
-    # Phase 3: the qdt product (4 cpqr folds + inter-bin matmuls).
+    state3 = jax.jit(lambda tr, s, bb: tws.update_stack(tr, s, bb, 3))(
+        trial, state, b)
     stack_s = jnp.swapaxes(state3.stack, 1, 2)
 
-    qdt = jax.jit(th.qdt_product)
-    t_qdt, _ = timeit(qdt, stack_s)
+    qdt = jax.jit(lambda s: checksum(th.qdt_product(s)))
+    t_qdt = timeit(qdt, stack_s)
     print(f"  qdt_product     : {1e3 * t_qdt:8.1f} ms", flush=True)
 
-    # Phase 4: full greens (qdt_product + assembly/inversion).
-    gf = jax.jit(th.greens_function_qdt_logdet)
-    t_gf, _ = timeit(gf, stack_s)
+    gf = jax.jit(lambda s: checksum(th.greens_function_qdt_logdet(s)))
+    t_gf = timeit(gf, stack_s)
     print(f"  greens (qdt+asm): {1e3 * t_gf:8.1f} ms "
           f"(assembly ~{1e3 * (t_gf - t_qdt):.1f} ms)", flush=True)
 
-    # Single cpqr at the fold shape.
     b0 = stack_s[:, :, 0].reshape((-1, m, m))
-    one = jax.jit(lambda x: cpqr.cpqr(x)[0])
-    t_c1, _ = timeit(one, b0)
+    one = jax.jit(lambda x: checksum(cpqr.cpqr(x)))
+    t_c1 = timeit(one, b0)
     print(f"  one cpqr [{b0.shape[0]},{m},{m}]: {1e3 * t_c1:8.1f} ms",
           flush=True)
 
