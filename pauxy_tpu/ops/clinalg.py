@@ -43,6 +43,14 @@ def _real_dtype(cdtype):
 # full-rank thermal stacks (M ~ 100).
 _LANES_MAX_N = 128
 _DIRECT_MAX_N = 40
+# The inverse-returning GJ kernel carries two extra [n, n, 128] result
+# planes; when the call is INLINED in a larger jit, XLA may place those
+# results in VMEM (S(1) layouts), and the kernel's scoped-vmem stack
+# crosses the 16 MiB limit from n = 36 up (chip-probed 2026-08-21:
+# inlined inv fails n >= 36 / passes n <= 34, while standalone dispatch,
+# slogdet, and chol_inv all pass through n = 40). 32 leaves margin for
+# XLA's context-dependent placement; 33..40 take the Schur composition.
+_DIRECT_MAX_N_INV = 32
 
 
 def _lanes_mode(s: jax.Array) -> str | None:
@@ -94,8 +102,11 @@ def _lanes_mode(s: jax.Array) -> str | None:
 
 def _lanes_inv_logdet(s: jax.Array, mode: str, want_inv: bool = True):
     """Inverse + complex log-det of [B, n, n] via the lanes kernels:
-    directly for n <= 48, else the blocked Schur composition."""
-    if s.shape[-1] > _DIRECT_MAX_N:
+    directly for small n, else the blocked Schur composition. The direct
+    cap is tighter when the inverse is materialized (see
+    _DIRECT_MAX_N_INV)."""
+    direct_max = _DIRECT_MAX_N_INV if want_inv else _DIRECT_MAX_N
+    if s.shape[-1] > direct_max:
         return _schur_inv_logdet(s, mode, want_inv=want_inv)
     return _lanes_leaf(s, mode, want_inv=want_inv)
 

@@ -80,6 +80,12 @@ def cpqr(a: jax.Array, pivot: bool = True, impl: str | None = None):
     return _cpqr_xla(a, pivot)
 
 
+# Exact partial-norm recompute period for the downdating pivoted loop.
+# 1 = recompute every column (bit-identical pivots to the textbook loop);
+# higher saves one full-matrix reduction per non-refresh column.
+CPQR_NORM_REFRESH = 16
+
+
 def _cpqr_xla(a: jax.Array, pivot: bool = True):
     """Pure-XLA implementation: deferred-pivot Householder + compact WY.
 
@@ -98,6 +104,13 @@ def _cpqr_xla(a: jax.Array, pivot: bool = True):
       at the end via the compact-WY identity T^{-1} = diag(1/tau) +
       striu(V^H V) — two MXU matmuls plus one small triangular solve
       replace 2 rank-1 full-matrix updates per step.
+    * Partial column norms are DOWNDATED (LAPACK xGEQP3-style): the
+      reflection preserves each column's norm over the active rows, so
+      norms_{k+1} = norms_k - |row k of the updated R|^2, costing one
+      [batch, m] row read instead of a full matrix reduction. An exact
+      recompute every CPQR_NORM_REFRESH columns bounds the f32 drift
+      (the drift can only reorder near-tied pivots, never break the
+      factorization identities).
     """
     *batch, mrow, m = a.shape
     assert mrow == m, "square matrices only"
@@ -110,17 +123,27 @@ def _cpqr_xla(a: jax.Array, pivot: bool = True):
     tau0 = jnp.zeros((*batch, m), cdtype)
     perm0 = jnp.broadcast_to(rows, (*batch, m))
     done0 = jnp.zeros((*batch, m), bool)
+    norms0 = jnp.sum(jnp.abs(a) ** 2, axis=-2)            # rows >= 0
+
+    def exact_norms(r, done, k):
+        active_row = (rows >= k)
+        n = jnp.sum(
+            jnp.abs(r) ** 2 * active_row[..., :, None].astype(rdtype),
+            axis=-2,
+        )
+        return jnp.where(done, -1.0, n)
 
     def body(k, carry):
-        r, vmat, tau, perm, done = carry
+        r, vmat, tau, perm, done, norms = carry
         active_row = (rows >= k)                           # [m]
 
         if pivot:
-            norms = jnp.sum(
-                jnp.abs(r) ** 2 * active_row[..., :, None].astype(rdtype),
-                axis=-2,
+            norms = jax.lax.cond(
+                k % CPQR_NORM_REFRESH == 0,
+                lambda r, d, n: exact_norms(r, d, k),
+                lambda r, d, n: n,
+                r, done, norms,
             )
-            norms = jnp.where(done, -1.0, norms)
             p = jnp.argmax(norms, axis=-1)                 # [...]
         else:
             p = jnp.broadcast_to(jnp.asarray(k), tuple(batch))
@@ -137,8 +160,15 @@ def _cpqr_xla(a: jax.Array, pivot: bool = True):
         v = x - alpha[..., None] * (rows == k).astype(cdtype)
         vsq = jnp.sum(jnp.abs(v) ** 2, axis=-1)
         ok = vsq > 1e-300
-        tk = jnp.where(ok, 2.0 / jnp.where(ok, vsq, 1.0), 0.0).astype(cdtype)
-        v = v * ok[..., None]          # tau=0 column must be exactly zero
+        # Store the UNIT-normalized vector with tau = 2 (H = I - 2 u u^H):
+        # unnormalized v's inherit the column scales, which makes the
+        # compact-WY T^{-1} = diag(1/tau) + striu(V^H V) arbitrarily badly
+        # balanced and costs ~20x accuracy in the formed Q (measured at
+        # f32, m=93, columns scaled exp(N(0,2))). Unit columns keep
+        # |V^H V| <= 1 against a 0.5 diagonal.
+        rnorm = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, vsq, 1.0)), 0.0)
+        v = v * rnorm[..., None].astype(cdtype)            # unit (or zero)
+        tk = jnp.where(ok, 2.0, 0.0).astype(cdtype)
 
         # r <- (I - tau v v^H) r ; processed columns are unchanged by this
         # (their rows >= k vanish), so no column mask is needed.
@@ -149,34 +179,55 @@ def _cpqr_xla(a: jax.Array, pivot: bool = True):
         tau = tau + tk[..., None] * (rows == k).astype(cdtype)
         perm = jnp.where(rows == k, pb, perm)
         done = done | (rows == pb)
-        return r, vmat, tau, perm, done
+        if pivot:
+            # Reflections are unitary on rows >= k, so the norm over rows
+            # >= k+1 is the old norm minus the now-final row k entry.
+            rowk = jnp.abs(r[..., k, :]) ** 2              # [..., m]
+            norms = jnp.where(done, -1.0, jnp.maximum(norms - rowk, 0.0))
+        return r, vmat, tau, perm, done, norms
 
-    r, vmat, tau, perm, _done = jax.lax.fori_loop(
-        0, m, body, (r0, v0, tau0, perm0, done0)
+    r, vmat, tau, perm, _done, _norms = jax.lax.fori_loop(
+        0, m, body, (r0, v0, tau0, perm0, done0, norms0)
     )
 
     # Q = H_0 H_1 ... H_{m-1} = I - V T V^H (compact WY), with
     # T^{-1} = diag(1/tau) + striu(V^H V); tau = 0 columns carry v = 0, so
     # a unit diagonal entry there leaves Q untouched.
+    #
+    # Every matrix-matrix product below is pinned to Precision.HIGHEST:
+    # the TPU default lowers f32 matmuls to single-pass bf16 on the MXU,
+    # which costs ~1e-2 reconstruction error in the formed Q (chip-probed
+    # 2026-08-20, tools/axon/probe_cpqr.py; the textbook loop is immune
+    # because its rank-1 matvec updates stay on the f32 VPU path). These
+    # are O(m^3) once per factorization vs the loop's O(m^3) total, so
+    # full precision here is noise in the runtime.
     from pauxy_tpu.ops import clinalg
 
-    g = jnp.einsum("...mk,...mn->...kn", vmat.conj(), vmat)
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.einsum("...mk,...mn->...kn", vmat.conj(), vmat, precision=hi)
     abst = jnp.abs(tau)
     safe_diag = jnp.where(abst > 0, 1.0 / jnp.where(abst > 0, tau, 1.0), 1.0)
     eye = jnp.eye(m, dtype=cdtype)
     tinv = jnp.triu(g, 1) + safe_diag[..., :, None] * eye
     vh = jnp.swapaxes(vmat.conj(), -1, -2)
     if jnp.iscomplexobj(a):
-        tvh = clinalg.solve(tinv, vh)
+        # clinalg.inv (not .solve): its lanes path returns the Gauss-
+        # Jordan inverse straight from the f32 VMEM kernel, and the
+        # application matmul below carries the explicit precision.
+        tvh = jnp.einsum(
+            "...kj,...jn->...kn", clinalg.inv(tinv), vh, precision=hi
+        )
     else:
         tvh = jnp.linalg.solve(tinv, vh)
     q = jnp.broadcast_to(eye, a.shape) - jnp.einsum(
-        "...mk,...kn->...mn", vmat, tvh
+        "...mk,...kn->...mn", vmat, tvh, precision=hi
     )
 
     # One deferred column permutation: r_piv[:, j] = r[:, perm[j]].
+    # HIGHEST is exactness, not accuracy, here: a bf16 one-hot matmul
+    # truncates the selected values to an 8-bit mantissa.
     sel = (perm[..., None, :] == rows[:, None]).astype(cdtype)  # [..., m, m]
-    r = jnp.einsum("...mk,...kn->...mn", r, sel)
+    r = jnp.einsum("...mk,...kn->...mn", r, sel, precision=hi)
     tri = (rows[:, None] <= rows[None, :]).astype(cdtype)
     return q, r * tri, perm.astype(jnp.int32)
 
@@ -250,5 +301,10 @@ def unpermute_columns(t: jax.Array, perm: jax.Array) -> jax.Array:
     m = t.shape[-1]
     cols = jnp.arange(m)
     # P[j, i] = 1 iff i == perm[j]  ->  (T @ P)[:, i] = T[:, j=perm^-1(i)].
+    # HIGHEST precision makes the one-hot selection exact: the TPU's
+    # default bf16 matmul would truncate the moved values to an 8-bit
+    # mantissa.
     p = (perm[..., :, None] == cols).astype(t.dtype)      # [..., m, m]
-    return jnp.einsum("...mk,...kn->...mn", t, p)
+    return jnp.einsum(
+        "...mk,...kn->...mn", t, p, precision=jax.lax.Precision.HIGHEST
+    )

@@ -202,10 +202,15 @@ CELLS = [
     #                      e.g. the UEG ecut=4 M=93 class — routes to the
     #                      XLA fori_loop, enforced by _use_lanes + the
     #                      cpqr_lanes ValueError guard at CPQR_MAX_M=64).
-    # batchla n: T=0 electron counts (8..48 direct) and the
+    # batchla n: T=0 electron counts (8..32 direct; 33..48 blocked Schur
+    # when the inverse is materialized — inlined inv calls with n>=36 blow
+    # the 16 MiB scoped-vmem stack when XLA places the result planes in
+    # VMEM, chip-probed 2026-08-21, see clinalg._DIRECT_MAX_N_INV) and the
     # thermal full-rank M classes (50, 93, 128 -> blocked Schur).
     ("batchla_inv_n8", lambda: cell_batchla_inv(8)),
     ("batchla_inv_n30", lambda: cell_batchla_inv(30)),
+    ("batchla_inv_n36", lambda: cell_batchla_inv(36)),
+    ("batchla_inv_n40", lambda: cell_batchla_inv(40)),
     ("batchla_inv_n48", lambda: cell_batchla_inv(48)),
     ("batchla_inv_n50", lambda: cell_batchla_inv(50)),
     ("batchla_inv_n93", lambda: cell_batchla_inv(93, w=64)),
